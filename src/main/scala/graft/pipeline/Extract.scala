@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import graft.core.MonthFinder
+import graft.layout._
+
+/** Per-document extraction (the reference's step_1 + step_2 + step_6 fused
+  * into ONE pass over the document — the reference re-opens every PDF per
+  * step; we parse once and derive page stats, candidate tables and the
+  * publish month together, since all three only need the span sequence).
+  *
+  * Pure per-document function — invoked from `mapPartitions` so extraction
+  * is embarrassingly parallel and the only shuffled payload downstream is
+  * the (small) candidate tables, never the raw documents.
+  */
+object Extract {
+
+  final case class ExtractResult(stat: PaperStat, candidates: Seq[CandidateTable])
+
+  def extractDoc(doc: DocRow): ExtractResult = {
+    val pages = SpanDoc.pages(doc.spans)
+    val ord = SpanDoc.docOrd(doc.doc_id)
+    val candidates = Vector.newBuilder[CandidateTable]
+    pages.foreach { page =>
+      // "not a textpage": a page with no text/rule content yields nothing
+      // (step_2_add_candidate_tables.py:29-33)
+      val hasText = page.spans.exists(s => s.kind == "text" || s.kind == "rule")
+      if (hasText) {
+        TableDetector.findTables(page).foreach { t =>
+          // keep the table iff its normalized header names contain
+          // "criterion" (step_2:36-38)
+          if (t.headers.contains("criterion")) {
+            candidates += CandidateTable(
+              doc_id = doc.doc_id,
+              doc_ord = ord,
+              page = page.number,
+              bbox = Array(t.bbox._1, t.bbox._2, t.bbox._3, t.bbox._4),
+              headers = t.headers.toArray,
+              raw_data = t.rawData.map(_.toArray).toArray)
+          }
+        }
+      }
+    }
+    val cands = candidates.result()
+    val month = MonthFinder.findMonth(SpanDoc.firstPageText(doc.spans))
+    val stat = PaperStat(
+      doc_id = doc.doc_id,
+      doc_ord = ord,
+      file_size = SpanDoc.fileSize(doc.spans),
+      page_size = pages.length,
+      criterion_tables_count = cands.length,
+      merged_tables_count = None,
+      merged_rows_count = None,
+      merged_table_start_page = None,
+      merged_table_end_page = None,
+      publish_month = Option(month),
+      publish_month_verified = true)
+    ExtractResult(stat, cands)
+  }
+}

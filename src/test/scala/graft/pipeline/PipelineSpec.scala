@@ -1,0 +1,228 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import graft.layout._
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val result = {
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.createDataset(FixtureCorpus.fixtureDocs)
+    ExtractionPipeline.run(spark, docs)
+  }
+  private lazy val stats = result.stats.collect().map(s => s.doc_id -> s).toMap
+  private lazy val mergedMap = result.merged.collect().map(m => m.doc_id -> m).toMap
+
+  test("F01 clean doc: one candidate, page 3, month December 2024") {
+    val s = stats("1.f01_clean.pdf")
+    assert(s.page_size == 3)
+    assert(s.criterion_tables_count == 1)
+    assert(s.merged_table_start_page.contains(3))
+    assert(s.merged_rows_count.contains(7)) // header + 6 rows (len(df2data))
+    assert(s.publish_month.contains("December 2024"))
+    val m = mergedMap("1.f01_clean.pdf")
+    assert(m.data.head.toVector == Vector("Criterion", "Summary Assessment", "Rating"))
+    assert(m.data.length == 7)
+  }
+
+  test("F02 cross-page: 4 fragments pages 4-7 merge into one run") {
+    val s = stats("2.f02_crosspage.pdf")
+    assert(s.criterion_tables_count == 4)
+    assert(s.merged_tables_count.contains(4))
+    assert(s.merged_table_start_page.contains(4))
+    assert(s.merged_table_end_page.contains(7))
+    // pandas concat stacks the 4 fragments' data rows; header counted once
+    assert(s.merged_rows_count.contains(17))
+    assert(s.publish_month.contains("March, 2021"))
+  }
+
+  test("F03 empty aux columns dropped") {
+    val m = mergedMap("3.f03_auxcols.pdf")
+    assert(m.data.head.toVector == Vector("Criterion", "Summary Assessment", "Rating"))
+    assert(stats("3.f03_auxcols.pdf").publish_month.contains("October, 2018"))
+  }
+
+  test("F04 non-first aux column fills right neighbor blanks") {
+    val m = mergedMap("4.f04_auxfill.pdf")
+    assert(m.data.head.toVector == Vector("Criterion", "Summary Assessment", "Rating"))
+    val rows = m.data.tail.map(_.toVector)
+    assert(rows(0) == Vector("Strategic Relevance",
+      "Overall rating for Strategic Relevance", "HS"))
+    assert(rows(1) == Vector("Effectiveness", "Outcomes largely achieved", "S"))
+    assert(rows(2) == Vector("Sustainability",
+      "Overall rating for Sustainability", "ML"))
+  }
+
+  test("F05 unnamed first column combine_firsts into Criterion") {
+    val m = mergedMap("5.f05_firstcol.pdf")
+    assert(m.data.head.toVector == Vector("Criterion", "Summary Assessment", "Rating"))
+    assert(m.data(1)(0) == "Strategic Relevance")
+    assert(m.data(2)(0) == "1. Alignment to UNEP MTS, POW and strategic priorities")
+  }
+
+  test("F06 longest consecutive run beats the early false positive") {
+    val s = stats("6.f06_falsepositive.pdf")
+    assert(s.criterion_tables_count == 3) // page 3 definition table IS a candidate
+    assert(s.merged_table_start_page.contains(40))
+    assert(s.merged_table_end_page.contains(41))
+  }
+
+  test("F07 equal-length runs: the FIRST wins (Python max semantics)") {
+    val s = stats("7.f07_tworuns.pdf")
+    assert(s.merged_table_start_page.contains(10))
+    assert(s.merged_table_end_page.contains(11))
+  }
+
+  test("F08 split header normalized to SummaryAssessment in the corpus sheet") {
+    val corpus = result.corpus.filter($"FileName" === "8.f08_splitheader.pdf").collect()
+    assert(corpus.length == 2)
+    val cols = result.corpus.columns
+    assert(cols.contains("SummaryAssessment"))
+    val row = corpus.map(r => r.getAs[String]("Criterion") -> r.getAs[String]("SummaryAssessment")).toMap
+    assert(row("Strategic Relevance") == "Overall rating for Strategic Relevance")
+  }
+
+  test("F09 'summary assessment/comments' is NOT normalized (ratio 0.77 < 0.8) and dropped") {
+    // the variant name misses the 0.8 normalization threshold, so it is not
+    // one of the kept columns and the projection drops it (step_4:55-58):
+    // F09 contributes Criterion + Rating only, SummaryAssessment comes out null
+    val cols = result.corpus.columns
+    assert(!cols.contains("Summary assessment/comments"))
+    val rows = result.corpus.filter($"FileName" === "9.f09_headervariants.pdf").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[String]("SummaryAssessment") == null))
+    // "Rating (achievement)" DID normalize (startswith rating)
+    assert(rows.map(_.getAs[String]("Rating")).toSet == Set("HS", "ML"))
+    // and the corpus data columns are sorted alphabetically (step_4:80)
+    val dataCols = cols.drop(2) // after doc_ord, row_idx ordinals
+    assert(dataCols.sorted.toVector == dataCols.toVector)
+  }
+
+  test("F10 headerless continuation page breaks the run") {
+    val s = stats("10.f10_headerless.pdf")
+    assert(s.criterion_tables_count == 1)
+    assert(s.merged_table_start_page.contains(2))
+    assert(s.merged_table_end_page.contains(2))
+  }
+
+  test("F11 media-only page skipped; media spans pass through to output") {
+    val s = stats("11.f11_media.pdf")
+    assert(s.page_size == 3)
+    assert(s.criterion_tables_count == 1)
+    val spans = result.outSpans.filter(_.doc_id == "11.f11_media.pdf")
+      .collect().sortBy(_.ord)
+    val media = spans.filter(_.kind == "media")
+    assert(media.map(_.media_ref).toVector ==
+      Vector("img://11/chart.png", "img://11/annex.png"))
+    // text spans: 6 rows x 3 cols of the merged table
+    assert(spans.count(_.kind == "text") == 18)
+    // ordered: all text first, then media; ord is a contiguous 0..n-1 range
+    assert(spans.map(_.ord).toVector == spans.indices.toVector)
+  }
+
+  test("F12 month on the wrong page is not found (page-1 only, step_6:58-64)") {
+    assert(stats("12.f12_nomonth.pdf").publish_month.isEmpty)
+  }
+
+  test("F13 numbered criteria classify and forward-fill in the pivot") {
+    val rows = result.pivot.filter($"FileName" === "13.f13_numbered.pdf")
+      .orderBy(col("`No.`")).collect()
+    assert(rows.length == 5)
+    val l1 = rows.map(_.getAs[String]("L1")).toVector
+    assert(l1(0) == "Strategic Relevance")
+    // "1. Alignment to UNEP MTS..." stays under Strategic Relevance via ffill
+    assert(l1(1) == "Strategic Relevance" || l1(1) == null)
+    assert(l1(3) == "Sustainability")
+    assert(l1(4) == "Sustainability") // "2. Financial sustainability" -> ffill or direct
+    val l2 = rows.map(_.getAs[String]("L2")).toVector
+    assert(l2(0) == "") // exact L1 match -> empty L2
+    assert(l2(1) == "1. Alignment to UNEP MTS, POW and strategic priorities")
+  }
+
+  test("F14 oversized doc: 200 pages, table on the last page") {
+    val s = stats("14.f14_oversized.pdf")
+    assert(s.page_size == 200)
+    assert(s.merged_table_start_page.contains(200))
+  }
+
+  test("F15 zero candidates: excluded from merge, stats keep nulls") {
+    val s = stats("15.f15_notables.pdf")
+    assert(s.criterion_tables_count == 0)
+    assert(s.merged_tables_count.isEmpty)
+    assert(!mergedMap.contains("15.f15_notables.pdf"))
+  }
+
+  test("F16 whitespace-aligned table detected via the text strategy") {
+    val s = stats("16.f16_aligned.pdf")
+    assert(s.criterion_tables_count == 1)
+    val m = mergedMap("16.f16_aligned.pdf")
+    assert(m.data.head.toVector == Vector("Criterion", "Summary Assessment", "Rating"))
+    assert(m.data.length == 4)
+  }
+
+  test("pivot numbering is global, 1-based, ordered by (doc_ord, row_idx)") {
+    val nos = result.pivot.orderBy(col("`No.`")).select(col("`No.`")).as[Int].collect()
+    assert(nos.toVector == (1 to nos.length).toVector)
+    // first doc in doc_ord order is f01
+    val first = result.pivot.filter(col("`No.`") === 1).collect().head
+    assert(first.getAs[String]("FileName") == "1.f01_clean.pdf")
+  }
+
+  test("output span sequences are deterministic across runs") {
+    val docs = spark.createDataset(FixtureCorpus.fixtureDocs)
+    val again = ExtractionPipeline.run(spark, docs)
+    val a = result.outSpans.collect().sortBy(s => (s.doc_id, s.ord)).toVector
+    val b = again.outSpans.collect().sortBy(s => (s.doc_id, s.ord)).toVector
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+}
+
+class ResumeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("resume reprocesses only uncommitted docs (anti-join, S3/S4 semantics)") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString + "/stats"
+    val docs = spark.createDataset(FixtureCorpus.fixtureDocs)
+
+    // first run "crashes" after committing only the first 6 docs
+    val firstBatch = docs.filter(d => SpanDoc.docOrd(d.doc_id) <= 6)
+    val r1 = ExtractionPipeline.run(spark, firstBatch)
+    Checkpointing.commit(r1.stats.toDF(), dir, runId = "run1")
+
+    // resume: only the remaining docs are reprocessed
+    val remaining = Checkpointing.resumeFilter(spark, docs, dir)
+    val remainingIds = remaining.map(_.doc_id).collect().toSet
+    assert(remainingIds.size == FixtureCorpus.fixtureDocs.size - 6)
+    assert(!remainingIds.contains("1.f01_clean.pdf"))
+    assert(remainingIds.contains("7.f07_tworuns.pdf"))
+
+    val r2 = ExtractionPipeline.run(spark, remaining)
+    Checkpointing.commit(r2.stats.toDF(), dir, runId = "run2")
+
+    // after the second commit nothing is left, and the union is complete
+    assert(Checkpointing.resumeFilter(spark, docs, dir).count() == 0)
+    assert(spark.read.parquet(dir).select("doc_id").distinct().count()
+      == FixtureCorpus.fixtureDocs.size)
+
+    // lineage manifests exist for both runs
+    val manifests = new java.io.File(dir + "_manifest").listFiles().map(_.getName).sorted
+    assert(manifests.exists(_.contains("run1")) && manifests.exists(_.contains("run2")))
+  }
+}
