@@ -1,13 +1,331 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.MonthFinder
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.streaming.Events
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (plus the training-data
+  * pipeline operators) is exposed as a named query over the driver's parquet
+  * test tables, paired with an ANSI-SQL oracle that DuckDB evaluates on the
+  * same tables. Column names are aligned on both sides (the driver's compare
+  * sorts columns by name before hashing). All floating-point-derived outputs
+  * are materialized as integers (cents / basis points / microunits) computed
+  * with order-deterministic folds so the two engines agree bit-for-bit.
+  *
+  * Queries with no SQL-expressible oracle (MinHash-LSH, SimHash, hyperplane
+  * ANN — their hash families are engine-specific) are exposed without an
+  * oracle entry: the driver records a weaker rows-only check, and their
+  * semantics are pinned by ScalaTest (recall vs brute force, etc.).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: the end-to-end extraction pipeline (detect -> merge -> corpus
+    * -> pivot) over the deterministic fixture corpus. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val docs = spark.createDataset(graft.layout.FixtureCorpus.fixtureDocs)
+    graft.pipeline.ExtractionPipeline.run(spark, docs).pivot
+  }
+
+  // ====================================================================
+  // queries
+  // ====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
+      // ---- scans/filters/aggregation (TPC-H Q1 shape)
+      "q01_pricing_summary" -> ((s, d) => {
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(floor(col("l_quantity") * 100).cast("long")).as("sum_qty_cents"),
+            sum(floor(col("l_extendedprice") * 100).cast("long")).as("sum_base_cents"),
+            sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+              .cast("long")).as("sum_disc_cents"),
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("l_orderkey")).as("n_orders"))
+      }),
+      // ---- order-by + limit (top-k)
+      "q02_top_orders" -> ((s, d) => {
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("price_cents"))
+          .orderBy(col("price_cents").desc, col("o_orderkey"))
+          .limit(10)
+      }),
+      // ---- multi-join with broadcast dimension (TPC-H Q5 shape)
+      "q03_revenue_by_nation" -> ((s, d) => {
+        val li = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+        val c = t(s, d, "customer")
+        val n = t(s, d, "nation")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+              .cast("long")).as("revenue_cents"),
+            count(lit(1)).as("n_items"))
+      }),
+      // ---- semi-join (EXISTS)
+      "q04_priority_with_returns" -> ((s, d) => {
+        val o = t(s, d, "orders")
+        val li = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"))
+      }),
+      // ---- anti-join (NOT EXISTS)
+      "q05_customers_without_orders" -> ((s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_customers"))
+      }),
+      // ---- window: top-3 orders per customer
+      "q06_top3_orders_per_customer" -> ((s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+      }),
+      // ---- rollup (grouping sets)
+      "q07_rollup_status_priority" -> ((s, d) => {
+        t(s, d, "orders")
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(floor(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      }),
+      // ---- exact distinct aggregation
+      "q08_supplier_part_fanout" -> ((s, d) => {
+        t(s, d, "lineitem")
+          .groupBy(col("l_suppkey"))
+          .agg(countDistinct(col("l_partkey")).as("n_parts"),
+            count(lit(1)).as("n_items"))
+      }),
+      // ---- gap-based sessionization (window lag + running sum)
+      "q09_event_sessions" -> ((s, d) =>
+        Events.sessionizeBatch(t(s, d, "events"))),
+      // ---- tumbling time-window aggregation (batch shadow of streaming)
+      "q10_events_hourly" -> ((s, d) =>
+        Events.hourlyCounts(t(s, d, "events"))))
+
+    val text: Map[String, (SparkSession, String) => DataFrame] = Map(
+      // ---- publish-month extraction (P9) over the documents table
+      "q11_publish_month" -> ((s, d) =>
+        t(s, d, "documents").select(col("doc_id"), monthColumn(col("text")).as("publish_month"))),
+      // ---- token/quality text profile (expression-only, codegen'd)
+      "q12_text_profile" -> ((s, d) => TextAnalysis.profile(t(s, d, "documents"))),
+      // ---- exact dedup groups via md5 fingerprint
+      "q13_exact_dup_groups" -> ((s, d) => Dedup.exactGroups(t(s, d, "documents"))),
+      // ---- n-gram Jaccard near-dup pairs on a cheap blocking key
+      "q14_ngram_jaccard_pairs" -> ((s, d) =>
+        Dedup.ngramJaccardPairs(t(s, d, "documents"), minJaccardBp = 2000L)),
+      // ---- MinHash+LSH near-dup pairs (rows-only: engine-specific hashes)
+      "q15_minhash_lsh_pairs" -> ((s, d) =>
+        Dedup.minhashLshPairs(t(s, d, "documents"), minJaccardBp = 2000L)),
+      // ---- SimHash near-dup pairs (rows-only)
+      "q16_simhash_pairs" -> ((s, d) =>
+        Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 18)),
+      // ---- brute-force cosine top-k (exactness baseline)
+      "q17_knn_bruteforce" -> ((s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.bruteKnn(emb, emb.filter(col("vec_id") < 20), k = 5)
+      }),
+      // ---- LSH-bucketed ANN (rows-only; recall tested vs brute force)
+      "q18_knn_lsh" -> ((s, d) =>
+        Similarity.hyperplaneLshKnn(t(s, d, "embeddings").filter(col("vec_id") < 200),
+          k = 5, nBits = 6, nTables = 6)),
+      // ---- embedding-cosine near-dup pairs (brute, oracle-checked)
+      "q19_embedding_neardup" -> ((s, d) =>
+        Similarity.cosineNearDupPairs(t(s, d, "embeddings"), minSimMicro = 350000L)),
+      // ---- custom codegen expression: rolling-hash fingerprint (rows-only:
+      //      the hash family is ours; correctness pinned in ExpressionSpec)
+      "q20_fingerprint64" -> ((s, d) =>
+        t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.fingerprint64(col("text")).as("fp64"))))
+
+    relational ++ text ++ FixtureQueries.queries
+  }
+
+  // ====================================================================
+  // oracle SQL (DuckDB dialect-compatible ANSI)
+  // ====================================================================
+
+  /** Spark-side month extraction: coalesce over full-month regexes in month
+    * order, then abbreviated forms expanded via replace — mirrors
+    * MonthFinder.findMonth / the reference's find_month exactly. */
+  def monthColumn(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val full = MonthFinder.Months.map { m =>
+      nullif(regexp_extract(text, s"$m[,]?\\s+\\d{4}", 0), lit(""))
+    }
+    val abbr = MonthFinder.AbbrMonths.zip(MonthFinder.Months).map { case (a, m) =>
+      regexp_replace(
+        nullif(regexp_extract(text, s"$a[.]?[,]?\\s+\\d{4}", 0), lit("")),
+        s"^$a", m)
+    }
+    coalesce((full ++ abbr): _*)
+  }
+
+  /** The same chain in SQL, generated from the same month lists. */
+  def monthSql(textExpr: String): String = {
+    val full = MonthFinder.Months.map { m =>
+      s"nullif(regexp_extract($textExpr, '$m[,]?\\s+\\d{4}', 0), '')"
+    }
+    val abbr = MonthFinder.AbbrMonths.zip(MonthFinder.Months).map { case (a, m) =>
+      s"regexp_replace(nullif(regexp_extract($textExpr, '$a[.]?[,]?\\s+\\d{4}', 0), ''), '^$a', '$m')"
+    }
+    s"coalesce(${(full ++ abbr).mkString(",\n    ")})"
+  }
+
+  private val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+  private def listLit(ss: Seq[String]) = ss.map(s => s"'$s'").mkString("[", ",", "]")
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(floor(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+        |  count(*) AS n_rows,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2""".stripMargin,
+    "q02_top_orders" ->
+      """SELECT o_orderkey, o_custkey, CAST(floor(o_totalprice*100) AS BIGINT) AS price_cents
+        |FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q03_revenue_by_nation" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+    "q04_priority_with_returns" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+    "q05_customers_without_orders" ->
+      """SELECT c_nationkey, count(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1""".stripMargin,
+    "q06_top3_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "q07_rollup_status_priority" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q08_supplier_part_fanout" ->
+      """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_items
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q09_event_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_type, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessioned AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+        |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM sessioned GROUP BY user_id, session_id""".stripMargin,
+    "q10_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q11_publish_month" ->
+      s"SELECT doc_id, ${monthSql("text")} AS publish_month FROM documents",
+    "q12_text_profile" -> {
+      val stops = listLit(TextAnalysis.Stopwords)
+      val langCases = {
+        val scores = TextAnalysis.LangMarkers.map { case (l, ms) =>
+          l -> s"len(list_filter($toks, t -> list_contains(${listLit(ms)}, t)))"
+        }
+        val best = scores.map(_._2).mkString("greatest(", ", ", ")")
+        val whens = scores.map { case (l, sc) =>
+          s"WHEN $sc = $best AND $sc > 0 THEN '$l'"
+        }.mkString(" ")
+        s"CASE $whens ELSE 'und' END"
+      }
+      s"""SELECT doc_id,
+         |  len($toks) AS n_tokens,
+         |  CAST(floor(list_sum(list_transform($toks, t -> length(t)))*1000.0 / len($toks)) AS BIGINT) AS mean_token_len_milli,
+         |  len(list_filter($toks, t -> list_contains($stops, t))) AS n_stopwords,
+         |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+         |  CAST(floor(least(len($toks), 200)*5000.0/200) AS BIGINT)
+         |    + CAST(floor(3000.0*(len($toks) - len(list_filter($toks, t -> list_contains($stops, t)))) / greatest(len($toks), 1)) AS BIGINT)
+         |    + CASE WHEN (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))*20 <= length(text) THEN 2000 ELSE 0 END AS quality_bp,
+         |  $langCases AS lang_pred
+         |FROM documents""".stripMargin
+    },
+    "q13_exact_dup_groups" ->
+      """SELECT md5(lower(trim(text))) AS fp, count(*) AS n_docs,
+        |  min(doc_id) AS keeper_doc_id
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q14_ngram_jaccard_pairs" -> {
+      val sh = s"list_distinct(list_transform(range(0, greatest(len($toks)-3, 0)+1), " +
+        s"i -> concat_ws(' ', $toks[i+1], $toks[i+2], $toks[i+3])))"
+      s"""WITH keyed AS (
+         |  SELECT doc_id, $sh AS sh,
+         |    CAST(floor(len($toks)/10.0) AS BIGINT) AS len_bucket,
+         |    ($toks)[1] AS first_tok
+         |  FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(floor(len(list_intersect(a.sh, b.sh))*10000.0 /
+         |       len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) AS jaccard_bp
+         |FROM keyed a JOIN keyed b
+         |  ON a.len_bucket = b.len_bucket AND a.first_tok = b.first_tok
+         | AND a.doc_id < b.doc_id
+         |WHERE floor(len(list_intersect(a.sh, b.sh))*10000.0 /
+         |       len(list_distinct(list_concat(a.sh, b.sh)))) >= 2000""".stripMargin
+    },
+    "q17_knn_bruteforce" -> {
+      val dot = "list_reduce(list_transform(list_zip(q.emb, n.emb), p -> p[1]*p[2]), (x,y) -> x+y)"
+      val nq = "list_reduce(list_transform(q.emb, x -> x*x), (x,y) -> x+y)"
+      val nn = "list_reduce(list_transform(n.emb, x -> x*x), (x,y) -> x+y)"
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    $dot / (sqrt($nq) * sqrt($nn)) AS sim
+         |  FROM emb q JOIN emb n ON q.vec_id <> n.vec_id
+         |  WHERE q.vec_id < 20),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank,
+         |    CAST(floor(sim*1e6) AS BIGINT) AS sim_micro
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rank, sim_micro FROM ranked WHERE rank <= 5""".stripMargin
+    },
+    "q19_embedding_neardup" -> {
+      val dot = "list_reduce(list_transform(list_zip(a.emb, b.emb), p -> p[1]*p[2]), (x,y) -> x+y)"
+      val na = "list_reduce(list_transform(a.emb, x -> x*x), (x,y) -> x+y)"
+      val nb = "list_reduce(list_transform(b.emb, x -> x*x), (x,y) -> x+y)"
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  CAST(floor($dot / (sqrt($na) * sqrt($nb)) * 1e6) AS BIGINT) AS sim_micro
+         |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+         |WHERE floor($dot / (sqrt($na) * sqrt($nb)) * 1e6) >= 350000""".stripMargin
+    }) ++ FixtureQueries.oracleSql
 }

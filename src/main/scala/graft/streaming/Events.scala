@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Event-stream operators. The reference's closest analog is the
+  * document-local cross-page state machine (SURVEY.md M6) — session-window
+  * logic. Here it is generalized to the events table both ways:
+  *
+  *  - batch: gap-based sessionization with window functions (fully
+  *    SQL-expressible, carries a DuckDB oracle);
+  *  - streaming: the same semantics as a Structured Streaming query with
+  *    watermarked tumbling windows, and as flatMapGroupsWithState
+  *    sessionization with processing-time-independent event-time logic.
+  */
+object Events {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+      n_events: Long, n_errors: Long, value_cents: Long)
+  final case class SessState(start: Long, last: Long, n: Long, errors: Long,
+      cents: Long)
+
+  /** Batch gap-based sessionization: a new session starts when the gap from
+    * the previous event of the same user exceeds `gapMinutes`. Output: one
+    * row per session with stats. Monetary/value sums are in integer cents
+    * for exact cross-engine comparison. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapSec = gapMinutes * 60L
+    events
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min("ts").as("session_start"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),
+        sum(floor(col("value") * 100).cast("long")).as("value_cents"))
+      .drop("session_id")
+  }
+
+  /** Batch tumbling-hour aggregation (the batch shadow of the streaming
+    * query below — identical results on the same finite input). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("value_cents"))
+
+  /** Streaming tumbling-hour aggregation with a watermark for late data. */
+  def streamingHourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("value_cents"))
+
+  /** Streaming sessionization via flatMapGroupsWithState: event-time gap
+    * sessions. A session closes either when a same-user event arrives past
+    * the gap (data path) or when the WATERMARK passes its gap deadline
+    * (event-time timeout — processing time never schedules batches, so test
+    * harnesses using processAllAvailable terminate). */
+  def sessionizeStreaming(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+
+    def flush(userId: Long, s: SessState): SessionOut =
+      SessionOut(userId, new Timestamp(s.start), s.n, s.errors, s.cents)
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, it: Iterator[Event], state: GroupState[SessState]) => {
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(flush(userId, _)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = it.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Vector.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1,
+                    errors = s.errors + (if (e.event_type == "error") 1 else 0),
+                    cents = s.cents + math.floor(e.value * 100).toLong))
+                case Some(s) =>
+                  closed += flush(userId, s)
+                  cur = Some(SessState(t, t, 1,
+                    if (e.event_type == "error") 1 else 0, math.floor(e.value * 100).toLong))
+                case None =>
+                  cur = Some(SessState(t, t, 1,
+                    if (e.event_type == "error") 1 else 0, math.floor(e.value * 100).toLong))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when the watermark passes last-event + gap (must stay
+              // strictly ahead of the current watermark or Spark rejects it)
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
+          }
+        })
+  }
+}

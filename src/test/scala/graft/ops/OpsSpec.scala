@@ -1,0 +1,229 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.TestSpark
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the fast table scan and the slow merge join", "en", "s", 44L),
+    (1L, "word word word word word word word word word word", "x", "s", 49L),
+    (2L, "Punct, heavy; text! with? many. marks:", "x", "s", 38L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("token count / stopwords / punct") {
+    val p = TextAnalysis.profile(docs).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r).toMap
+    def n(id: Long, c: String): Long = p(id).getAs[Number](c).longValue
+    assert(n(0L, "n_tokens") == 9)
+    assert(n(0L, "n_stopwords") == 3) // the, and, the
+    assert(n(2L, "n_punct") == 6)
+    assert(n(1L, "n_stopwords") == 0)
+  }
+
+  test("lang id picks the language with most marker hits; und when none") {
+    val p = TextAnalysis.profile(docs).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(p(0L) == "en")
+    assert(p(1L) == "und")
+  }
+
+  test("quality score components are integral and bounded") {
+    TextAnalysis.profile(docs).collect().foreach { r =>
+      val q = r.getAs[Number]("quality_bp").longValue
+      assert(q >= 0 && q <= 10000)
+    }
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsDF(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exact dedup groups by normalized text") {
+    val docs = docsDF(
+      (1L, "Hello World"), (2L, "  hello world  "), (3L, "other text"))
+    val g = Dedup.exactGroups(docs).collect()
+    assert(g.length == 2)
+    val dup = g.find(_.getAs[Long]("n_docs") == 2).get
+    assert(dup.getAs[Long]("keeper_doc_id") == 1L)
+    val kept = Dedup.exactDedup(docs).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("minhash-LSH finds near-identical docs and skips unrelated ones") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val unrelated = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val docs = docsDF((1L, base), (2L, nearDup), (3L, unrelated))
+    val pairs = Dedup.minhashLshPairs(docs, minJaccardBp = 5000L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("minhash jaccard estimate is verified exactly (no false positives kept)") {
+    // two docs sharing only the first token: any accidental bucket collision
+    // must be killed by the exact-jaccard verify
+    val docs = docsDF(
+      (1L, "alpha " + (1 to 30).map("a" + _).mkString(" ")),
+      (2L, "alpha " + (1 to 30).map("b" + _).mkString(" ")))
+    val pairs = Dedup.minhashLshPairs(docs, minJaccardBp = 5000L).collect()
+    assert(pairs.isEmpty)
+  }
+
+  test("ngram jaccard pairs on blocked candidates, exact bp values") {
+    val a = "common prefix tokens one two three four five six"
+    val b = "common prefix tokens one two three four five seven"
+    val docs = docsDF((1L, a), (2L, b), (3L, "common " + ("x " * 8).trim))
+    val pairs = Dedup.ngramJaccardPairs(docs, minJaccardBp = 3000L)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("jaccard_bp")))
+    assert(pairs.length == 1)
+    val (da, db, bp) = pairs.head
+    assert((da, db) == (1L, 2L))
+    // shingle sets: 7 each, 6 shared -> 6/8 = 0.75 -> 7500 bp
+    assert(bp == 7500L)
+  }
+
+  test("simhash: identical texts distance 0; near texts small; far texts large") {
+    assert(Dedup.hamming64(Dedup.simhash64("a b c d e"), Dedup.simhash64("a b c d e")) == 0)
+    val near = Dedup.hamming64(
+      Dedup.simhash64((1 to 50).map("w" + _).mkString(" ")),
+      Dedup.simhash64((1 to 50).map(i => if (i == 25) "x" else "w" + i).mkString(" ")))
+    val far = Dedup.hamming64(
+      Dedup.simhash64((1 to 50).map("w" + _).mkString(" ")),
+      Dedup.simhash64((1 to 50).map("q" + _).mkString(" ")))
+    assert(near < far)
+    assert(near <= 16)
+  }
+
+  test("simhashPairs flags near-duplicates via banded blocking") {
+    val base = (1 to 60).map("tok" + _).mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i % 29 == 0) "x" + i else "tok" + i).mkString(" ")
+    val unrelated = (1 to 60).map("zzz" + _).mkString(" ")
+    val docs = docsDF((1L, base), (2L, nearDup), (3L, unrelated))
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 12)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb = {
+    val rnd = new scala.util.Random(99)
+    (0 until 100).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("cosine of identical vectors is 1, of orthogonal is 0") {
+    val df = Seq(
+      (Array(1.0, 0.0), Array(1.0, 0.0)),
+      (Array(1.0, 0.0), Array(0.0, 1.0))).toDF("a", "b")
+    val sims = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(sims(0) - 1.0) < 1e-12)
+    assert(math.abs(sims(1)) < 1e-12)
+  }
+
+  test("brute KNN returns k ranked neighbors per query, self excluded") {
+    val knn = Similarity.bruteKnn(emb, emb.filter(col("vec_id") < 5), k = 3).collect()
+    assert(knn.length == 15)
+    val byQ = knn.groupBy(_.getAs[Long]("query_id"))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2, 3))
+      assert(!rows.exists(_.getAs[Long]("neighbor_id") == q))
+      // ranks ordered by non-increasing similarity
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("sim_micro"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN achieves nontrivial recall@5 against brute force") {
+    val brute = Similarity.bruteKnn(emb, emb, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val lsh = Similarity.hyperplaneLshKnn(emb, k = 5, nBits = 4, nTables = 8, dim = 16)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    info(f"LSH recall@5 = $recall%.2f (candidates examined: bucketed only)")
+    assert(recall > 0.3) // random 16-dim data, 4-bit buckets: well above chance
+  }
+
+  test("near-dup pairs: sim threshold respected and symmetric-free (a<b)") {
+    val pairs = Similarity.cosineNearDupPairs(emb, minSimMicro = 500000L).collect()
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Long]("sim_micro") >= 500000L)
+    }
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("synthetic corpus round-trips through the batched decode") {
+    val media = Multimodal.synthCorpus(spark, 100)
+    val meta = Multimodal.decodeMeta(media).collect()
+    assert(meta.length == 100)
+    assert(meta.forall(m => m.width >= 8 && m.width < 32))
+    assert(meta.count(_.kind == "video") == 33 || meta.count(_.kind == "video") == 34)
+    assert(meta.forall(_.payload_bytes >= 32))
+  }
+
+  test("featurize emits fixed-width deterministic vectors") {
+    val media = Multimodal.synthCorpus(spark, 50)
+    val f1 = Multimodal.featurize(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.featurize(media).collect().sortBy(_.media_id)
+    assert(f1.length == 50)
+    assert(f1.forall(_.feature.length == 16))
+    assert(f1.zip(f2).forall { case (a, b) => a.feature.sameElements(b.feature) })
+  }
+
+  test("frame sampling only emits for video, stride respected") {
+    val media = Multimodal.synthCorpus(spark, 60)
+    val frames = Multimodal.sampleFrames(media, stride = 4).collect()
+    val byId = frames.groupBy(_.media_id)
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 4 == 0))
+    val kinds = Multimodal.decodeMeta(media).collect().map(m => m.media_id -> m.kind).toMap
+    assert(byId.keySet.forall(id => kinds(id) == "video"))
+  }
+}
+
+class ExpressionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("RollingHash64 matches the reference Scala implementation and codegens") {
+    val df = Seq("", "a", "abc", "the quick brown fox").toDF("text")
+    val got = df.select(graft.functions.RollingHash64.fingerprint64(col("text")))
+      .as[Long].collect()
+    val expected = Seq("", "a", "abc", "the quick brown fox")
+      .map(s => graft.functions.RollingHash64.hash(s.getBytes("UTF-8")))
+    assert(got.toSeq == expected)
+  }
+
+  test("registered SQL function graft_fingerprint64 works") {
+    graft.functions.RollingHash64.register(spark)
+    val r = spark.sql("SELECT graft_fingerprint64('abc') AS h").as[Long].collect()
+    assert(r.head == graft.functions.RollingHash64.hash("abc".getBytes("UTF-8")))
+  }
+
+  test("expression stays inside WholeStageCodegen (no UDF boundary)") {
+    val df = spark.range(10).select(
+      graft.functions.RollingHash64.fingerprint64(col("id").cast("string")).as("h"))
+    // the `*(n)` prefix marks operators fused into a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_fingerprint64"))
+  }
+}
