@@ -121,7 +121,27 @@ object SparkEntry {
         Events.sessionizeBatch(t(s, d, "events"))),
       // ---- tumbling time-window aggregation (batch shadow of streaming)
       "q10_events_hourly" -> ((s, d) =>
-        Events.hourlyCounts(t(s, d, "events"))))
+        Events.hourlyCounts(t(s, d, "events"))),
+      // ---- describe() stats incl. exact median (C11)
+      "q21_event_value_stats" -> ((s, d) =>
+        t(s, d, "events")
+          .withColumn("cents", floor(col("value") * 100).cast("long"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            min("cents").as("min_cents"),
+            max("cents").as("max_cents"),
+            floor(avg("cents")).cast("long").as("avg_cents_floor"),
+            (expr("percentile(cents, 0.5)") * 2).cast("long").as("median_cents_x2"))),
+      // ---- per-entity merge: min/max + order-normalized collected list (C14)
+      "q22_user_activity_merge" -> ((s, d) =>
+        t(s, d, "events")
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            min("ts").as("first_seen"),
+            max("ts").as("last_seen"),
+            array_join(sort_array(collect_list(col("event_type"))), ",").as("types"))))
 
     val text: Map[String, (SparkSession, String) => DataFrame] = Map(
       // ---- publish-month extraction (P9) over the documents table
@@ -255,6 +275,18 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q21_event_value_stats" ->
+      """WITH c AS (SELECT event_type, CAST(floor(value*100) AS BIGINT) AS cents FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  min(cents) AS min_cents, max(cents) AS max_cents,
+        |  CAST(floor(avg(cents)) AS BIGINT) AS avg_cents_floor,
+        |  CAST(2*quantile_cont(cents, 0.5) AS BIGINT) AS median_cents_x2
+        |FROM c GROUP BY 1""".stripMargin,
+    "q22_user_activity_merge" ->
+      """SELECT user_id, count(*) AS n_events, min(ts) AS first_seen,
+        |  max(ts) AS last_seen,
+        |  string_agg(event_type, ',' ORDER BY event_type) AS types
+        |FROM events GROUP BY 1""".stripMargin,
     "q11_publish_month" ->
       s"SELECT doc_id, ${monthSql("text")} AS publish_month FROM documents",
     "q12_text_profile" -> {

@@ -322,31 +322,40 @@ object FixtureCorpus {
     Vector(f01, f02, f03, f04, f05, f06, f07, f08, f09, f10,
       f11, f12, f13, f14, f15, f16)
 
-  /** Seeded scale-out corpus for benchmarks: n docs cycling the fixture
-    * shapes with varied content (deterministic in seed). */
-  def scaled(n: Int, seed: Long): Vector[DocRow] = {
-    val rnd = new scala.util.Random(seed)
-    (0 until n).map { i =>
-      val month = MonthVocab(rnd.nextInt(MonthVocab.length))
-      val nPages = 3 + rnd.nextInt(8)
-      val tablePage = 2 + rnd.nextInt(nPages - 1)
-      val fragPages = 1 + rnd.nextInt(3)
-      val rowsPerFrag = 3 + rnd.nextInt(4)
-      doc(s"${i + 100}.gen$i.pdf") { b =>
-        b.page(1).text(s"Terminal Evaluation Report $i", month)
-        (2 until tablePage).foreach(p => b.page(p).text(prose(p % prose.length)))
-        var r = rnd.nextInt(CriterionRows.length)
-        (0 until fragPages).foreach { f =>
-          b.page(tablePage + f)
-          if (f == 0) b.text("Table 9: Summary of project findings and ratings")
-          b.grid(header3 +: rows(r until (r + rowsPerFrag), rat))
-          r += rowsPerFrag
-        }
-        (tablePage + fragPages to nPages + 1).foreach(p =>
-          b.page(p).text(prose(p % prose.length)))
+  /** One synthetic benchmark document, generated INDEPENDENTLY per index
+    * (seeded by (seed, i)) so the corpus can be built distributedly on
+    * executors — the generator never becomes a single-partition bottleneck
+    * in a timed run. ~5% of docs are oversized (100+ pages) to exercise the
+    * skew/salting path at scale. */
+  def scaledDoc(i: Int, seed: Long): DocRow = {
+    val rnd = new scala.util.Random(seed * 1000003L + i)
+    val month = MonthVocab(rnd.nextInt(MonthVocab.length))
+    val oversized = rnd.nextInt(20) == 0
+    val nPages = if (oversized) 100 + rnd.nextInt(100) else 3 + rnd.nextInt(8)
+    val tablePage = 2 + rnd.nextInt(nPages - 1)
+    val fragPages = 1 + rnd.nextInt(3)
+    val rowsPerFrag = 3 + rnd.nextInt(4)
+    var r = rnd.nextInt(CriterionRows.length)
+    doc(s"${i + 100}.gen$i.pdf") { b =>
+      b.page(1).text(s"Terminal Evaluation Report $i", month)
+      (2 until tablePage).foreach { p =>
+        b.page(p).text(prose(p % prose.length))
+        if (oversized && p % 13 == 0) b.media(s"img://$i/fig$p.png", s"figure $p")
       }
-    }.toVector
+      (0 until fragPages).foreach { f =>
+        b.page(tablePage + f)
+        if (f == 0) b.text("Table 9: Summary of project findings and ratings")
+        b.grid(header3 +: rows(r until (r + rowsPerFrag), rat))
+        r += rowsPerFrag
+      }
+      (tablePage + fragPages to nPages + 1).foreach(p =>
+        b.page(p).text(prose(p % prose.length)))
+    }
   }
+
+  /** Seeded scale-out corpus for benchmarks (deterministic in seed). */
+  def scaled(n: Int, seed: Long): Vector[DocRow] =
+    Vector.tabulate(n)(i => scaledDoc(i, seed))
 
   private val MonthVocab = Vector(
     "December 2024", "March, 2021", "Oct, 2018", "May 2019", "June 2022",

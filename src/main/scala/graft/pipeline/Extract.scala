@@ -14,13 +14,24 @@ import graft.layout._
   */
 object Extract {
 
-  final case class ExtractResult(stat: PaperStat, candidates: Seq[CandidateTable])
+  /** An embedded media reference, carried through extraction so the output
+    * span assembly never needs a second pass over the raw documents. */
+  final case class MediaSpan(doc_id: String, page: Int, media_ref: String,
+      alt: String, offset: Int)
+
+  final case class ExtractResult(stat: PaperStat, candidates: Seq[CandidateTable],
+      media: Seq[MediaSpan])
 
   def extractDoc(doc: DocRow): ExtractResult = {
     val pages = SpanDoc.pages(doc.spans)
     val ord = SpanDoc.docOrd(doc.doc_id)
     val candidates = Vector.newBuilder[CandidateTable]
+    val media = Vector.newBuilder[MediaSpan]
     pages.foreach { page =>
+      page.spans.foreach { s =>
+        if (s.kind == "media")
+          media += MediaSpan(doc.doc_id, page.number, s.media_ref, s.text, s.offset)
+      }
       // "not a textpage": a page with no text/rule content yields nothing
       // (step_2_add_candidate_tables.py:29-33)
       val hasText = page.spans.exists(s => s.kind == "text" || s.kind == "rule")
@@ -54,6 +65,6 @@ object Extract {
       merged_table_end_page = None,
       publish_month = Option(month),
       publish_month_verified = true)
-    ExtractResult(stat, cands)
+    ExtractResult(stat, cands, media.result())
   }
 }

@@ -1,0 +1,61 @@
+package graft.layout
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class SemanticMatchSpec extends AnyFunSuite {
+  test("token-set cosine: identity 1, disjoint 0, symmetric") {
+    assert(SemanticMatch.tokenSetCosine("summary of ratings", "summary of ratings") == 1.0)
+    assert(SemanticMatch.tokenSetCosine("alpha beta", "gamma delta") == 0.0)
+    val a = SemanticMatch.tokenSetCosine("summary of findings", "project findings")
+    val b = SemanticMatch.tokenSetCosine("project findings", "summary of findings")
+    assert(math.abs(a - b) < 1e-12 && a > 0)
+  }
+
+  test("findSummaryText picks the caption block over prose (P10/P11)") {
+    val pages = SpanDoc.pages(FixtureCorpus.f01.spans)
+    val m = SemanticMatch.findSummaryText(pages)
+    assert(m.isDefined)
+    assert(m.get.text == "Table 9: Summary of project findings and ratings")
+    assert(m.get.page == 3)
+    assert(m.get.confidence >= 0.5)
+  }
+
+  test("threshold gate rejects weak matches") {
+    val pages = SpanDoc.pages(FixtureCorpus.f15.spans) // workplan doc
+    val m = SemanticMatch.findSummaryText(pages, threshold = 0.9)
+    assert(m.isEmpty)
+  }
+
+  test("findNextTable returns the first table by min page (parse_table.py:289-290)") {
+    val pages = SpanDoc.pages(FixtureCorpus.f06.spans)
+    val t = SemanticMatch.findNextTable(pages)
+    assert(t.isDefined)
+    assert(t.get.pageNumbers.min == 3) // the early definition table
+    val later = SemanticMatch.findNextTable(pages, startPage = 10)
+    assert(later.isDefined)
+    assert(later.get.pageNumbers.min == 40)
+  }
+}
+
+class HeaderRegionSpec extends AnyFunSuite {
+  test("header region: split on double space, drop 'Table' lines, keep-order dedupe (P8)") {
+    val d = FixtureCorpus.doc("99.t.pdf") { b =>
+      b.page(1)
+        .text("Table 9: Summary of project findings and ratings")
+        .text("") // blank separates the caption from the aligned block
+        .aligned(Vector(
+          Vector("Criterion", "Summary Assessment", "Rating"),
+          Vector("Strategic Relevance", "Overall rating", "HS"),
+          Vector("Efficiency", "Cost-effective", "MS"),
+          Vector("Efficiency", "Cost-effective", "MS"))) // dupe row for dedupe
+    }
+    val page = SpanDoc.pages(d.spans).head
+    val t = TableDetector.findTables(page).head
+    val headers = ContextExtractor.headerRegion(page, t)
+    // the caption line (contains "Table") is dropped; first table lines split
+    // on double-space; duplicates removed keeping first occurrence
+    assert(headers.take(3) == Vector("Criterion", "Summary Assessment", "Rating"))
+    assert(headers.distinct == headers)
+    assert(!headers.exists(_.contains("Table")))
+  }
+}
