@@ -48,8 +48,12 @@ object Dedup {
 
   /** Exact Jaccard similarity of two shingle-array columns, in 1/10000s
     * (integer — exact cross-engine compare). */
-  def jaccardBp(a: Column, b: Column): Column =
-    floor((size(array_intersect(a, b)) * 10000L) / size(array_union(a, b))).cast("long")
+  def jaccardBp(a: Column, b: Column): Column = {
+    // |A ∪ B| = |A| + |B| - |A ∩ B| for distinct arrays: one hash-intersect
+    // instead of intersect + union (the arrays here are always distinct)
+    val inter = size(array_intersect(a, b))
+    floor((inter * 10000L) / (size(a) + size(b) - inter)).cast("long")
+  }
 
   // ------------------------------------------------------------ minhash
 

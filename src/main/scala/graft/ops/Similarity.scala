@@ -95,12 +95,25 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold (brute,
-    * oracle-friendly; the LSH variant above is the scale path). */
+    * oracle-friendly; the LSH variant above is the scale path).
+    *
+    * The norms are computed ONCE PER ROW before the pair join (sqrt(na) as
+    * a column on each side) instead of per pair — with n^2/2 pairs that
+    * removes two of the three array folds from the hot loop. The cosine
+    * value is bit-identical: dot/(sqrt(na)*sqrt(nb)) with the same ordered
+    * folds, just factored. */
   def cosineNearDupPairs(embeddings: DataFrame, minSimMicro: Long): DataFrame = {
-    val a = embeddings.select(col("vec_id").as("id_a"), asDouble(col("embedding")).as("emb_a"))
-    val b = embeddings.select(col("vec_id").as("id_b"), asDouble(col("embedding")).as("emb_b"))
+    def side(idName: String, embName: String, normName: String) =
+      embeddings.select(col("vec_id").as(idName), asDouble(col("embedding")).as(embName))
+        .withColumn(normName,
+          sqrt(aggregate(col(embName), lit(0.0d), (acc, x) => acc + x * x)))
+    val a = side("id_a", "emb_a", "norm_a")
+    val b = side("id_b", "emb_b", "norm_b")
+    val dot = aggregate(zip_with(col("emb_a"), col("emb_b"), (x, y) => x * y),
+      lit(0.0d), (acc, x) => acc + x)
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim_micro", floor(cosine(col("emb_a"), col("emb_b")) * 1e6).cast("long"))
+      .withColumn("sim_micro",
+        floor(dot / (col("norm_a") * col("norm_b")) * 1e6).cast("long"))
       .where(col("sim_micro") >= minSimMicro)
       .select("id_a", "id_b", "sim_micro")
   }
