@@ -173,7 +173,7 @@ object SparkEntry {
       "q19_embedding_neardup" -> ((s, d) =>
         Similarity.cosineNearDupPairs(t(s, d, "embeddings"), minSimMicro = 350000L)),
       // ---- custom codegen expression: rolling-hash fingerprint (rows-only:
-      //      the hash family is ours; correctness pinned in ExpressionSpec)
+      //      the hash family is ours; correctness pinned in OpsSpec:207-227)
       "q20_fingerprint64" -> ((s, d) =>
         t(s, d, "documents").select(col("doc_id"),
           TextAnalysis.fingerprint64(col("text")).as("fp64"))))

@@ -23,7 +23,11 @@ import scala.collection.mutable
   *    alignment window of the longer string (a deterministic superset of
   *    fuzzywuzzy's editop-anchored candidate starts — scores can only be
   *    >= the reference heuristic, never below), with the same 0.995
-  *    short-circuit to 100.
+  *    short-circuit to 100. The divergence is pinned empirically:
+  *    ReferencePivotDifferentialSpec replays the reference's OWN 304-row
+  *    corpus sheet (data/terminal-evaluation-report_0.1.0.xlsx) through
+  *    matchL1 and reproduces its published pivot (real fuzzywuzzy +
+  *    python-Levenshtein output) exactly on every row.
   */
 object TextSimilarity {
 
