@@ -3,10 +3,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.storage.StorageLevel
 
-/** Round benchmark. Emits ONE JSON line:
+/** Round benchmark. Emits ONE JSON line — written to the file
+  * $SPARK_GRAFT_BENCH_OUT (default /root/repo/bench_out.json) for the
+  * driver, and echoed to stdout for humans:
   *
   *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
   *    "extraction":{...},"scaling":{...}}
+  *
+  * Per-query timings are the MIN over SPARK_GRAFT_QUERY_ROUNDS (default 3)
+  * interleaved passes of the whole query list, forced through the noop
+  * sink — the least-interference sample on a noisy VM, with JIT and
+  * parquet-footer warmup excluded by construction.
   *
   * The scaling block evidences the north rule's N vs 4N criterion in this
   * sandbox (no real cluster): the IDENTICAL salted extraction job runs at
@@ -115,16 +122,41 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.01)
 
-    // ---------- phase 1: headline queries + extraction throughput
+    // ---------- phase 1: headline queries, interleaved min-of-rounds
+    // (this VM is 3x-noisy: run the whole sorted query list QUERY_ROUNDS
+    // times and keep the per-query MIN — same protocol as phase 2; round 1
+    // is also the JIT/parquet-footer warmup). Results are forced through
+    // the noop sink so every output column is computed — count() lets
+    // Catalyst prune projection work and undercounts.
+    val queryRounds = sys.env.getOrElse("SPARK_GRAFT_QUERY_ROUNDS", "3").toInt
     val spark = session(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val only = sys.env.get("SPARK_GRAFT_ONLY") // substring filter, iteration aid
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(n.contains) }
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    (1 to queryRounds).foreach { _ =>
+      names.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case _: Throwable => false }
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val prev = best.getOrElse(name, Double.MaxValue)
+        best(name) = if (dt < 0) dt else math.min(prev, dt)
+      }
     }
+    val results = best.toSeq
     spark.stop()
+
+    // local-iteration escape hatch: phase 1 only (driver runs never set it)
+    if (sys.env.get("SPARK_GRAFT_PHASE1_ONLY").contains("1")) {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":${results.map(_._2).sum},""" +
+        s""""unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      return
+    }
 
     // ---------- phase 2: extraction throughput + N vs 4N scaling
     // one fixed corpus (large enough that the ~1s fixed job cost amortizes)
@@ -166,7 +198,15 @@ object Bench {
         s""""speedup":${tSmall.mapOnly / tBig.mapOnly},"efficiency":$efficiencyMap},""" +
         s""""cpu_calibration_ceiling":$cpuCeiling,""" +
         s""""efficiency_vs_ceiling":${efficiency / cpuCeiling}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","extraction":$extraction,"scaling":$scaling}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","query_rounds":$queryRounds,""" +
+      s""""extraction":$extraction,"scaling":$scaling}"""
+    // the driver parses this from a FILE: stdout passes through sbt's
+    // "[info] " log prefixing, which made round 1's line unparseable
+    // (BENCH_r01.json "parsed": null) — the stdout copy is a convenience
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    println(json)
   }
 }

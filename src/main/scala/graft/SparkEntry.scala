@@ -17,10 +17,13 @@ import graft.streaming.Events
   * are materialized as integers (cents / basis points / microunits) computed
   * with order-deterministic folds so the two engines agree bit-for-bit.
   *
-  * Queries with no SQL-expressible oracle (MinHash-LSH, SimHash, hyperplane
-  * ANN — their hash families are engine-specific) are exposed without an
-  * oracle entry: the driver records a weaker rows-only check, and their
-  * semantics are pinned by ScalaTest (recall vs brute force, etc.).
+  * Queries with no SQL-expressible oracle (MinHash-LSH, SimHash — their
+  * char-fold hash families need 64-bit wraparound multiplies DuckDB's
+  * BIGINT rejects) are exposed without an oracle entry: the driver records
+  * a weaker rows-only check, and their semantics are pinned by ScalaTest
+  * (recall vs brute force, etc.). The hyperplane-LSH queries (q18/q19) DO
+  * carry oracles: their signatures are plain double dot-product sign tests,
+  * which DuckDB reproduces bit-for-bit from the same plane constants.
   */
 object SparkEntry {
 
@@ -165,13 +168,21 @@ object SparkEntry {
         val emb = t(s, d, "embeddings")
         Similarity.bruteKnn(emb, emb.filter(col("vec_id") < 20), k = 5)
       }),
-      // ---- LSH-bucketed ANN (rows-only; recall tested vs brute force)
+      // ---- LSH-bucketed ANN; the DuckDB oracle replicates the hyperplane
+      //      buckets exactly, so this is hash-checked, not rows-only
       "q18_knn_lsh" -> ((s, d) =>
         Similarity.hyperplaneLshKnn(t(s, d, "embeddings").filter(col("vec_id") < 200),
           k = 5, nBits = 6, nTables = 6)),
-      // ---- embedding-cosine near-dup pairs (brute, oracle-checked)
-      "q19_embedding_neardup" -> ((s, d) =>
-        Similarity.cosineNearDupPairs(t(s, d, "embeddings"), minSimMicro = 350000L)),
+      // ---- embedding-cosine near-dup pairs: LSH candidate buckets + exact
+      //      threshold re-rank (the 100TB path; the brute n^2/2 variant
+      //      stays in OpsSpec as the recall baseline). Signature width
+      //      adapts to corpus size so bucket count scales with the data;
+      //      the oracle below hard-codes the sf0.01 width (500 rows -> 6).
+      "q19_embedding_neardup" -> ((s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.cosineNearDupPairsLsh(emb, minSimMicro = 350000L,
+          nBits = Similarity.adaptiveBits(emb.count()))
+      }),
       // ---- custom codegen expression: rolling-hash fingerprint (rows-only:
       //      the hash family is ours; correctness pinned in OpsSpec:207-227)
       "q20_fingerprint64" -> ((s, d) =>
@@ -322,14 +333,17 @@ object SparkEntry {
       s"""WITH keyed AS (
          |  SELECT doc_id, $sh AS sh,
          |    CAST(floor(len($toks)/10.0) AS BIGINT) AS len_bucket,
-         |    ($toks)[1] AS first_tok
-         |  FROM documents)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    list_sort($sh)[1] AS m1, list_sort($sh)[2] AS m2
+         |  FROM documents),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM keyed a JOIN keyed b
+         |    ON a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+         |   AND (a.m1 = b.m1 OR a.m1 = b.m2 OR a.m2 = b.m1 OR a.m2 = b.m2))
+         |SELECT doc_a, doc_b,
          |  CAST(floor(len(list_intersect(a.sh, b.sh))*10000.0 /
          |       len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) AS jaccard_bp
-         |FROM keyed a JOIN keyed b
-         |  ON a.len_bucket = b.len_bucket AND a.first_tok = b.first_tok
-         | AND a.doc_id < b.doc_id
+         |FROM cand JOIN keyed a ON a.doc_id = doc_a JOIN keyed b ON b.doc_id = doc_b
          |WHERE floor(len(list_intersect(a.sh, b.sh))*10000.0 /
          |       len(list_distinct(list_concat(a.sh, b.sh)))) >= 2000""".stripMargin
     },
@@ -350,14 +364,53 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, neighbor_id, rank, sim_micro FROM ranked WHERE rank <= 5""".stripMargin
     },
+    "q18_knn_lsh" -> {
+      // replicate the 6x 6-bit hyperplane tables bit-for-bit, then the same
+      // distinct-candidates -> exact cosine -> per-query rank chain
+      val sigs = (0 until 6).map { tbl =>
+        s"${Similarity.signatureSql("emb", Similarity.hyperplanes(64, 6, 7L + tbl))} AS sig$tbl"
+      }.mkString(",\n    ")
+      val anySig = (0 until 6).map(tbl => s"a.sig$tbl = b.sig$tbl").mkString(" OR ")
+      val dot = "list_reduce(list_transform(list_zip(q.emb, n.emb), p -> p[1]*p[2]), (x,y) -> x+y)"
+      val nq = "list_reduce(list_transform(q.emb, x -> x*x), (x,y) -> x+y)"
+      val nn = "list_reduce(list_transform(n.emb, x -> x*x), (x,y) -> x+y)"
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 200),
+         |sig AS (SELECT vec_id,
+         |    $sigs
+         |  FROM emb),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM sig a JOIN sig b ON a.vec_id <> b.vec_id AND ($anySig)),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, $dot / (sqrt($nq) * sqrt($nn)) AS sim
+         |  FROM cand JOIN emb q ON q.vec_id = query_id JOIN emb n ON n.vec_id = neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank,
+         |    CAST(floor(sim*1e6) AS BIGINT) AS sim_micro
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rank, sim_micro FROM ranked WHERE rank <= 5""".stripMargin
+    },
     "q19_embedding_neardup" -> {
+      // same hyperplane family as cosineNearDupPairsLsh; nBits hard-codes
+      // the sf0.01 adaptive width: adaptiveBits(500) == 6
+      val sigs = (0 until 4).map { tbl =>
+        s"${Similarity.signatureSql("emb", Similarity.hyperplanes(64, 6, 7L + tbl))} AS sig$tbl"
+      }.mkString(",\n    ")
+      val anySig = (0 until 4).map(tbl => s"a.sig$tbl = b.sig$tbl").mkString(" OR ")
       val dot = "list_reduce(list_transform(list_zip(a.emb, b.emb), p -> p[1]*p[2]), (x,y) -> x+y)"
       val na = "list_reduce(list_transform(a.emb, x -> x*x), (x,y) -> x+y)"
       val nb = "list_reduce(list_transform(b.emb, x -> x*x), (x,y) -> x+y)"
-      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |sig AS (SELECT vec_id,
+         |    $sigs
+         |  FROM emb),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ($anySig))
+         |SELECT id_a, id_b,
          |  CAST(floor($dot / (sqrt($na) * sqrt($nb)) * 1e6) AS BIGINT) AS sim_micro
-         |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+         |FROM cand JOIN emb a ON a.vec_id = id_a JOIN emb b ON b.vec_id = id_b
          |WHERE floor($dot / (sqrt($na) * sqrt($nb)) * 1e6) >= 350000""".stripMargin
     }) ++ FixtureQueries.oracleSql
 }

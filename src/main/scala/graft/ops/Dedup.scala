@@ -37,14 +37,33 @@ object Dedup {
 
   // ------------------------------------------------------------ shingles
 
-  /** Token n-gram shingles (distinct), as an array column. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val ts = split(lower(trim(text)), "\\s+")
+  /** Whitespace tokens of the lowercased, trimmed text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Token n-gram shingles (distinct) from a MATERIALIZED tokens column.
+    *
+    * Callers must project [[tokens]] into its own attribute first (a
+    * separate select): handing `tokens(text)` directly to this lambda makes
+    * Catalyst inline the split into every element_at — n regex splits per
+    * shingle per row, measured 13.2s -> 0.58s at sf0.1 for the two-step
+    * projection. CollapseProject keeps a non-cheap multiply-referenced
+    * alias materialized, so the two-step shape is stable. */
+  def shinglesOf(toks: Column, n: Int = 3): Column = {
     val grams = transform(
-      sequence(lit(0), greatest(size(ts) - n, lit(0))),
-      i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j + 1)): _*))
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
     array_distinct(grams)
   }
+
+  /** One-shot convenience for tests/small frames — see [[shinglesOf]] for
+    * why query plans should use the two-step projection instead. */
+  def shingles(text: Column, n: Int = 3): Column = shinglesOf(tokens(text), n)
+
+  /** (id-named doc_id, shingle array) side for candidate-pair verification,
+    * with the tokens materialized (two-step projection). */
+  private def shingleSide(docs: DataFrame, idName: String, shName: String): DataFrame =
+    docs.select(col("doc_id").as(idName), tokens(col("text")).as("toks"))
+      .select(col(idName), shinglesOf(col("toks")).as(shName))
 
   /** Exact Jaccard similarity of two shingle-array columns, in 1/10000s
     * (integer — exact cross-engine compare). */
@@ -144,30 +163,46 @@ object Dedup {
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    val shA = docs.select(col("doc_id").as("doc_a"), shingles(col("text")).as("sh_a"))
-    val shB = docs.select(col("doc_id").as("doc_b"), shingles(col("text")).as("sh_b"))
     candidates
-      .join(shA, Seq("doc_a"))
-      .join(shB, Seq("doc_b"))
+      .join(shingleSide(docs, "doc_a", "sh_a"), Seq("doc_a"))
+      .join(shingleSide(docs, "doc_b", "sh_b"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), jaccardBp(col("sh_a"), col("sh_b")).as("jaccard_bp"))
       .where(col("jaccard_bp") >= minJaccardBp)
   }
 
-  /** Exact n-gram Jaccard over candidate pairs from a cheap blocking key
-    * (same token count bucket AND same first token). Fully SQL-expressible
-    * — this variant carries a DuckDB oracle. */
+  /** Exact n-gram Jaccard over candidate pairs from a cheap blocking key:
+    * same token-count bucket AND a shared shingle among each document's TWO
+    * lexicographically-smallest shingles. Fully SQL-expressible — this
+    * variant carries a DuckDB oracle.
+    *
+    * The shingle component is the scale-safety of the key: its cardinality
+    * GROWS with the corpus (distinct shingles), unlike a first-token key
+    * whose cardinality is the vocabulary of sentence openers — blocks stay
+    * small (measured max 7 docs/block at sf0.1 vs 34 under first-token
+    * blocking; block count 934 -> 7284 from sf0.01 -> sf0.1), so candidate
+    * pairs grow ~linearly with corpus size instead of quadratically. It is
+    * bottom-2 MinHash blocking with an order-preserving "hash": a near-dup
+    * pair escapes only if the edit displaces BOTH smallest shingles.
+    *
+    * Plan shape mirrors [[minhashLshPairs]]: the blocking join and the
+    * candidate distinct carry (doc_id, key) only; the shingle arrays are
+    * re-joined for the surviving candidates before the exact verify. */
   def ngramJaccardPairs(docs: DataFrame, minJaccardBp: Long = 3000L): DataFrame = {
-    val keyed = docs.select(
-      col("doc_id"),
-      shingles(col("text")).as("sh"),
-      floor(size(split(lower(trim(col("text"))), "\\s+")) / 10).cast("long").as("len_bucket"),
-      element_at(split(lower(trim(col("text"))), "\\s+"), 1).as("first_tok"))
-    val a = keyed.select(col("len_bucket"), col("first_tok"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = keyed.select(col("len_bucket"), col("first_tok"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("len_bucket", "first_tok"))
+    val keyed = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesOf(col("toks")).as("sh"),
+        floor(size(col("toks")) / 10).cast("long").as("len_bucket"))
+    val keys = keyed.select(col("doc_id"), col("len_bucket"),
+      explode(slice(array_sort(col("sh")), 1, 2)).as("blk"))
+    val a = keys.select(col("len_bucket"), col("blk"), col("doc_id").as("doc_a"))
+    val b = keys.select(col("len_bucket"), col("blk"), col("doc_id").as("doc_b"))
+    val cand = a.join(b, Seq("len_bucket", "blk"))
       .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    cand
+      .join(shingleSide(docs, "doc_a", "sh_a"), Seq("doc_a"))
+      .join(shingleSide(docs, "doc_b", "sh_b"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), jaccardBp(col("sh_a"), col("sh_b")).as("jaccard_bp"))
       .where(col("jaccard_bp") >= minJaccardBp)
   }
@@ -221,10 +256,12 @@ object Dedup {
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bits"),
       col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    val hammingUdf = udf((x: Long, y: Long) => hamming64(x, y))
+    // bit_count(a ^ b) is a codegen'd built-in — keeps the verify step
+    // inside whole-stage codegen (no UDF/BatchEval node in the plan)
     a.join(b, Seq("band", "bits"))
       .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), hammingUdf(col("sig_a"), col("sig_b")).as("hamming"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -64,35 +64,65 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** (vec_id, table_id, sig) bucket rows — ids and 8-byte signatures ONLY,
+    * so the bucket self-join never shuffles or compares embedding arrays. */
+  private def bucketRows(embeddings: DataFrame, nBits: Int, nTables: Int,
+      dim: Int, seed: Long): DataFrame = {
+    // materialize the double-cast embedding once; inline, the cast would be
+    // re-evaluated per signature bit (nBits * nTables copies per row)
+    val sigCols = (0 until nTables).map { t =>
+      signature(col("emb_d"), hyperplanes(dim, nBits, seed + t)).as(s"sig$t")
+    }
+    embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb_d"))
+      .select((col("vec_id") +: sigCols): _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until nTables).map(t => col(s"sig$t")): _*))
+          .as(Seq("table_id", "sig")))
+  }
+
+  /** Distinct candidate id pairs meeting in any same-signature bucket.
+    * The distinct runs over two long columns; embeddings are re-joined by
+    * the callers only for the surviving candidates. */
+  private def candidatePairs(embeddings: DataFrame, nBits: Int, nTables: Int,
+      dim: Int, seed: Long, ordered: Boolean): DataFrame = {
+    val buckets = bucketRows(embeddings, nBits, nTables, dim, seed)
+    val a = buckets.select(col("table_id"), col("sig"), col("vec_id").as("id_a"))
+    val b = buckets.select(col("table_id"), col("sig"), col("vec_id").as("id_b"))
+    val joined = a.join(b, Seq("table_id", "sig"))
+    val filtered =
+      if (ordered) joined.where(col("id_a") < col("id_b"))
+      else joined.where(col("id_a") =!= col("id_b"))
+    filtered.select("id_a", "id_b").distinct()
+  }
+
   /** LSH-bucketed ANN: exact cosine re-rank within same-signature buckets
     * across `nTables` independent hyperplane tables. Recall < 1 by design;
-    * the tests measure it against [[bruteKnn]]. */
+    * the tests measure it against [[bruteKnn]]. The bucket join and the
+    * candidate-pair distinct carry only (id, id) — the embedding vectors are
+    * re-joined afterwards for the surviving candidates only. */
   def hyperplaneLshKnn(embeddings: DataFrame, k: Int = 5, nBits: Int = 8,
       nTables: Int = 4, dim: Int = 64, seed: Long = 7L): DataFrame = {
-    val sigCols = (0 until nTables).map { t =>
-      signature(asDouble(col("embedding")), hyperplanes(dim, nBits, seed + t))
-        .as(s"sig$t")
-    }
-    val signed = embeddings.select(
-      (col("vec_id") +: asDouble(col("embedding")).as("emb") +: sigCols): _*)
-    val exploded = signed.select(col("vec_id"), col("emb"),
-      posexplode(array((0 until nTables).map(t => col(s"sig$t")): _*))
-        .as(Seq("table_id", "sig")))
-    val a = exploded.select(col("table_id"), col("sig"),
-      col("vec_id").as("query_id"), col("emb").as("emb_q"))
-    val b = exploded.select(col("table_id"), col("sig"),
-      col("vec_id").as("neighbor_id"), col("emb").as("emb_n"))
-    val cand = a.join(b, Seq("table_id", "sig"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "emb_q", "emb_n")
-      .distinct()
+    val cand = candidatePairs(embeddings, nBits, nTables, dim, seed, ordered = false)
+      .withColumnRenamed("id_a", "query_id").withColumnRenamed("id_b", "neighbor_id")
+    val embQ = embeddings.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("emb_q"))
+    val embN = embeddings.select(col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("emb_n"))
+    val scored = cand.join(embQ, Seq("query_id")).join(embN, Seq("neighbor_id"))
       .withColumn("sim", cosine(col("emb_q"), col("emb_n")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    cand.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         floor(col("sim") * 1e6).cast("long").as("sim_micro"))
   }
+
+  /** Signature width that keeps expected bucket size ~`targetBucket` as the
+    * corpus grows: buckets must MULTIPLY with corpus size or same-bucket
+    * pairs go quadratic (the fixed-cardinality-key trap). */
+  def adaptiveBits(n: Long, targetBucket: Int = 8, maxBits: Int = 24): Int =
+    math.min(maxBits, math.max(4,
+      math.ceil(math.log(math.max(n, 1).toDouble / targetBucket) / math.log(2)).toInt))
 
   /** Embedding-cosine near-duplicate pairs above a threshold (brute,
     * oracle-friendly; the LSH variant above is the scale path).
@@ -103,18 +133,53 @@ object Similarity {
     * value is bit-identical: dot/(sqrt(na)*sqrt(nb)) with the same ordered
     * folds, just factored. */
   def cosineNearDupPairs(embeddings: DataFrame, minSimMicro: Long): DataFrame = {
-    def side(idName: String, embName: String, normName: String) =
-      embeddings.select(col("vec_id").as(idName), asDouble(col("embedding")).as(embName))
-        .withColumn(normName,
-          sqrt(aggregate(col(embName), lit(0.0d), (acc, x) => acc + x * x)))
-    val a = side("id_a", "emb_a", "norm_a")
-    val b = side("id_b", "emb_b", "norm_b")
-    val dot = aggregate(zip_with(col("emb_a"), col("emb_b"), (x, y) => x * y),
-      lit(0.0d), (acc, x) => acc + x)
+    val a = normedSide(embeddings, "id_a", "emb_a", "norm_a")
+    val b = normedSide(embeddings, "id_b", "emb_b", "norm_b")
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim_micro",
-        floor(dot / (col("norm_a") * col("norm_b")) * 1e6).cast("long"))
+      .withColumn("sim_micro", pairSimMicro)
       .where(col("sim_micro") >= minSimMicro)
       .select("id_a", "id_b", "sim_micro")
   }
+
+  private def normedSide(embeddings: DataFrame, idName: String,
+      embName: String, normName: String): DataFrame =
+    embeddings.select(col("vec_id").as(idName), asDouble(col("embedding")).as(embName))
+      .withColumn(normName,
+        sqrt(aggregate(col(embName), lit(0.0d), (acc, x) => acc + x * x)))
+
+  private def pairSimMicro: Column = {
+    val dot = aggregate(zip_with(col("emb_a"), col("emb_b"), (x, y) => x * y),
+      lit(0.0d), (acc, x) => acc + x)
+    floor(dot / (col("norm_a") * col("norm_b")) * 1e6).cast("long")
+  }
+
+  /** The scale path for embedding near-dup: candidate pairs meet in
+    * hyperplane-signature buckets (the bucket join and distinct carry two
+    * longs per row), then the EXACT cosine threshold is applied to the
+    * candidates only. Recall < 1 by construction (measured vs the brute
+    * variant in OpsSpec); the bucketing is deterministic, so a DuckDB
+    * oracle replicating the same hyperplanes verifies it exactly.
+    * Pass nBits = [[adaptiveBits]](corpus size) so bucket count scales
+    * with the data. */
+  def cosineNearDupPairsLsh(embeddings: DataFrame, minSimMicro: Long,
+      nBits: Int, nTables: Int = 4, dim: Int = 64, seed: Long = 7L): DataFrame = {
+    val cand = candidatePairs(embeddings, nBits, nTables, dim, seed, ordered = true)
+    cand
+      .join(normedSide(embeddings, "id_a", "emb_a", "norm_a"), Seq("id_a"))
+      .join(normedSide(embeddings, "id_b", "emb_b", "norm_b"), Seq("id_b"))
+      .withColumn("sim_micro", pairSimMicro)
+      .where(col("sim_micro") >= minSimMicro)
+      .select("id_a", "id_b", "sim_micro")
+  }
+
+  /** DuckDB SQL expression computing the SAME signature as [[signature]]
+    * for an emb expression: identical plane constants (shortest-round-trip
+    * double literals), identical ordered left folds, identical `> 0` sign
+    * test — so the oracle can replicate the bucketing bit-for-bit. */
+  def signatureSql(embExpr: String, planes: Seq[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      val plane = p.mkString("CAST([", ",", "] AS DOUBLE[])")
+      s"(CASE WHEN list_reduce(list_transform(list_zip($embExpr, $plane), " +
+        s"p -> p[1]*p[2]), (x,y) -> x+y) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 }

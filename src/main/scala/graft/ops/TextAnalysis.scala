@@ -12,27 +12,35 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens of the lowercased, trimmed text. */
+  /** Whitespace tokens of the lowercased, trimmed text. NOTE: when several
+    * derived expressions consume the tokens, project this into its own
+    * attribute first (two-step select) — otherwise Catalyst inlines the
+    * regex split into every consumer and the scan re-tokenizes the text
+    * once per use (see [[profile]] and Dedup.shinglesOf). */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Mean token length in 1/1000s (integer — exact cross-engine compare;
-    * Spark's `/` is always double division, so floor+cast keeps it exact). */
-  def meanTokenLenMilli(text: Column): Column = {
-    val ts = tokens(text)
-    val totalLen = aggregate(ts, lit(0L), (acc, t) => acc + length(t))
-    floor((totalLen * 1000L) / size(ts)).cast("long")
+  /** Mean token length in 1/1000s from a materialized tokens column
+    * (integer — exact cross-engine compare; Spark's `/` is always double
+    * division, so floor+cast keeps it exact). */
+  def meanTokenLenMilliOf(toks: Column): Column = {
+    val totalLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    floor((totalLen * 1000L) / size(toks)).cast("long")
   }
+
+  def meanTokenLenMilli(text: Column): Column = meanTokenLenMilliOf(tokens(text))
 
   /** Stopword list shared with the DuckDB oracle. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** Stopword count (ratio = count/tokens, kept integral for exactness). */
-  def stopwordCount(text: Column): Column = {
+  def stopwordCountOf(toks: Column): Column = {
     val stops = array(Stopwords.map(lit): _*)
-    size(filter(tokens(text), t => array_contains(stops, t)))
+    size(filter(toks, t => array_contains(stops, t)))
   }
+
+  def stopwordCount(text: Column): Column = stopwordCountOf(tokens(text))
 
   /** Punctuation character count over a fixed ASCII class (engine-safe). */
   def punctCount(text: Column): Column =
@@ -40,16 +48,17 @@ object TextAnalysis {
 
   /** Composite quality score in basis points:
     * 10000 * (0.5*min(tokens,200)/200 + 0.3*(1-stop_ratio) + 0.2*punct_penalty)
-    * computed in integer arithmetic end-to-end. */
-  def qualityScoreBp(text: Column): Column = {
-    val n = tokenCount(text)
-    val stop = stopwordCount(text)
+    * computed in integer arithmetic end-to-end, from PRE-COMPUTED counts. */
+  def qualityScoreBpOf(text: Column, n: Column, stop: Column): Column = {
     val punct = punctCount(text)
     val lenTerm = floor(least(n, lit(200)) * 5000L / 200L).cast("long") // 0..5000
     val stopTerm = floor((lit(3000L) * (n - stop)) / greatest(n, lit(1))).cast("long") // 0..3000
     val punctTerm = when(punct * 20 <= length(text), lit(2000L)).otherwise(lit(0L))
     lenTerm + stopTerm + punctTerm
   }
+
+  def qualityScoreBp(text: Column): Column =
+    qualityScoreBpOf(text, tokenCount(text), stopwordCount(text))
 
   /** Language-ID marker vocabularies (n-gram-heuristic stand-in; shared
     * verbatim with the oracle SQL). */
@@ -60,33 +69,56 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "des", "une"),
     "zh" -> Seq("de", "shi", "le", "zai", "he"))
 
-  def langScore(text: Column, markers: Seq[String]): Column = {
+  def langScoreOf(toks: Column, markers: Seq[String]): Column = {
     val ms = array(markers.map(lit): _*)
-    size(filter(tokens(text), t => array_contains(ms, t)))
+    size(filter(toks, t => array_contains(ms, t)))
   }
 
-  /** Predicted language: argmax marker count, FIRST entry in LangMarkers
-    * order wins ties; "und" when no marker hits. */
-  def langIdFirstWins(text: Column): Column = {
-    val scores = LangMarkers.map { case (l, ms) => (l, langScore(text, ms)) }
+  def langScore(text: Column, markers: Seq[String]): Column =
+    langScoreOf(tokens(text), markers)
+
+  /** Predicted language from PRE-COMPUTED per-language marker counts:
+    * argmax, FIRST entry in LangMarkers order wins ties; "und" when no
+    * marker hits. (Taking materialized score columns keeps each count
+    * evaluated once — inline, every score would be duplicated into the
+    * running `greatest` AND each `when`.) */
+  def langIdFirstWinsOf(scores: Seq[(String, Column)]): Column = {
     val best = scores.map(_._2).reduce(greatest(_, _))
     scores.reverse.foldLeft(lit("und"): Column) { case (els, (l, s)) =>
       when(s === best && s > 0, lit(l)).otherwise(els)
     }
   }
 
+  def langIdFirstWins(text: Column): Column =
+    langIdFirstWinsOf(LangMarkers.map { case (l, ms) => (l, langScore(text, ms)) })
+
   /** 64-bit rolling-hash fingerprint (custom codegen expression). */
   def fingerprint64(text: Column): Column =
     graft.functions.RollingHash64.fingerprint64(text)
 
-  /** Full per-document text profile. */
-  def profile(docs: DataFrame): DataFrame =
-    docs.select(
+  /** Full per-document text profile. Three-step projection: tokenize once,
+    * materialize the shared counts, then derive — the one-select version
+    * re-ran the regex split for every consumer (dozens per row). */
+  def profile(docs: DataFrame): DataFrame = {
+    val toked = docs.select(col("doc_id"), col("text"),
+      tokens(col("text")).as("toks"))
+    val countedCols = Seq(
+      col("doc_id"), col("text"), col("toks"),
+      size(col("toks")).as("n_tokens"),
+      stopwordCountOf(col("toks")).as("n_stopwords")) ++
+      LangMarkers.map { case (l, ms) =>
+        langScoreOf(col("toks"), ms).as(s"score_$l")
+      }
+    val counted = toked.select(countedCols: _*)
+    counted.select(
       col("doc_id"),
-      tokenCount(col("text")).as("n_tokens"),
-      meanTokenLenMilli(col("text")).as("mean_token_len_milli"),
-      stopwordCount(col("text")).as("n_stopwords"),
+      col("n_tokens"),
+      meanTokenLenMilliOf(col("toks")).as("mean_token_len_milli"),
+      col("n_stopwords"),
       punctCount(col("text")).as("n_punct"),
-      qualityScoreBp(col("text")).as("quality_bp"),
-      langIdFirstWins(col("text")).as("lang_pred"))
+      qualityScoreBpOf(col("text"), col("n_tokens"), col("n_stopwords")).as("quality_bp"),
+      langIdFirstWinsOf(LangMarkers.map { case (l, _) =>
+        (l, col(s"score_$l"))
+      }).as("lang_pred"))
+  }
 }

@@ -113,6 +113,29 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
+
+  test("simhashPairs hamming verify stays codegen'd (no UDF node in the plan)") {
+    val docs = docsDF((1L, "a b c"), (2L, "a b d"))
+    val plan = Dedup.simhashPairs(docs, maxHamming = 12)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEval") && !plan.contains("ScalaUDF"),
+      s"UDF node found in:\n$plan")
+    assert(plan.contains("bit_count"))
+  }
+
+  test("ngram jaccard blocking key scales: min-shingle cardinality grows with corpus") {
+    // 40 template docs, each perturbed once -> 40 distinct min shingles,
+    // so block sizes stay ~2 regardless of corpus size
+    val docs = (0 until 40).flatMap { t =>
+      val base = (1 to 12).map(i => s"t${t}w$i").mkString(" ")
+      val near = (1 to 12).map(i => if (i == 6) "CHANGED" else s"t${t}w$i").mkString(" ")
+      Seq((t * 2L, base), (t * 2L + 1L, near))
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, minJaccardBp = 3000L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // every template pair found; no cross-template pair survives
+    assert(pairs == (0 until 40).map(t => (t * 2L, t * 2L + 1L)).toSet)
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
@@ -165,6 +188,28 @@ class SimilaritySpec extends AnyFunSuite {
       assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
       assert(r.getAs[Long]("sim_micro") >= 500000L)
     }
+  }
+
+  test("LSH near-dup pairs are an exact-sim subset of brute pairs (recall measured)") {
+    def toMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Long]("sim_micro")).toMap
+    val brute = toMap(Similarity.cosineNearDupPairs(emb, minSimMicro = 300000L).collect())
+    val lsh = toMap(Similarity.cosineNearDupPairsLsh(emb, minSimMicro = 300000L,
+      nBits = Similarity.adaptiveBits(100), nTables = 8, dim = 16).collect())
+    assert(brute.nonEmpty)
+    // every LSH pair is a true pair with the IDENTICAL exact similarity
+    lsh.foreach { case (ids, sim) => assert(brute.get(ids).contains(sim), ids) }
+    val recall = lsh.size.toDouble / brute.size
+    info(f"LSH near-dup recall = $recall%.2f (${lsh.size}/${brute.size})")
+    assert(recall > 0.05) // low-threshold pairs on random vectors: candidates only
+  }
+
+  test("adaptiveBits keeps bucket count proportional to corpus size") {
+    assert(Similarity.adaptiveBits(500) == 6)   // the sf0.01 embeddings table
+    assert(Similarity.adaptiveBits(2000) == 8)  // sf0.1
+    assert(Similarity.adaptiveBits(2000000) == 18)
+    assert(Similarity.adaptiveBits(10) == 4)    // floor
+    assert(Similarity.adaptiveBits(1L << 40) == 24) // cap
   }
 }
 
