@@ -135,15 +135,20 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(n.contains) }
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
-    (1 to queryRounds).foreach { _ =>
+    (1 to queryRounds).foreach { round =>
       names.foreach { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case _: Throwable => false }
-        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-        val prev = best.getOrElse(name, Double.MaxValue)
-        best(name) = if (dt < 0) dt else math.min(prev, dt)
+        // x* queries are fixture/correctness surfaces (x11 re-runs the
+        // pipeline twice, x13 replays a streaming query) — time them once;
+        // the q* perf probes get the full interleaved min-of-rounds
+        if (round == 1 || !name.startsWith("x")) {
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch { case _: Throwable => false }
+          val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          val prev = best.getOrElse(name, Double.MaxValue)
+          best(name) = if (dt < 0) dt else math.min(prev, dt)
+        }
       }
     }
     val results = best.toSeq
@@ -159,10 +164,12 @@ object Bench {
     }
 
     // ---------- phase 2: extraction throughput + N vs 4N scaling
-    // one fixed corpus (large enough that the ~1s fixed job cost amortizes)
-    val scaleDocs = 300000
+    // one fixed corpus (large enough that the ~1s fixed job cost amortizes;
+    // 200k docs ~= 1.4M pages keeps the slowest timed job ~30s at N=2 so
+    // the whole phase fits the driver's round window even on a loaded VM)
+    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "200000").toInt
     val path = materializeCorpus(scaleDocs)
-    val tFullCores = extractionBest(cpus, path, reps = 2)
+    val tFullCores = extractionBest(cpus, path, reps = 1)
 
     // this host is a noisy multi-tenant VM: interleave the two configs and
     // take the per-config MIN across rounds (the least-interference sample)
@@ -170,14 +177,21 @@ object Bench {
     val nBig = nSmall * 4
     def minT(a: Timing, b: Timing) = Timing(
       math.min(a.mapOnly, b.mapOnly), math.min(a.full, b.full))
+    val scaleRounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "4").toInt
     var tBig = Timing(Double.MaxValue, Double.MaxValue)
     var tSmall = Timing(Double.MaxValue, Double.MaxValue)
-    (1 to 3).foreach { r =>
-      tBig = minT(tBig, extractionBest(nBig, path, reps = 1, warm = r == 1))
-      tSmall = minT(tSmall, extractionBest(nSmall, path, reps = 1, warm = r == 1))
+    val samplesBig = Vector.newBuilder[Timing]
+    val samplesSmall = Vector.newBuilder[Timing]
+    (1 to scaleRounds).foreach { r =>
+      val b = extractionBest(nBig, path, reps = 1, warm = r == 1)
+      val s = extractionBest(nSmall, path, reps = 1, warm = r == 1)
+      samplesBig += b; samplesSmall += s
+      tBig = minT(tBig, b); tSmall = minT(tSmall, s)
     }
     val efficiency = tSmall.full / (4.0 * tBig.full)
     val efficiencyMap = tSmall.mapOnly / (4.0 * tBig.mapOnly)
+    def sampleArr(ts: Seq[Timing], f: Timing => Double) =
+      ts.map(t => f"${f(t)}%.2f").mkString("[", ",", "]")
 
     // ---------- CPU calibration for the same core pair
     val opsSmall = burn(nSmall, 2000)
@@ -196,6 +210,10 @@ object Bench {
         s""""speedup":${tSmall.full / tBig.full},"efficiency":$efficiency},""" +
         s""""extract_stage":{"t_small":${tSmall.mapOnly},"t_big":${tBig.mapOnly},""" +
         s""""speedup":${tSmall.mapOnly / tBig.mapOnly},"efficiency":$efficiencyMap},""" +
+        s""""rounds":{"full_small":${sampleArr(samplesSmall.result(), _.full)},""" +
+        s""""full_big":${sampleArr(samplesBig.result(), _.full)},""" +
+        s""""map_small":${sampleArr(samplesSmall.result(), _.mapOnly)},""" +
+        s""""map_big":${sampleArr(samplesBig.result(), _.mapOnly)}},""" +
         s""""cpu_calibration_ceiling":$cpuCeiling,""" +
         s""""efficiency_vs_ceiling":${efficiency / cpuCeiling}}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.layout.{FixtureCorpus, SpanDoc}
-import graft.pipeline.ExtractionPipeline
+import graft.layout.{ContextExtractor, CrossPage, FixtureCorpus, SemanticMatch, SpanDoc, TableDetector}
+import graft.pipeline.{Checkpointing, ExtractionPipeline}
 
 /** Driver-facing queries over the deterministic fixture corpus (the
   * extraction pipeline's own inputs — the driver's TPC-H-ish tables carry no
@@ -46,10 +46,83 @@ object FixtureQueries {
         col("doc_id"), col("ord"), col("kind"), col("text"), col("media_ref"))),
     "x06_fixture_candidates" -> ((s, _) => {
       import s.implicits._
+      // P4 body + P5 bbox + P6 bold positions, per candidate (the fields
+      // the reference persists on target_table rows, src/models.py:37-51)
       result(s).candidates
-        .map(c => (c.doc_id, c.page, c.raw_data.length, c.headers.mkString("|")))
-        .toDF("doc_id", "page", "n_rows", "headers")
-    }))
+        .map(c => (c.doc_id, c.page, c.raw_data.length, c.headers.mkString("|"),
+          c.bbox(0).toLong, c.bbox(1).toLong, c.bbox(2).toLong, c.bbox(3).toLong,
+          c.bold.mkString(",")))
+        .toDF("doc_id", "page", "n_rows", "headers",
+          "x0", "y0", "x1", "y1", "bold_cells")
+    }),
+    // P7 caption + P8 header-region, for EVERY detected table on every page
+    // (not just criterion candidates — the v1 capability is table-agnostic,
+    // table_finder.py:92-114,160-188)
+    "x07_fixture_context" -> ((s, _) => {
+      import s.implicits._
+      s.createDataset(FixtureCorpus.fixtureDocs).flatMap { d =>
+        SpanDoc.pages(d.spans).flatMap { p =>
+          TableDetector.findTables(p).zipWithIndex.map { case (t, i) =>
+            (d.doc_id, p.number, i,
+              ContextExtractor.precedingText(p, t),
+              ContextExtractor.headerRegion(p, t).mkString("|"))
+          }
+        }
+      }.toDF("doc_id", "page", "tbl_idx", "caption", "header_region")
+    }),
+    // M4-M7: the v1 cross-page spanning-table state machine per document
+    // (parse_table.py:203-264)
+    "x08_fixture_spanning" -> ((s, _) => {
+      import s.implicits._
+      s.createDataset(FixtureCorpus.fixtureDocs).flatMap { d =>
+        CrossPage.extractSpanningTables(SpanDoc.pages(d.spans)).zipWithIndex.map {
+          case (t, i) =>
+            (d.doc_id, i, t.pageNumbers.mkString(","), t.content.length,
+              if (t.content.nonEmpty) t.content.head.length else 0, t.isSpanning)
+        }
+      }.toDF("doc_id", "tbl_idx", "pages", "n_rows", "n_cols", "is_spanning")
+    }),
+    // P10/P11: semantic best-block match with threshold gate
+    // (parse_text.py:32-103; confidence in integer basis points)
+    "x09_fixture_semantic" -> ((s, _) => {
+      import s.implicits._
+      s.createDataset(FixtureCorpus.fixtureDocs).flatMap { d =>
+        SemanticMatch.findSummaryText(SpanDoc.pages(d.spans)).map { m =>
+          (d.doc_id, m.page, math.floor(m.confidence * 10000).toLong, m.text)
+        }
+      }.toDF("doc_id", "page", "confidence_bp", "text")
+    }),
+    // multimodal metadata decode over the deterministic synthetic corpus
+    // (batched mapPartitions plumbing; kinds/dims/frames are VALUES-oracle-able)
+    "x10_multimodal_meta" -> ((s, _) =>
+      graft.ops.Multimodal.metaFrame(graft.ops.Multimodal.synthCorpus(s, 48))
+        .select(col("media_id"), col("doc_id"), col("kind"), col("width"),
+          col("height"), col("frames"), col("payload_bytes"), col("aspect_milli"))),
+    // S3/S4/S6: commit + anti-join resume round-trip; counts are the
+    // observable contract (run 1 "crashes" after 9 docs; resume finishes)
+    "x11_resume_counts" -> ((s, _) => {
+      import s.implicits._
+      val docs = s.createDataset(FixtureCorpus.fixtureDocs)
+      val dir = java.nio.file.Files.createTempDirectory("graft-x11").toString + "/stats"
+      val firstBatch = docs.filter(d => SpanDoc.docOrd(d.doc_id) <= 9)
+      val r1 = ExtractionPipeline.run(s, firstBatch, persistIntermediate = false)
+      val committed = Checkpointing.commit(r1.stats.toDF(), dir, "run1")
+      val pending = Checkpointing.resumeFilter(s, docs, dir)
+      val nPending = pending.count()
+      val r2 = ExtractionPipeline.run(s, pending, persistIntermediate = false)
+      Checkpointing.commit(r2.stats.toDF(), dir, "run2")
+      val after = Checkpointing.resumeFilter(s, docs, dir).count()
+      val distinct = s.read.parquet(dir).select("doc_id").distinct().count()
+      Seq(
+        ("total_docs", docs.count()),
+        ("committed_first_run", committed),
+        ("pending_after_crash", nPending),
+        ("pending_after_resume", after),
+        ("distinct_committed", distinct)).toDF("metric", "n")
+    }),
+    // C12: per-file status counts (main_parse_pdfs.py:520-532)
+    "x12_status_counts" -> ((s, _) =>
+      result(s).stats.toDF().groupBy("status").count()))
 
   /** VALUES literal of (doc_id, page-1 text) straight from the INPUT corpus
     * — independent of the pipeline, so x04 is a genuine logic oracle. */

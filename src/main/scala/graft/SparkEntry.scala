@@ -125,6 +125,14 @@ object SparkEntry {
       // ---- tumbling time-window aggregation (batch shadow of streaming)
       "q10_events_hourly" -> ((s, d) =>
         Events.hourlyCounts(t(s, d, "events"))),
+      // ---- the ACTUAL Structured Streaming variant (watermark + windowed
+      //      agg, append mode), replayed over the finite events table; on a
+      //      finite input its closed windows must equal the batch shadow,
+      //      so it shares q10's SQL oracle
+      "x13_stream_hourly" -> ((s, d) => {
+        import s.implicits._
+        Events.replayHourly(s, t(s, d, "events").as[Events.Event])
+      }),
       // ---- describe() stats incl. exact median (C11)
       "q21_event_value_stats" -> ((s, d) =>
         t(s, d, "events")
@@ -283,6 +291,10 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM sessioned GROUP BY user_id, session_id""".stripMargin,
     "q10_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "x13_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2""".stripMargin,

@@ -124,12 +124,15 @@ object FixtureCorpus {
 
   // ------------------------------------------------------------ fixtures
 
-  /** F01 — clean single-page criterion table + caption + month. */
+  /** F01 — clean single-page criterion table + caption + month. The header
+    * row carries bold emphasis (`**..**` span-grammar marks): the detector
+    * strips the marks from the cell text (so every downstream golden is
+    * untouched) and records the positions in CandidateTable.bold (P6). */
   def f01: DocRow = doc("1.f01_clean.pdf") { b =>
     b.page(1).text("Terminal Evaluation Report", "GEF Project 4711", "December 2024")
     b.page(2).text(prose: _*)
     b.page(3).text("Table 9: Summary of project findings and ratings")
-      .grid(header3 +: rows(0 to 5, rat))
+      .grid(header3.map(h => s"**$h**") +: rows(0 to 5, rat))
       .text("The ratings above are explained in Annex II.")
   }
 

@@ -69,17 +69,28 @@ final case class DetectedTable(
 }
 
 /** Candidate criterion table — the analog of the reference's persisted
-  * `target_table` rows (reference: src/models.py:37-51). */
+  * `target_table` rows (reference: src/models.py:37-51).
+  *
+  * @param bold "row:col" positions whose cell text carried bold emphasis
+  *             (sorted; the reference's v2 prompt uses bold to split L1/L2,
+  *             src/v2_llm/run_claude.py:149, detection parse_table.py:146-165) */
 final case class CandidateTable(
     doc_id: String,
     doc_ord: Long,
     page: Int,
     bbox: Array[Double],
     headers: Array[String],
-    raw_data: Array[Array[String]])
+    raw_data: Array[Array[String]],
+    bold: Array[String])
 
 /** Per-document stats — the analog of the reference's `paper` row
-  * (reference: src/models.py:9-34), minus the DB bookkeeping columns. */
+  * (reference: src/models.py:9-34), minus the DB bookkeeping columns.
+  *
+  * @param status per-file outcome like the reference's v1 status report
+  *               (main_parse_pdfs.py:520-532): "success" (criterion tables
+  *               found), "not_found", or "oversized_skip" (span budget
+  *               exceeded — the O3 per-task bound; the doc is counted, not
+  *               parsed) */
 final case class PaperStat(
     doc_id: String,
     doc_ord: Long,
@@ -91,7 +102,8 @@ final case class PaperStat(
     merged_table_start_page: Option[Int],
     merged_table_end_page: Option[Int],
     publish_month: Option[String],
-    publish_month_verified: Boolean)
+    publish_month_verified: Boolean,
+    status: String)
 
 object SpanDoc {
   /** Split a document's ordered spans into pages at "page" markers.

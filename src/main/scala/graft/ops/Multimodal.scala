@@ -113,6 +113,6 @@ object Multimodal {
     * for the docs table's media spans). */
   def metaFrame(media: Dataset[MediaRow]): DataFrame =
     decodeMeta(media).toDF()
-      .withColumn("aspect_milli",
-        (col("width") * 1000L / greatest(col("height"), lit(1))))
+      .withColumn("aspect_milli", // integral: Column./ is double division
+        floor(col("width") * 1000L / greatest(col("height"), lit(1))).cast("long"))
 }

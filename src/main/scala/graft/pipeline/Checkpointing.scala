@@ -34,23 +34,60 @@ object Checkpointing {
     }
   }
 
-  /** Append a batch and write its lineage manifest. Returns rows written. */
+  /** Append a batch and write its lineage manifest. Returns rows written.
+    *
+    * The per-partition metrics are gathered by an accumulator INSIDE the
+    * write job, so the manifest describes exactly the partitions/rows that
+    * were committed — a separate metrics action would execute the plan
+    * twice, and AQE or non-deterministic partitioning could make the two
+    * runs disagree. Task retries can report a partition twice; the metrics
+    * are deduped by partition id (retries re-produce the same rows). */
   def commit(df: DataFrame, dir: String, runId: String): Long = {
-    val withPart = df.withColumn("_part", spark_partition_id())
-    val metrics = withPart.groupBy("_part").agg(
-      count(lit(1)).as("rows"),
-      min("doc_ord").as("min_doc_ord"),
-      max("doc_ord").as("max_doc_ord")).collect()
-    df.write.mode(SaveMode.Append).parquet(dir)
+    val spark = df.sparkSession
+    val acc = spark.sparkContext
+      .collectionAccumulator[(Int, Long, Long, Long)](s"graft-commit-$runId")
+    val ordIdx = df.schema.fieldIndex("doc_ord")
+    val instrumented = df.mapPartitions { it =>
+      new Iterator[org.apache.spark.sql.Row] {
+        private var n = 0L
+        private var minOrd = Long.MaxValue
+        private var maxOrd = Long.MinValue
+        private var reported = false
+        def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h && !reported) {
+            reported = true
+            acc.add((org.apache.spark.TaskContext.getPartitionId(), n, minOrd, maxOrd))
+          }
+          h
+        }
+        def next(): org.apache.spark.sql.Row = {
+          val r = it.next()
+          n += 1
+          if (!r.isNullAt(ordIdx)) {
+            val o = r.getLong(ordIdx)
+            if (o < minOrd) minOrd = o
+            if (o > maxOrd) maxOrd = o
+          }
+          r
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(df.schema))
+    instrumented.write.mode(SaveMode.Append).parquet(dir)
+    import scala.jdk.CollectionConverters._
+    val metrics = acc.value.asScala.toSeq
+      .groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1) // dedupe retried tasks
     val manifestDir = Paths.get(dir + "_manifest")
     Files.createDirectories(manifestDir)
-    val lines = metrics.map { r =>
-      s"""{"run":"$runId","partition":${r.get(0)},"rows":${r.get(1)},""" +
-        s""""min_doc_ord":${r.get(2)},"max_doc_ord":${r.get(3)}}"""
+    val lines = metrics.map { case (part, rows, mn, mx) =>
+      val mnS = if (mn == Long.MaxValue) "null" else mn.toString
+      val mxS = if (mx == Long.MinValue) "null" else mx.toString
+      s"""{"run":"$runId","partition":$part,"rows":$rows,""" +
+        s""""min_doc_ord":$mnS,"max_doc_ord":$mxS}"""
     }
     Files.write(manifestDir.resolve(s"manifest-$runId.jsonl"),
       lines.mkString("\n").getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    metrics.map(_.getLong(1)).sum
+    metrics.map(_._2).sum
   }
 }

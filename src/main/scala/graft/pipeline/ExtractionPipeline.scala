@@ -111,7 +111,7 @@ object ExtractionPipeline {
         $"m_rows".as("merged_rows_count"),
         $"m_start".as("merged_table_start_page"),
         $"m_end".as("merged_table_end_page"),
-        $"publish_month", $"publish_month_verified")
+        $"publish_month", $"publish_month_verified", $"status")
       .as[PaperStat]
 
     // ---- corpus sheet (step_4) — lazy: see Result scaladoc

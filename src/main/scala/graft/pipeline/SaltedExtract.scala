@@ -54,13 +54,24 @@ object SaltedExtract {
 
   final case class PartialStat(doc_id: String, doc_ord: Long, file_size: Long,
       page_size: Int, criterion_tables_count: Int, publish_month: String,
-      hasFirstPage: Boolean)
+      hasFirstPage: Boolean, skipped: Boolean)
 
   def extractChunk(c: Chunk): (PartialStat, Seq[CandidateTable], Seq[Extract.MediaSpan]) = {
-    val r = Extract.extractDoc(DocRow(c.doc_id, c.spans))
+    // the span budget was already enforced on the WHOLE document before
+    // chunking (extract() below) — chunks themselves parse unchecked so the
+    // salted path stays bit-identical to the unsalted one
+    val r = Extract.extractDoc(DocRow(c.doc_id, c.spans), spanBudget = Int.MaxValue)
     val month = if (c.isFirst) r.stat.publish_month.orNull else null
     (PartialStat(c.doc_id, r.stat.doc_ord, r.stat.file_size, r.stat.page_size,
-      r.stat.criterion_tables_count, month, c.isFirst), r.candidates, r.media)
+      r.stat.criterion_tables_count, month, c.isFirst, skipped = false),
+      r.candidates, r.media)
+  }
+
+  /** Over-budget document -> the same skip stat as the unsalted path. */
+  def skipPartial(d: DocRow): (PartialStat, Seq[CandidateTable], Seq[Extract.MediaSpan]) = {
+    val s = Extract.extractDoc(d, spanBudget = -1).stat // forces the skip path
+    (PartialStat(s.doc_id, s.doc_ord, s.file_size, s.page_size, 0,
+      null, hasFirstPage = true, skipped = true), Nil, Nil)
   }
 
   def reduceStats(a: PartialStat, b: PartialStat): PartialStat =
@@ -69,18 +80,23 @@ object SaltedExtract {
       a.page_size + b.page_size,
       a.criterion_tables_count + b.criterion_tables_count,
       if (a.hasFirstPage) a.publish_month else b.publish_month,
-      a.hasFirstPage || b.hasFirstPage)
+      a.hasFirstPage || b.hasFirstPage,
+      a.skipped || b.skipped)
 
   /** Salted extraction: per-chunk parse, per-doc stat reduce. Returns the
     * same (stats, doc parts) shape as the unsalted Extract stage, plus the
     * persisted handles (for the caller to release). */
   def extract(spark: SparkSession, docs: Dataset[DocRow], maxPages: Int = 64,
-      persistIntermediate: Boolean = true)
+      persistIntermediate: Boolean = true,
+      spanBudget: Int = Extract.SpanBudget)
       : (Dataset[PaperStat], Dataset[ExtractionPipeline.DocPart], Seq[Dataset[_]]) = {
     import spark.implicits._
+    val budget = spanBudget
     var parts = docs
-      .flatMap(d => chunkDoc(d, maxPages))
-      .mapPartitions(_.map(extractChunk))
+      .flatMap { d =>
+        if (d.spans.length > budget) Iterator.single(skipPartial(d))
+        else chunkDoc(d, maxPages).iterator.map(extractChunk)
+      }
     val handles: Seq[Dataset[_]] =
       if (persistIntermediate) {
         parts = parts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -96,7 +112,8 @@ object SaltedExtract {
       .map { case (_, p) =>
         PaperStat(p.doc_id, p.doc_ord, p.file_size, p.page_size,
           p.criterion_tables_count, None, None, None, None,
-          Option(p.publish_month), publish_month_verified = true)
+          Option(p.publish_month), publish_month_verified = !p.skipped,
+          status = Extract.statusOf(p.skipped, p.criterion_tables_count))
       }
     (stats, docParts, handles)
   }

@@ -67,6 +67,43 @@ object Events {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("value_cents"))
 
+  /** Drive [[streamingHourlyCounts]] over a FINITE batch of events and
+    * return the emitted (closed) windows as a DataFrame — the driver-visible
+    * correctness surface for the streaming variant (its batch shadow
+    * [[hourlyCounts]] is the oracle; on a finite input the closed windows
+    * must equal the batch result exactly).
+    *
+    * Mechanics: the rows are replayed through a MemoryStream, then two
+    * far-future sentinel events push the watermark past every real window
+    * (append mode only emits a finalized window in a batch that RUNS with
+    * the advanced watermark, hence two pushes: one to advance it, one to
+    * flush). Sentinels are filtered from the output. The driver-side
+    * collect is inherent to the replay harness — a production stream would
+    * readStream from the source instead. */
+  def replayHourly(spark: SparkSession, events: Dataset[Event]): DataFrame = {
+    import spark.implicits._
+    val rows = events.collect().toSeq
+    require(rows.nonEmpty, "replayHourly needs a non-empty batch")
+    val maxTs = rows.iterator.map(_.ts.getTime).max
+    def sentinel(i: Int) = Event(-i.toLong,
+      new Timestamp(maxTs + (9 + i) * 3600 * 1000L), -1L, "__sentinel", 0.0, "")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    val qname = "graft_x13_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = streamingHourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName(qname).outputMode("append").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      input.addData(Seq(sentinel(1))) // advance the watermark past all windows
+      q.processAllAvailable()
+      input.addData(Seq(sentinel(2))) // run one batch WITH the advanced watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(qname)
+      .filter(col("event_type") =!= "__sentinel")
+      .select(col("hour"), col("event_type"), col("n"), col("value_cents"))
+  }
+
   /** Streaming sessionization via flatMapGroupsWithState: event-time gap
     * sessions. A session closes either when a same-user event arrives past
     * the gap (data path) or when the WATERMARK passes its gap deadline

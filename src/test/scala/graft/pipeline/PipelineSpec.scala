@@ -182,6 +182,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(first.getAs[String]("FileName") == "1.f01_clean.pdf")
   }
 
+  test("per-file status mirrors the v1 report: success / not_found (C12)") {
+    assert(stats("1.f01_clean.pdf").status == "success")
+    assert(stats("15.f15_notables.pdf").status == "not_found")
+    assert(stats.values.count(_.status == "success") == 15)
+  }
+
+  test("F01 header bold positions are captured, cell text stripped (P5/P6)") {
+    val c = result.candidates.filter(_.doc_id == "1.f01_clean.pdf").collect().head
+    assert(c.bold.toVector == Vector("0:0", "0:1", "0:2"))
+    assert(c.raw_data.head.toVector == Vector("Criterion", "Summary Assessment", "Rating"))
+    assert(c.bbox.length == 4 && c.bbox(1) < c.bbox(3)) // y0 < y1 in line coords
+  }
+
+  test("O3 span budget: a span-bomb doc is skipped with a counted status, cheaply") {
+    // 50k spans on one page — far over a tiny budget; the guard must count
+    // pages/size in one pass and NEVER run layout analysis
+    val bomb = DocRow("99.bomb.pdf",
+      Span("page", "1", null, 0) +:
+        (1 to 50000).map(i => Span("text", s"| cell$i |", null, i)).toVector)
+    val t0 = System.nanoTime()
+    val r = Extract.extractDoc(bomb, spanBudget = 10000)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(r.stat.status == "oversized_skip")
+    assert(r.stat.criterion_tables_count == 0 && r.candidates.isEmpty)
+    assert(r.stat.page_size == 1)
+    assert(ms < 500, s"skip path took ${ms}ms — must be a single cheap pass")
+    // under budget the same doc parses normally
+    assert(Extract.extractDoc(bomb, spanBudget = 100000).stat.status != "oversized_skip")
+  }
+
   test("output span sequences are deterministic across runs") {
     val docs = spark.createDataset(FixtureCorpus.fixtureDocs)
     val again = ExtractionPipeline.run(spark, docs)

@@ -44,4 +44,20 @@ class SaltedExtractSpec extends AnyFunSuite {
     val sb = salted.outSpans.collect().sortBy(s => (s.doc_id, s.ord)).toVector
     assert(sa == sb)
   }
+
+  test("salted path applies the span budget to the WHOLE doc, matching unsalted") {
+    val bomb = DocRow("98.bomb.pdf",
+      Span("page", "1", null, 0) +:
+        (1 to 20000).map(i => Span("text", s"line$i", null, i)).toVector)
+    val docs = spark.createDataset(Seq(bomb, FixtureCorpus.f01))
+    val (stats, parts, _) =
+      SaltedExtract.extract(spark, docs, maxPages = 16,
+        persistIntermediate = false, spanBudget = 10000)
+    val byId = stats.collect().map(s => s.doc_id -> s).toMap
+    assert(byId("98.bomb.pdf") == Extract.extractDoc(bomb, spanBudget = 10000).stat)
+    assert(byId("98.bomb.pdf").status == "oversized_skip")
+    assert(byId("1.f01_clean.pdf").status == "success")
+    // the bomb contributes no candidates or media downstream
+    assert(!parts.collect().exists(_.doc_id == "98.bomb.pdf"))
+  }
 }
