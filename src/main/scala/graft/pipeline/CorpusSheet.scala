@@ -14,7 +14,13 @@ object CorpusSheet {
   val KeptColumns: Vector[String] = Vector("Criterion", "SummaryAssessment", "Rating")
 
   /** One output row: present column -> value (value may be null when the
-    * merged concat introduced a missing cell). */
+    * merged concat introduced a missing cell). row_idx == -1 marks the
+    * per-document HEADER SENTINEL: it carries the document's kept column
+    * names (keys only) and no data — the reference tracks `all_columns`
+    * from every processed table even when it has ZERO body rows
+    * (step_4:66, `all_columns.update(paper_df.columns)`), so the corpus
+    * column vocabulary must see empty tables too. corpusFrame folds the
+    * sentinels into the vocabulary and drops them from the output. */
   final case class SheetRow(
       doc_id: String,
       doc_ord: Long,
@@ -30,12 +36,15 @@ object CorpusSheet {
       val i = normalized.indexOf(k)
       if (i >= 0) Some(k -> i) else None
     }
+    val sentinel = SheetRow(m.doc_id, m.doc_ord, -1,
+      selected.map { case (name, _) => name -> (null: String) }.toMap +
+        ("FileName" -> (null: String)))
     // note: a degenerate [[],[]] merged table flows through the generic path
     // as one empty row carrying only FileName (pandas DataFrame([[]]) has
-    // shape (1,0)); a header-only table contributes zero rows
+    // shape (1,0)); a header-only table contributes zero data rows but its
+    // columns still enter the vocabulary via the sentinel
     val body = data.tail
-    if (body.isEmpty) return Nil
-    body.iterator.zipWithIndex.map { case (row, idx) =>
+    sentinel +: body.iterator.zipWithIndex.map { case (row, idx) =>
       val cells = selected.map { case (name, i) =>
         name -> (if (i < row.length) row(i) else null)
       }.toMap + ("FileName" -> m.doc_id)

@@ -67,9 +67,13 @@ object ExtractionPipeline {
     *                   extraction (bounded per-task layout state — the skew
     *                   path; see [[SaltedExtract]]). Results are identical
     *                   either way (asserted in SaltedExtractSpec). */
+  /** @param scalablePivot route step_5 through [[pivotFrameScalable]]
+    *                      (no single-partition window; byte-identical
+    *                      output — the 10^12-scale path) */
   def run(spark: SparkSession, docs: Dataset[DocRow],
       saltPages: Option[Int] = None,
-      persistIntermediate: Boolean = true): Result = {
+      persistIntermediate: Boolean = true,
+      scalablePivot: Boolean = false): Result = {
     import spark.implicits._
 
     // ---- extract (steps 1+2+6 fused; one parse per document). The persist
@@ -138,8 +142,10 @@ object ExtractionPipeline {
       }
 
     val persisted = persistedSets ++ (if (persistIntermediate) Seq(sheetRows) else Nil)
-    new Result(stats, candidates, merged, corpusThunk,
-      c => pivotFrame(spark, c), outSpans, persisted)
+    val pivotFn: DataFrame => DataFrame =
+      if (scalablePivot) c => pivotFrameScalable(spark, c)
+      else c => pivotFrame(spark, c)
+    new Result(stats, candidates, merged, corpusThunk, pivotFn, outSpans, persisted)
   }
 
   /** Ordered output spans for one document: the merged table cells row-major
@@ -167,27 +173,114 @@ object ExtractionPipeline {
   def corpusFrame(spark: SparkSession,
       rows: Dataset[CorpusSheet.SheetRow]): DataFrame = {
     import spark.implicits._
+    // vocabulary from ALL rows incl. the row_idx == -1 header sentinels
+    // (zero-row tables still contribute columns, step_4:66)
     val colNames = rows.flatMap(_.cells.keysIterator.toSeq).distinct()
       .collect().sorted
     val cols = Seq($"doc_ord", $"row_idx") ++
       colNames.map(n => element_at($"cells", n).as(n))
-    rows.select(cols: _*)
+    rows.filter(_.row_idx >= 0).select(cols: _*)
   }
 
-  /** step_5: fuzzy L1, L2 derivation, global forward-fill, 1-based No. */
+  /** step_5: fuzzy L1, L2 derivation, global forward-fill, 1-based No.
+    *
+    * This default variant uses one GLOBAL window (single-partition sort) —
+    * exactly the reference's pandas semantics, fine at sheet scale (rows =
+    * extracted table rows, orders of magnitude below corpus scale). The
+    * scale path is [[pivotFrameScalable]]: identical output, no global
+    * sort. */
   def pivotFrame(spark: SparkSession, corpus: DataFrame): DataFrame = {
-    val matchL1 = udf((s: String) => Option(CriterionTaxonomy.matchL1(s)))
     val w = Window.orderBy("doc_ord", "row_idx")
     val ffillW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    corpus
-      .withColumn("L1_raw", matchL1(col("Criterion")))
-      // L2 = '' when Criterion equals the matched L1, else Criterion
-      // (NaN == x is False in pandas, so null Criterion keeps null L2)
-      .withColumn("L2", when(col("Criterion") === col("L1_raw"), lit(""))
-        .otherwise(col("Criterion")))
+    pivotBase(corpus)
       .withColumn("L1", last("L1_raw", ignoreNulls = true).over(ffillW))
       .withColumn("No.", row_number().over(w))
       .select(col("`No.`"), col("FileName"), col("L1"), col("L2"),
         col("SummaryAssessment"), col("Rating"))
+  }
+
+  /** Shared narrow part of step_5: L1 classification + L2 derivation.
+    * L2 = '' when Criterion equals the matched L1, else Criterion
+    * (NaN == x is False in pandas, so null Criterion keeps null L2). */
+  private def pivotBase(corpus: DataFrame): DataFrame = {
+    val matchL1 = udf((s: String) => Option(CriterionTaxonomy.matchL1(s)))
+    corpus
+      .withColumn("L1_raw", matchL1(col("Criterion")))
+      .withColumn("L2", when(col("Criterion") === col("L1_raw"), lit(""))
+        .otherwise(col("Criterion")))
+  }
+
+  /** Scale-safe step_5: byte-identical to [[pivotFrame]] (asserted on the
+    * fixture corpus in PipelineSpec) with NO single-partition window.
+    *
+    * The global order (doc_ord, row_idx) is realized as a range
+    * repartition + within-partition sort; the cross-partition running
+    * state — the 1-based `No.` offset and the forward-fill carry — is
+    * reduced to ONE tiny driver pass over per-partition summaries
+    * (numPartitions rows: row count + last non-null L1), the classic
+    * two-pass zipWithIndex shape. The summary pass and the output pass
+    * traverse the same deterministic plan (range boundaries are sampled
+    * with fixed seeds from the same input), so the partitioning agrees. */
+  def pivotFrameScalable(spark: SparkSession, corpus: DataFrame,
+      numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = pivotBase(corpus)
+      .select(col("doc_ord"), col("row_idx"), col("FileName"), col("L1_raw"),
+        col("L2"), col("SummaryAssessment"), col("Rating"))
+      .repartitionByRange(n, col("doc_ord"), col("row_idx"))
+      .sortWithinPartitions("doc_ord", "row_idx")
+    val schema = sorted.schema
+    val l1Idx = schema.fieldIndex("L1_raw")
+
+    // pass 1: per-partition (id, rows, last non-null L1) — numPartitions rows
+    import spark.implicits._
+    val summaries = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cnt = 0L
+      var last: String = null
+      it.foreach { r =>
+        cnt += 1
+        if (!r.isNullAt(l1Idx)) last = r.getString(l1Idx)
+      }
+      Iterator.single((pid, cnt, Option(last)))
+    }.collect().sortBy(_._1)
+
+    // driver-side prefix scan (numPartitions entries — bounded by cluster)
+    val offsets = new Array[Long](n)
+    val carries = new Array[String](n)
+    var acc = 0L
+    var carry: String = null
+    summaries.foreach { case (pid, cnt, last) =>
+      offsets(pid) = acc
+      carries(pid) = carry
+      acc += cnt
+      last.foreach(carry = _)
+    }
+
+    // pass 2: same deterministic plan, fill with the per-partition seeds
+    val outSchema = StructType(Seq(
+      StructField("No.", IntegerType, nullable = false),
+      StructField("FileName", schema("FileName").dataType),
+      StructField("L1", StringType),
+      StructField("L2", schema("L2").dataType),
+      StructField("SummaryAssessment", schema("SummaryAssessment").dataType),
+      StructField("Rating", schema("Rating").dataType)))
+    val fIdx = schema.fieldIndex("FileName")
+    val l2Idx = schema.fieldIndex("L2")
+    val saIdx = schema.fieldIndex("SummaryAssessment")
+    val rIdx = schema.fieldIndex("Rating")
+    sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var no = offsets(pid)
+      var c = carries(pid)
+      it.map { r =>
+        no += 1
+        if (!r.isNullAt(l1Idx)) c = r.getString(l1Idx)
+        Row(no.toInt, r.get(fIdx), c, r.get(l2Idx), r.get(saIdx), r.get(rIdx))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 }

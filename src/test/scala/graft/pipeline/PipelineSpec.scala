@@ -212,6 +212,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(Extract.extractDoc(bomb, spanBudget = 100000).stat.status != "oversized_skip")
   }
 
+  test("scalable pivot is byte-identical to the global-window pivot, no global sort") {
+    val scalable = ExtractionPipeline.pivotFrameScalable(spark, result.corpus,
+      numPartitions = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getString(5))).sortBy(_._1).toVector
+    assert(rows(scalable) == rows(result.pivot))
+    // the scale property: no single-partition exchange anywhere in the plan
+    val plan = scalable.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"global sort found:\n$plan")
+    // the flagged pipeline route produces the same thing
+    val flagged = ExtractionPipeline.run(spark,
+      spark.createDataset(FixtureCorpus.fixtureDocs),
+      persistIntermediate = false, scalablePivot = true)
+    assert(rows(flagged.pivot) == rows(result.pivot))
+  }
+
   test("output span sequences are deterministic across runs") {
     val docs = spark.createDataset(FixtureCorpus.fixtureDocs)
     val again = ExtractionPipeline.run(spark, docs)
