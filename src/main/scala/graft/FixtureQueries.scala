@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.layout.{ContextExtractor, CrossPage, FixtureCorpus, SemanticMatch, SpanDoc, TableDetector}
+import graft.layout.{ContextExtractor, CrossPage, FixtureCorpus, SemanticMatch, SpanDoc, TableDetector, TableFinder}
 import graft.pipeline.{Checkpointing, ExtractionPipeline}
 
 /** Driver-facing queries over the deterministic fixture corpus (the
@@ -122,7 +122,21 @@ object FixtureQueries {
     }),
     // C12: per-file status counts (main_parse_pdfs.py:520-532)
     "x12_status_counts" -> ((s, _) =>
-      result(s).stats.toDF().groupBy("status").count()))
+      result(s).stats.toDF().groupBy("status").count()),
+    // M4+M5+M7+P7+P8 composed: the v1 TableFinder bbox-continuation flow
+    // (find_tables_with_context, table_finder.py:23-90)
+    "x14_fixture_tablefinder" -> ((s, _) => {
+      import s.implicits._
+      s.createDataset(FixtureCorpus.fixtureDocs).flatMap { d =>
+        TableFinder.findTablesWithContext(SpanDoc.pages(d.spans)).zipWithIndex.map {
+          case (t, i) =>
+            (d.doc_id, i, t.startPage, t.endPage,
+              t.bbox._1.toLong, t.bbox._2.toLong, t.bbox._3.toLong, t.bbox._4.toLong,
+              t.precedingText, t.headers.mkString("|"))
+        }
+      }.toDF("doc_id", "tbl_idx", "start_page", "end_page",
+        "x0", "y0", "x1", "y1", "caption", "header_region")
+    }))
 
   /** VALUES literal of (doc_id, page-1 text) straight from the INPUT corpus
     * — independent of the pipeline, so x04 is a genuine logic oracle. */

@@ -122,6 +122,13 @@ object SparkEntry {
       // ---- gap-based sessionization (window lag + running sum)
       "q09_event_sessions" -> ((s, d) =>
         Events.sessionizeBatch(t(s, d, "events"))),
+      // ---- the Structured Streaming sessionization (flatMapGroupsWithState
+      //      with EVENT-TIME timeouts) replayed over the finite events
+      //      table; closed sessions equal the batch shadow -> q09's oracle
+      "x15_stream_sessions" -> ((s, d) => {
+        import s.implicits._
+        Events.replaySessions(s, t(s, d, "events").as[Events.Event])
+      }),
       // ---- tumbling time-window aggregation (batch shadow of streaming)
       "q10_events_hourly" -> ((s, d) =>
         Events.hourlyCounts(t(s, d, "events"))),
@@ -277,6 +284,20 @@ object SparkEntry {
       """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_items
         |FROM lineitem GROUP BY 1""".stripMargin,
     "q09_event_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_type, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessioned AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+        |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM sessioned GROUP BY user_id, session_id""".stripMargin,
+    "x15_stream_sessions" ->
       """WITH marked AS (
         |  SELECT user_id, ts, event_type, value,
         |    CASE WHEN lag(ts) OVER w IS NULL

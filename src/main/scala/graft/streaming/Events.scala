@@ -22,8 +22,12 @@ object Events {
       event_type: String, value: Double, props: String)
   final case class SessionOut(user_id: Long, session_start: Timestamp,
       n_events: Long, n_errors: Long, value_cents: Long)
+  /** start/last are MICROSECONDS since epoch — Timestamp.getTime truncates
+    * to millis and the events carry microsecond precision, so session_start
+    * would otherwise lose its fractional part vs the batch shadow. */
   final case class SessState(start: Long, last: Long, n: Long, errors: Long,
       cents: Long)
+
 
   /** Batch gap-based sessionization: a new session starts when the gap from
     * the previous event of the same user exceeds `gapMinutes`. Output: one
@@ -104,6 +108,40 @@ object Events {
       .select(col("hour"), col("event_type"), col("n"), col("value_cents"))
   }
 
+  /** Drive [[sessionizeStreaming]] over a FINITE batch of events: two
+    * far-future sentinel events (a dedicated user) advance the watermark
+    * past every real session's gap deadline, so the event-time timeouts
+    * flush ALL sessions — on a finite input the result must equal
+    * [[sessionizeBatch]] exactly (same gap rule, same integer cents), which
+    * gives this streaming operator the same DuckDB oracle as the batch
+    * shadow. Sentinels (user_id -1) are filtered from the output. */
+  def replaySessions(spark: SparkSession, events: Dataset[Event],
+      gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val rows = events.collect().toSeq
+    require(rows.nonEmpty, "replaySessions needs a non-empty batch")
+    val maxTs = rows.iterator.map(_.ts.getTime).max
+    val gapMs = gapMinutes * 60 * 1000L
+    def sentinel(i: Int) = Event(-i.toLong,
+      new Timestamp(maxTs + (10 + i) * gapMs), -1L, "__sentinel", 0.0, "")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    val qname = "graft_x15_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = sessionizeStreaming(input.toDS(), gapMinutes)
+      .writeStream.format("memory").queryName(qname).outputMode("append").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      input.addData(Seq(sentinel(1))) // advance the watermark past all deadlines
+      q.processAllAvailable()
+      input.addData(Seq(sentinel(2))) // run a batch that fires the timeouts
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(qname)
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        col("n_errors"), col("value_cents"))
+  }
+
   /** Streaming sessionization via flatMapGroupsWithState: event-time gap
     * sessions. A session closes either when a same-user event arrives past
     * the gap (data path) or when the WATERMARK passes its gap deadline
@@ -111,10 +149,24 @@ object Events {
     * harnesses using processAllAvailable terminate). */
   def sessionizeStreaming(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60 * 1000L
+    // the batch shadow compares unix_timestamp() values, i.e. SECONDS
+    // truncated before subtracting — replicate exactly (micros are kept
+    // only for session_start precision)
+    val gapSec = gapMinutes * 60L
+    def sec(us: Long): Long = Math.floorDiv(us, 1000000L)
+    // local defs (not object members) so the task closure stays
+    // self-contained — referencing the enclosing object would drag a
+    // non-serializable module into the closure
+    def micros(ts: Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    def microsToTs(us: Long): Timestamp = {
+      val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
 
     def flush(userId: Long, s: SessState): SessionOut =
-      SessionOut(userId, new Timestamp(s.start), s.n, s.errors, s.cents)
+      SessionOut(userId, microsToTs(s.start), s.n, s.errors, s.cents)
 
     events
       .withWatermark("ts", s"$gapMinutes minutes")
@@ -126,13 +178,13 @@ object Events {
             state.remove()
             out
           } else {
-            val sorted = it.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = it.toVector.sortBy(e => (micros(e.ts), e.event_id))
             var cur = state.getOption
             val closed = Vector.newBuilder[SessionOut]
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
+                case Some(s) if sec(t) - sec(s.last) <= gapSec =>
                   cur = Some(s.copy(last = t, n = s.n + 1,
                     errors = s.errors + (if (e.event_type == "error") 1 else 0),
                     cents = s.cents + math.floor(e.value * 100).toLong))
@@ -148,9 +200,11 @@ object Events {
             cur.foreach { s =>
               state.update(s)
               // close when the watermark passes last-event + gap (must stay
-              // strictly ahead of the current watermark or Spark rejects it)
+              // strictly ahead of the current watermark or Spark rejects it;
+              // the timeout clock is MILLISECONDS)
               state.setTimeoutTimestamp(
-                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+                math.max(s.last / 1000L + gapMinutes * 60 * 1000L,
+                  state.getCurrentWatermarkMs() + 1))
             }
             closed.result().iterator
           }

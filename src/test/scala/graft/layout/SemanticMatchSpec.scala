@@ -2,6 +2,34 @@ package graft.layout
 
 import org.scalatest.funsuite.AnyFunSuite
 
+/** The composed v1 TableFinder flow (find_tables_with_context,
+  * table_finder.py:23-90): bbox continuation + merge + lookahead + context. */
+class TableFinderSpec extends AnyFunSuite {
+
+  test("f02: similar-width fragments merge across pages; dissimilar ones do not") {
+    val tables = TableFinder.findTablesWithContext(SpanDoc.pages(FixtureCorpus.f02.spans))
+    assert(tables.length == 2)
+    // page 4's fragment is wider than page 5's by > 20 -> NOT continued
+    assert((tables(0).startPage, tables(0).endPage) == (4, 4))
+    // pages 5..7 are within the +/-20 width band -> one merged table
+    assert((tables(1).startPage, tables(1).endPage) == (5, 7))
+    // merged bbox: min x0, ORIGINAL y0, max x1, new y1 (table_finder.py:152-158)
+    assert(tables(1).bbox._1 == 0.0 && tables(1).bbox._3 == 89.0)
+    // caption found for the table that follows its "Table N:" line
+    assert(tables(0).precedingText.startsWith("Table 5:"))
+    assert(tables(1).precedingText == "")
+  }
+
+  test("lookahead closes an open table when the next page has none (M7)") {
+    val tables = TableFinder.findTablesWithContext(SpanDoc.pages(FixtureCorpus.f01.spans))
+    assert(tables.length == 1)
+    assert((tables.head.startPage, tables.head.endPage) == (3, 3))
+    assert(tables.head.headers.exists(_.contains("Criterion")))
+  }
+}
+
+import org.scalatest.funsuite.AnyFunSuite
+
 class SemanticMatchSpec extends AnyFunSuite {
   test("token-set cosine: identity 1, disjoint 0, symmetric") {
     assert(SemanticMatch.tokenSetCosine("summary of ratings", "summary of ratings") == 1.0)
