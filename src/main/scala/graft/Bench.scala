@@ -178,7 +178,7 @@ object Bench {
       val nBig = nSmall * 4
       def minT(a: Timing, b: Timing) = Timing(
         math.min(a.mapOnly, b.mapOnly), math.min(a.full, b.full))
-      val scaleRounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "6").toInt
+      val scaleRounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "5").toInt
       var tBig = Timing(Double.MaxValue, Double.MaxValue)
       var tSmall = Timing(Double.MaxValue, Double.MaxValue)
       val samplesBig = Vector.newBuilder[Timing]
