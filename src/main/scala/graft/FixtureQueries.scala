@@ -123,6 +123,19 @@ object FixtureQueries {
     // C12: per-file status counts (main_parse_pdfs.py:520-532)
     "x12_status_counts" -> ((s, _) =>
       result(s).stats.toDF().groupBy("status").count()),
+    // S5: the xlsx sink (the reference's actual sheet format) — write the
+    // pivot, read it back, and the result must hash-match x03's oracle
+    "x16_xlsx_roundtrip" -> ((s, _) => {
+      import s.implicits._
+      val pivot = result(s).pivot
+      val path = java.nio.file.Files.createTempDirectory("graft-x16")
+        .resolve("pivot.xlsx").toString
+      graft.io.Xlsx.write(pivot, path)
+      val (header, rows) = graft.io.Xlsx.read(path)
+      val data = rows.map(r =>
+        (r(0).toDouble.toInt, r(1), r(2), r(3), r(4), r(5)))
+      s.createDataset(data).toDF(header: _*)
+    }),
     // M4+M5+M7+P7+P8 composed: the v1 TableFinder bbox-continuation flow
     // (find_tables_with_context, table_finder.py:23-90)
     "x14_fixture_tablefinder" -> ((s, _) => {
@@ -152,6 +165,8 @@ object FixtureQueries {
     "x04_fixture_month" ->
       s"""WITH page1(doc_id, text) AS (VALUES
          |  $page1Values)
-         |SELECT doc_id, ${SparkEntry.monthSql("text")} AS publish_month FROM page1""".stripMargin
+         |SELECT doc_id, ${SparkEntry.monthSql("text")} AS publish_month FROM page1""".stripMargin,
+    // the xlsx round trip must reproduce the pivot exactly
+    "x16_xlsx_roundtrip" -> FixtureGoldens.oracleSql("x03_fixture_pivot")
   ) ++ FixtureGoldens.oracleSql
 }
