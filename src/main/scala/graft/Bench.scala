@@ -24,9 +24,12 @@ import org.apache.spark.storage.StorageLevel
   * threads over ~16 physical cores — a pure-CPU calibration burn measures
   * only ~2.8x total throughput from 8 -> 32 threads (0.70 ceiling), so NO
   * wall-clock job can reach 0.8 on that pair. The scaling pair is therefore
-  * N=2 vs 4N=8 (physical cores; calibrated ceiling ~0.9), and the burn's
+  * N=2 vs 4N=8 (physical cores; calibrated ceiling ~1.0), and the burn's
   * own ceiling for the pair is reported next to the job's efficiency so the
-  * number can be judged against what the hardware permits.
+  * number can be judged against what the hardware permits. Shuffle blocks
+  * go to tmpfs (see session()) so the comparison measures the job rather
+  * than the box's single shared disk; per-round samples are embedded so
+  * external-tenant noise is auditable.
   */
 object Bench {
 
@@ -97,9 +100,9 @@ object Bench {
     *  - mapOnly: scan -> chunk -> extract (NO shuffle) — the extraction
     *    stage proper, whose N->4N scaling is bounded only by CPU;
     *  - full: the end-to-end flagship (extract -> co-grouped merge ->
-    *    output span sequences), which adds one shuffle whose disk I/O is a
-    *    shared resource on a single box (on a real cluster each executor
-    *    node brings its own disks, so this term scales with nodes).
+    *    output span sequences), which adds one shuffle (through tmpfs —
+    *    on a real cluster each executor node brings its own shuffle disks,
+    *    so that term scales with nodes; a single box's one disk does not).
     * One warmup each + `reps` timed runs; best times. */
   private def extractionBest(cores: Int, path: String, reps: Int,
       warm: Boolean = true): Timing = {

@@ -240,13 +240,13 @@ object Dedup {
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
   /** SimHash near-dup pairs: 4 x 16-bit band blocking, verified by full
-    * Hamming distance <= maxHamming. */
+    * Hamming distance <= maxHamming. The signature is a native Catalyst
+    * expression (graft.functions.SimHash64) so the whole plan — signature,
+    * banding, join, bit_count verify — stays inside codegen with no typed
+    * encoder round-trip. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val sigs = docs.select("doc_id", "text").as[(Long, String)]
-      .map { case (id, text) => (id, simhash64(text)) }
-      .toDF("doc_id", "sig")
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.SimHash64.simhash64Col(col("text")).as("sig"))
     val banded = sigs.select(
       col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(b =>

@@ -114,13 +114,41 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
-  test("simhashPairs hamming verify stays codegen'd (no UDF node in the plan)") {
-    val docs = docsDF((1L, "a b c"), (2L, "a b d"))
-    val plan = Dedup.simhashPairs(docs, maxHamming = 12)
-      .queryExecution.executedPlan.toString
+  test("simhashPairs is expression-only end to end (no UDF, no typed-map boundary)") {
+    // a parquet-backed input: over a LocalRelation the optimizer evaluates
+    // the (deterministic) signature expression at PLANNING time and it
+    // vanishes from the plan
+    val dir = java.nio.file.Files.createTempDirectory("graft-simhash").toString
+    docsDF((1L, "a b c"), (2L, "a b d")).write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val df = Dedup.simhashPairs(docs, maxHamming = 12)
+    val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("BatchEval") && !plan.contains("ScalaUDF"),
       s"UDF node found in:\n$plan")
-    assert(plan.contains("bit_count"))
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("MapElements"),
+      s"typed encoder boundary found in:\n$plan")
+    assert(plan.contains("bit_count") && plan.contains("graft_simhash64"))
+    // the expression computes the same signatures as the pure kernel
+    import spark.implicits._
+    val sig = docs.select(graft.functions.SimHash64.simhash64Col(col("text")))
+      .as[Long].collect()
+    assert(sig.toSeq == Seq(Dedup.simhash64("a b c"), Dedup.simhash64("a b d")))
+  }
+
+  test("approx distinct (HLL) tracks exact distinct within tolerance") {
+    // the reference has no approx-distinct; the engine gets HLL++ free —
+    // pin that the plan uses the approximate aggregate and lands within
+    // its default 5% relative error on a 2k-key column
+    val docs = (0 until 10000).map(i => (i.toLong, s"key${i % 2000}"))
+      .toDF("doc_id", "text")
+    val df = docs.agg(
+      approx_count_distinct(col("text")).as("approx"),
+      countDistinct(col("text")).as("exact"))
+    assert(df.queryExecution.executedPlan.toString.contains("approx_count_distinct"))
+    val r = df.collect().head
+    val (approx, exact) = (r.getLong(0), r.getLong(1))
+    assert(exact == 2000L)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1, s"approx=$approx")
   }
 
   test("ngram jaccard blocking key scales: min-shingle cardinality grows with corpus") {
