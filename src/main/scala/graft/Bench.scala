@@ -196,6 +196,18 @@ object Bench {
       val efficiencyMap = tSmall.mapOnly / (4.0 * tBig.mapOnly)
       def sampleArr(ts: Seq[Timing], f: Timing => Double) =
         ts.map(t => f"${f(t)}%.2f").mkString("[", ",", "]")
+      // Robust companion estimator: the min-of-rounds ratio is biased by
+      // WHICH config catches a quiet window (a loaded small side inflates
+      // it, a loaded big side deflates it). Each round's big/small runs are
+      // adjacent in time and share external load, so the per-round PAIRED
+      // ratio cancels it; report the median of those pairs alongside.
+      def pairedMedian(f: Timing => Double): Double = {
+        val ratios = samplesSmall.result().zip(samplesBig.result())
+          .map { case (s, b) => f(s) / (4.0 * f(b)) }.sorted
+        ratios(ratios.length / 2)
+      }
+      val effPaired = pairedMedian(_.full)
+      val effPairedMap = pairedMedian(_.mapOnly)
 
       // CPU calibration for the same core pair
       val opsSmall = burn(nSmall, 2000)
@@ -205,9 +217,11 @@ object Bench {
       scaling =
         s"""{"n_small":$nSmall,"n_big":$nBig,"docs":$scaleDocs,""" +
           s""""full_job":{"t_small":${tSmall.full},"t_big":${tBig.full},""" +
-          s""""speedup":${tSmall.full / tBig.full},"efficiency":$efficiency},""" +
+          s""""speedup":${tSmall.full / tBig.full},"efficiency":$efficiency,""" +
+          s""""efficiency_paired_median":$effPaired},""" +
           s""""extract_stage":{"t_small":${tSmall.mapOnly},"t_big":${tBig.mapOnly},""" +
-          s""""speedup":${tSmall.mapOnly / tBig.mapOnly},"efficiency":$efficiencyMap},""" +
+          s""""speedup":${tSmall.mapOnly / tBig.mapOnly},"efficiency":$efficiencyMap,""" +
+          s""""efficiency_paired_median":$effPairedMap},""" +
           s""""rounds":{"full_small":${sampleArr(samplesSmall.result(), _.full)},""" +
           s""""full_big":${sampleArr(samplesBig.result(), _.full)},""" +
           s""""map_small":${sampleArr(samplesSmall.result(), _.mapOnly)},""" +
