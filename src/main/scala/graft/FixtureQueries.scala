@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.layout.{ContextExtractor, CrossPage, FixtureCorpus, SemanticMatch, SpanDoc, TableDetector, TableFinder}
+import graft.layout.{Boilerplate, ContextExtractor, CrossPage, FixtureCorpus, HtmlFixtures, SemanticMatch, SpanDoc, TableDetector, TableFinder}
 import graft.pipeline.{Checkpointing, ExtractionPipeline}
 
 /** Driver-facing queries over the deterministic fixture corpus (the
@@ -136,6 +136,37 @@ object FixtureQueries {
         (r(0).toDouble.toInt, r(1), r(2), r(3), r(4), r(5)))
       s.createDataset(data).toDF(header: _*)
     }),
+    // HTML boilerplate strip / DOM heuristics (the north rule's third
+    // capability; no reference impl — semantics are the published
+    // jusText/Boilerpipe heuristics, see Boilerplate.scala). x17 exposes
+    // the per-block classification; x18 the emitted main-content span
+    // sequence (the engine's input_hint shape — HTML as a second source).
+    "x17_boilerplate_blocks" -> ((s, _) => {
+      import s.implicits._
+      s.createDataset(HtmlFixtures.docs).flatMap { d =>
+        Boilerplate.blocks(d.html).map { b =>
+          (d.doc_id, b.idx, b.tag, b.tagPath, b.nWords,
+            math.floor(b.linkDensity * 10000).toLong,
+            math.floor(b.stopwordDensity * 10000).toLong,
+            b.heading, b.label, b.text)
+        }
+      }.toDF("doc_id", "block_idx", "tag", "tag_path", "n_words",
+        "link_density_bp", "stopword_bp", "heading", "label", "text")
+    }),
+    "x18_main_spans" -> ((s, _) => {
+      import s.implicits._
+      Boilerplate.extractMain(s.createDataset(HtmlFixtures.docs)).flatMap { d =>
+        d.spans.map(sp => (d.doc_id, sp.offset, sp.kind, sp.text, sp.media_ref))
+      }.toDF("doc_id", "ord", "kind", "text", "media_ref")
+    }),
+    // the codegen tag-strip path: pure expression chain on both sides, so
+    // the DuckDB oracle is genuinely independent logic (same regex chain
+    // evaluated by RE2 over the same VALUES input)
+    "x19_striptags" -> ((s, _) => {
+      import s.implicits._
+      s.createDataset(HtmlFixtures.docs).toDF("doc_id", "html")
+        .select(col("doc_id"), Boilerplate.stripTagsColumn(col("html")).as("text"))
+    }),
     // M4+M5+M7+P7+P8 composed: the v1 TableFinder bbox-continuation flow
     // (find_tables_with_context, table_finder.py:23-90)
     "x14_fixture_tablefinder" -> ((s, _) => {
@@ -161,11 +192,22 @@ object FixtureQueries {
     }.mkString(",\n  ")
   }
 
+  /** VALUES literal of the raw HTML fixture corpus — again straight from
+    * the INPUT, so x19's oracle re-runs the strip logic independently. */
+  private def htmlValues: String = {
+    def q(s: String): String = "'" + s.replace("'", "''") + "'"
+    HtmlFixtures.docs.map(d => s"(${q(d.doc_id)}, ${q(d.html)})").mkString(",\n  ")
+  }
+
   def oracleSql: Map[String, String] = Map(
     "x04_fixture_month" ->
       s"""WITH page1(doc_id, text) AS (VALUES
          |  $page1Values)
          |SELECT doc_id, ${SparkEntry.monthSql("text")} AS publish_month FROM page1""".stripMargin,
+    "x19_striptags" ->
+      s"""WITH corpus(doc_id, html) AS (VALUES
+         |  $htmlValues)
+         |SELECT doc_id, ${Boilerplate.stripTagsSql("html")} AS text FROM corpus""".stripMargin,
     // the xlsx round trip must reproduce the pivot exactly
     "x16_xlsx_roundtrip" -> FixtureGoldens.oracleSql("x03_fixture_pivot")
   ) ++ FixtureGoldens.oracleSql

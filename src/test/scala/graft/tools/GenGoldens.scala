@@ -21,7 +21,8 @@ object GenGoldens {
     "x01_fixture_stats", "x02_fixture_corpus", "x03_fixture_pivot",
     "x05_fixture_spans", "x06_fixture_candidates", "x07_fixture_context",
     "x08_fixture_spanning", "x09_fixture_semantic", "x10_multimodal_meta",
-    "x11_resume_counts", "x12_status_counts", "x14_fixture_tablefinder")
+    "x11_resume_counts", "x12_status_counts", "x14_fixture_tablefinder",
+    "x17_boilerplate_blocks", "x18_main_spans")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
