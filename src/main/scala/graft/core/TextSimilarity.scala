@@ -18,12 +18,15 @@ import scala.collection.mutable
   *    (reference: src/v3_stable/step_5_pivot_table.py:45-49).
   *    Levenshtein.ratio is the indel ratio 2*LCS/(|a|+|b|); fuzz.ratio
   *    rounds it to an int with Python round() (half-to-even).
-  *    partial_ratio is fuzzywuzzy's best-matching-substring score; we
-  *    evaluate the indel ratio of the shorter string against *every*
-  *    alignment window of the longer string (a deterministic superset of
-  *    fuzzywuzzy's editop-anchored candidate starts — scores can only be
-  *    >= the reference heuristic, never below), with the same 0.995
-  *    short-circuit to 100. The divergence is pinned empirically:
+  *    partial_ratio is fuzzywuzzy's best-matching-substring score: the
+  *    indel ratio of the shorter string against the windows of the longer
+  *    string anchored at Levenshtein editops matching blocks
+  *    (long_start = dpos - spos per block, the terminating zero-block
+  *    included), with the 0.995 short-circuit to 100. [[levMatchingBlocks]]
+  *    reproduces python-Levenshtein's editops backtrack including its
+  *    direction bias, so the candidate set — not a superset of it — is
+  *    evaluated; [[fuzzPartialRatioAllWindows]] keeps the every-window
+  *    upper bound for property tests. Pinned empirically:
   *    ReferencePivotDifferentialSpec replays the reference's OWN 304-row
   *    corpus sheet (data/terminal-evaluation-report_0.1.0.xlsx) through
   *    matchL1 and reproduces its published pivot (real fuzzywuzzy +
@@ -137,11 +140,112 @@ object TextSimilarity {
   /** fuzz.ratio: int(round(100 * Levenshtein.ratio)). */
   def fuzzRatio(a: String, b: String): Int = Blank.pyRound(100.0 * indelRatio(a, b))
 
-  /** fuzz.partial_ratio: best indel ratio of the shorter string against
-    * windows of the longer; window of shorter-length at every start
-    * (truncated at the tail, like fuzzywuzzy's longer[long_start:long_end]).
-    * Any window ratio > 0.995 short-circuits to 100. */
+  private final val OpInsert = 0
+  private final val OpDelete = 1
+  private final val OpReplace = 2
+
+  /** Matching blocks of an optimal Levenshtein edit script, exactly as
+    * fuzzywuzzy's StringMatcher.get_matching_blocks() computes them when
+    * python-Levenshtein is installed: `matching_blocks(editops(s1,s2))`.
+    * The backtrack reproduces editops_from_cost_matrix from the
+    * python-Levenshtein C source (_levenshtein.c) including its `dir`
+    * bias — after an insert (resp. delete) run it keeps taking inserts
+    * (deletes) while they stay optimal, and a diagonal move resets the
+    * bias — because WHICH optimal path is chosen decides the block
+    * anchors partial_ratio scores from. Returns (spos, dpos, size)
+    * triples plus the difflib-style (|s1|, |s2|, 0) terminator. */
+  def levMatchingBlocks(s1: String, s2: String): Vector[(Int, Int, Int)] = {
+    val l1 = s1.length
+    val l2 = s2.length
+    val w = l2 + 1
+    val m = new Array[Int]((l1 + 1) * w)
+    var i = 0
+    while (i <= l1) { m(i * w) = i; i += 1 }
+    var j = 0
+    while (j <= l2) { m(j) = j; j += 1 }
+    i = 1
+    while (i <= l1) {
+      val c1 = s1.charAt(i - 1)
+      j = 1
+      while (j <= l2) {
+        val sub = m((i - 1) * w + j - 1) + (if (c1 == s2.charAt(j - 1)) 0 else 1)
+        val dl = m((i - 1) * w + j) + 1
+        val in = m(i * w + j - 1) + 1
+        m(i * w + j) = math.min(sub, math.min(dl, in))
+        j += 1
+      }
+      i += 1
+    }
+    // backtrack (ops emitted back-to-front, prepended => forward order)
+    var ops = List.empty[(Int, Int, Int)] // (type, spos, dpos)
+    var ii = l1
+    var jj = l2
+    var dir = 0
+    while (ii > 0 || jj > 0) {
+      val cur = m(ii * w + jj)
+      if (dir < 0 && jj > 0 && cur == m(ii * w + jj - 1) + 1) {
+        jj -= 1; ops = (OpInsert, ii, jj) :: ops
+      } else if (dir > 0 && ii > 0 && cur == m((ii - 1) * w + jj) + 1) {
+        ii -= 1; ops = (OpDelete, ii, jj) :: ops
+      } else if (ii > 0 && jj > 0 && cur == m((ii - 1) * w + jj - 1) &&
+                 s1.charAt(ii - 1) == s2.charAt(jj - 1)) {
+        ii -= 1; jj -= 1; dir = 0
+      } else if (ii > 0 && jj > 0 && cur == m((ii - 1) * w + jj - 1) + 1) {
+        ii -= 1; jj -= 1; dir = 0; ops = (OpReplace, ii, jj) :: ops
+      } else if (dir == 0 && jj > 0 && cur == m(ii * w + jj - 1) + 1) {
+        jj -= 1; dir = -1; ops = (OpInsert, ii, jj) :: ops
+      } else if (dir == 0 && ii > 0 && cur == m((ii - 1) * w + jj) + 1) {
+        ii -= 1; dir = 1; ops = (OpDelete, ii, jj) :: ops
+      } else {
+        throw new IllegalStateException("lost in the cost matrix")
+      }
+    }
+    // ops -> matching blocks (lev_editops_matching_blocks)
+    val blocks = Vector.newBuilder[(Int, Int, Int)]
+    var sp = 0
+    var dp = 0
+    ops.foreach { case (tpe, spos, dpos) =>
+      if (sp < spos || dp < dpos) {
+        blocks += ((sp, dp, spos - sp))
+        sp = spos; dp = dpos
+      }
+      tpe match {
+        case OpReplace => sp += 1; dp += 1
+        case OpDelete => sp += 1
+        case OpInsert => dp += 1
+      }
+    }
+    if (sp < l1 || dp < l2) blocks += ((sp, dp, l1 - sp))
+    blocks += ((l1, l2, 0))
+    blocks.result()
+  }
+
+  /** fuzz.partial_ratio, exact: indel ratio of the shorter string against
+    * the longer's windows anchored at each matching block
+    * (long_start = max(dpos - spos, 0), window truncated at the tail like
+    * fuzzywuzzy's longer[long_start:long_end]); any window ratio > 0.995
+    * short-circuits to 100. */
   def fuzzPartialRatio(a: String, b: String): Int = {
+    val (shorter, longer) = if (a.length <= b.length) (a, b) else (b, a)
+    val blocks = levMatchingBlocks(shorter, longer)
+    var best = 0.0
+    var bi = 0
+    while (bi < blocks.length) {
+      val (spos, dpos, _) = blocks(bi)
+      val longStart = math.min(math.max(dpos - spos, 0), longer.length)
+      val longEnd = math.min(longStart + shorter.length, longer.length)
+      val r = indelRatio(shorter, longer.substring(longStart, longEnd))
+      if (r > 0.995) return 100
+      if (r > best) best = r
+      bi += 1
+    }
+    Blank.pyRound(100.0 * best)
+  }
+
+  /** Every-window upper bound on partial_ratio (the block-anchored
+    * candidate windows are a subset of all windows): kept for property
+    * tests — fuzzPartialRatio can never exceed this. */
+  def fuzzPartialRatioAllWindows(a: String, b: String): Int = {
     val (shorter, longer) = if (a.length <= b.length) (a, b) else (b, a)
     if (shorter.isEmpty) return 100 // ratio("", "") == 1.0 -> > .995 path
     var best = 0.0

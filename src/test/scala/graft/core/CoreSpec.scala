@@ -65,6 +65,28 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(TextSimilarity.fuzzPartialRatio("abcd", "xxabcyy") >= 75)
   }
 
+  test("fuzz partial ratio: published fuzzywuzzy outputs (README/docstring)") {
+    assert(TextSimilarity.fuzzPartialRatio("this is a test", "this is a test!") == 100)
+    assert(TextSimilarity.fuzzPartialRatio("YANKEES", "NEW YORK YANKEES") == 100)
+    // the classic partial < full example — 69 only falls out if the
+    // block-anchored candidate windows are the real fuzzywuzzy set
+    assert(TextSimilarity.fuzzPartialRatio("NEW YORK METS", "NEW YORK YANKEES") == 69)
+  }
+
+  test("lev matching blocks: editops-derived, difflib-style terminator") {
+    // "abcd" vs "xabcy": one insert (x), block abc, then d->y replace
+    assert(TextSimilarity.levMatchingBlocks("abcd", "xabcy") ==
+      Vector((0, 1, 3), (4, 5, 0)))
+    // identical strings: one full block
+    assert(TextSimilarity.levMatchingBlocks("abc", "abc") ==
+      Vector((0, 0, 3), (3, 3, 0)))
+    // disjoint alphabets: replacements only, just the terminator
+    assert(TextSimilarity.levMatchingBlocks("abc", "xyz") == Vector((3, 3, 0)))
+    // empty shorter: terminator anchors the tail window (-> ratio 1.0 -> 100)
+    assert(TextSimilarity.levMatchingBlocks("", "abc") == Vector((0, 3, 0)))
+    assert(TextSimilarity.fuzzPartialRatio("", "abc") == 100)
+  }
+
   test("properties: symmetry and bounds") {
     val gen = Gen.zip(Gen.alphaNumStr.map(_.take(30)), Gen.alphaNumStr.map(_.take(30)))
     forAllSeeded(gen) { case (a: String, b: String) =>
@@ -76,7 +98,10 @@ class TextSimilaritySpec extends AnyFunSuite {
       // difflib's greedy matching never exceeds the optimal LCS total
       assert(dr <= r + 1e-12)
       if (a.nonEmpty || b.nonEmpty) {
-        assert(TextSimilarity.fuzzPartialRatio(a, b) >= TextSimilarity.fuzzRatio(a, b) - 1)
+        val exact = TextSimilarity.fuzzPartialRatio(a, b)
+        // the block-anchored candidate windows are a subset of all windows
+        assert(exact <= TextSimilarity.fuzzPartialRatioAllWindows(a, b))
+        assert(exact >= 0 && exact <= 100)
       }
     }
   }
