@@ -202,7 +202,16 @@ object SparkEntry {
       //      the hash family is ours; correctness pinned in OpsSpec:207-227)
       "q20_fingerprint64" -> ((s, d) =>
         t(s, d, "documents").select(col("doc_id"),
-          TextAnalysis.fingerprint64(col("text")).as("fp64"))))
+          TextAnalysis.fingerprint64(col("text")).as("fp64"))),
+      // ---- IVF-partitioned ANN (coarse k-means cells + probe + exact
+      //      re-rank). The quantizer is deterministic by construction
+      //      (micro-quantized long-sum updates), so the oracle replays the
+      //      ENTIRE chain — centroid evolution included — in DuckDB.
+      "q23_knn_ivf" -> ((s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 20),
+          k = 5, nLists = 16, nProbe = 4, iters = 2)
+      }))
 
     relational ++ text ++ FixtureQueries.queries
   }
@@ -445,5 +454,8 @@ object SparkEntry {
          |  CAST(floor($dot / (sqrt($na) * sqrt($nb)) * 1e6) AS BIGINT) AS sim_micro
          |FROM cand JOIN emb a ON a.vec_id = id_a JOIN emb b ON b.vec_id = id_b
          |WHERE floor($dot / (sqrt($na) * sqrt($nb)) * 1e6) >= 350000""".stripMargin
-    }) ++ FixtureQueries.oracleSql
+    },
+    "q23_knn_ivf" ->
+      Similarity.ivfKnnSql(queryPred = "e.vec_id < 20", k = 5, nLists = 16,
+        nProbe = 4, iters = 2, dim = 64)) ++ FixtureQueries.oracleSql
 }

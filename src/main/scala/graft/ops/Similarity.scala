@@ -182,4 +182,165 @@ object Similarity {
       s"(CASE WHEN list_reduce(list_transform(list_zip($embExpr, $plane), " +
         s"p -> p[1]*p[2]), (x,y) -> x+y) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  // =====================================================================
+  // IVF (inverted-file) ANN — the coarse-quantizer scale path
+  // =====================================================================
+
+  /** Deterministic IVF coarse quantizer (k-means, Lloyd iterations).
+    *
+    * Determinism is the design constraint — the same input must give the
+    * same cells on any partitioning and in any engine:
+    *  - init: the `nLists` lowest-vec_id vectors, micro-quantized
+    *    (floor(x*1e6) as long);
+    *  - update: per-dimension MEAN computed as a LONG sum of the
+    *    micro-quantized values divided by the member count — long addition
+    *    is associative/commutative, so the result is independent of
+    *    partition order (a double sum would not be);
+    *  - assignment: squared-L2 ordered fold against the centroid literals,
+    *    ties to the lowest cell id.
+    *
+    * Centroids round-trip through the driver once per iteration
+    * (nLists x dim longs — the standard k-means driver state, bounded and
+    * broadcast back as literals). Cells that lose all members keep their
+    * previous centroid. Returns centroids in micro-units. */
+  def ivfCentroidsMicro(embeddings: DataFrame, nLists: Int,
+      iters: Int = 2): Array[Array[Long]] = {
+    val emb = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb_d"))
+    var centroids: Array[Array[Long]] =
+      emb.orderBy("vec_id").limit(nLists).select("emb_d").collect()
+        .map(_.getSeq[Double](0).toArray.map(d => math.floor(d * 1e6).toLong))
+    var it = 0
+    while (it < iters) {
+      val sums = emb
+        .withColumn("list_id", ivfAssign(col("emb_d"), centroids))
+        .select(col("list_id"), posexplode(col("emb_d")).as(Seq("pos", "v")))
+        .groupBy("list_id", "pos")
+        .agg(sum(floor(col("v") * 1e6).cast("long")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        next(r.getAs[Int]("list_id"))(r.getAs[Int]("pos")) =
+          math.floor(r.getAs[Long]("s").toDouble / r.getAs[Long]("n")).toLong
+      }
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  private def centroidLit(cm: Array[Long]): Column =
+    array(cm.map(q => lit(q.toDouble / 1e6)): _*)
+
+  /** Squared-L2 distance-and-cell structs against every centroid. */
+  private def ivfDistStructs(vec: Column, centroidsMicro: Array[Array[Long]]): Seq[Column] =
+    centroidsMicro.toIndexedSeq.zipWithIndex.map { case (cm, j) =>
+      val d = aggregate(zip_with(vec, centroidLit(cm), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, x) => acc + x)
+      struct(d.as("d"), lit(j).as("j"))
+    }
+
+  /** Nearest cell id (argmin by (distance, cell id)) — expression-only. */
+  def ivfAssign(vec: Column, centroidsMicro: Array[Array[Long]]): Column =
+    array_min(array(ivfDistStructs(vec, centroidsMicro): _*)).getField("j")
+
+  /** IVF-partitioned ANN: corpus vectors live in their nearest coarse
+    * cell; each query probes its `nProbe` nearest cells and re-ranks
+    * exactly (cosine) inside them.
+    *
+    * The 100 TB shape this models: the corpus shuffles ONCE on `list_id`
+    * (or is written bucketed by it, making repeated query batches
+    * shuffle-free), queries are small and broadcast, and per-query work
+    * drops from |corpus| to ~|corpus| * nProbe / nLists. Every neighbor
+    * lives in exactly one cell, so probing never produces duplicate
+    * candidate pairs (no distinct needed — contrast the multi-table LSH
+    * path). Recall < 1 by design; measured vs [[bruteKnn]] in OpsSpec. */
+  def ivfKnn(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
+      nLists: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val centroids = ivfCentroidsMicro(embeddings, nLists, iters)
+    val corpus = embeddings
+      .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("emb_n"))
+      .withColumn("list_id", ivfAssign(col("emb_n"), centroids))
+    val probed = queries
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("emb_q"))
+      .withColumn("cells",
+        slice(array_sort(array(ivfDistStructs(col("emb_q"), centroids): _*)), 1, nProbe))
+      .select(col("query_id"), col("emb_q"), explode(col("cells.j")).as("list_id"))
+    val scored = corpus.join(broadcast(probed), Seq("list_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("emb_q"), col("emb_n")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        floor(col("sim") * 1e6).cast("long").as("sim_micro"))
+  }
+
+  /** The complete IVF chain as DuckDB SQL — init, `iters` Lloyd rounds
+    * with the same micro-quantized long-sum update, assignment, probe, and
+    * exact re-rank — over the same parquet table, so the driver verifies
+    * the whole operator (centroid evolution included) independently.
+    * Every arithmetic step mirrors the Spark expressions: ordered
+    * list_reduce folds, floor(x*1e6) quantization, (d, j) tie-breaks. */
+  def ivfKnnSql(queryPred: String, k: Int, nLists: Int, nProbe: Int,
+      iters: Int, dim: Int): String = {
+    def cmToDouble(cm: String) =
+      s"list_transform($cm, q -> CAST(q AS DOUBLE)/1000000.0)"
+    def l2(a: String, b: String) =
+      s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2])), (x,y) -> x+y)"
+    val quant = "list_transform(emb, x -> CAST(floor(x*1000000.0) AS BIGINT))"
+    val init =
+      s"""c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, $quant AS cm
+         |  FROM emb ORDER BY vec_id LIMIT $nLists)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      val prev = s"c${r - 1}"
+      s"""a$r AS (
+         |  SELECT vec_id, emb, list_id FROM (
+         |    SELECT e.vec_id, e.emb, c.j AS list_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2("e.emb", cmToDouble("c.cm"))}, c.j) AS rn
+         |    FROM emb e CROSS JOIN $prev c) WHERE rn = 1),
+         |s$r AS (
+         |  SELECT list_id, pos,
+         |    CAST(floor(CAST(sum(CAST(floor(emb[pos]*1000000.0) AS BIGINT)) AS DOUBLE)
+         |         / count(*)) AS BIGINT) AS cq
+         |  FROM a$r CROSS JOIN (SELECT unnest(range(1, $dim + 1)) AS pos) p
+         |  GROUP BY 1, 2),
+         |c$r AS (
+         |  SELECT c.j, COALESCE(u.cm, c.cm) AS cm
+         |  FROM $prev c LEFT JOIN
+         |    (SELECT list_id AS j, list(cq ORDER BY pos) AS cm FROM s$r GROUP BY 1) u
+         |    ON c.j = u.j)""".stripMargin
+    }.mkString(",\n")
+    val cf = s"c$iters"
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |$init,
+       |$rounds,
+       |assigned AS (
+       |  SELECT vec_id, emb, list_id FROM (
+       |    SELECT e.vec_id, e.emb, c.j AS list_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${l2("e.emb", cmToDouble("c.cm"))}, c.j) AS rn
+       |    FROM emb e CROSS JOIN $cf c) WHERE rn = 1),
+       |probed AS (
+       |  SELECT vec_id AS query_id, emb AS emb_q, list_id FROM (
+       |    SELECT e.vec_id, e.emb, c.j AS list_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${l2("e.emb", cmToDouble("c.cm"))}, c.j) AS rn
+       |    FROM emb e CROSS JOIN $cf c WHERE $queryPred) WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    list_reduce(list_transform(list_zip(p.emb_q, a.emb), p2 -> p2[1]*p2[2]), (x,y) -> x+y)
+       |      / (sqrt(list_reduce(list_transform(p.emb_q, x -> x*x), (x,y) -> x+y))
+       |         * sqrt(list_reduce(list_transform(a.emb, x -> x*x), (x,y) -> x+y))) AS sim
+       |  FROM probed p JOIN assigned a ON p.list_id = a.list_id
+       |  WHERE p.query_id <> a.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank,
+       |    CAST(floor(sim*1e6) AS BIGINT) AS sim_micro
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, sim_micro FROM ranked WHERE rank <= $k""".stripMargin
+  }
 }

@@ -232,6 +232,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.05) // low-threshold pairs on random vectors: candidates only
   }
 
+  test("IVF centroids are partitioning-independent (long-sum determinism)") {
+    val c1 = Similarity.ivfCentroidsMicro(emb.repartition(7), nLists = 8, iters = 2)
+    val c2 = Similarity.ivfCentroidsMicro(emb.repartition(3), nLists = 8, iters = 2)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+  }
+
+  test("IVF ANN: exact sims on probed candidates, nontrivial recall@5") {
+    val brute = Similarity.bruteKnn(emb, emb, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val bruteSims = Similarity.bruteKnn(emb, emb, k = 100).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Long]("sim_micro")).toMap
+    val ivf = Similarity.ivfKnn(emb, emb, k = 5, nLists = 8, nProbe = 3).collect()
+    // every IVF result carries the IDENTICAL exact cosine (re-rank is exact)
+    ivf.foreach { r =>
+      val ids = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(bruteSims.get(ids).contains(r.getAs[Long]("sim_micro")), ids)
+    }
+    val found = ivf.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (brute & found).size.toDouble / brute.size
+    info(f"IVF recall@5 = $recall%.2f (nLists=8, nProbe=3)")
+    assert(recall > 0.3) // random 16-dim data, 3/8 cells probed
+  }
+
   test("adaptiveBits keeps bucket count proportional to corpus size") {
     assert(Similarity.adaptiveBits(500) == 6)   // the sf0.01 embeddings table
     assert(Similarity.adaptiveBits(2000) == 8)  // sf0.1
