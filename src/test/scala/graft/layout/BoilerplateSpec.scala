@@ -108,4 +108,31 @@ class BoilerplateSpec extends AnyFunSuite {
     val bomb = "<body>" + (1 to (MaxBlocks + 100)).map(i => s"<p>x$i</p>").mkString + "</body>"
     assert(blocks(bomb).size == MaxBlocks)
   }
+
+  test("HTML is a second source: extractMain output feeds the pipeline") {
+    val spark = graft.pipeline.TestSpark.spark
+    import spark.implicits._
+    // an HTML doc whose main content carries a publish month, alongside
+    // the fixture corpus; the stripped span docs run through the SAME
+    // extraction pipeline as span-grammar documents
+    val dated = HtmlDoc("11_dated.html",
+      "<body><p>This terminal evaluation report was finalized and published " +
+        "in Geneva during April 2022 after the review by the evaluation " +
+        "office had been completed and the management response had been " +
+        "received from all of the implementing partners involved.</p></body>")
+    val docs = Boilerplate.extractMain(
+      spark.createDataset(HtmlFixtures.docs :+ dated))
+    val r = graft.pipeline.ExtractionPipeline.run(spark, docs,
+      persistIntermediate = false)
+    val stats = r.stats.collect()
+    assert(stats.length == HtmlFixtures.docs.length + 1)
+    // prose-only docs: pipeline degrades cleanly (no tables found)
+    assert(stats.forall(_.criterion_tables_count == 0))
+    val byId = stats.map(s => s.doc_id -> s).toMap
+    assert(byId("11_dated.html").publish_month.contains("April 2022"))
+    assert(byId("h01_article.html").publish_month.isEmpty)
+    assert(stats.forall(_.status == "not_found"))
+    // output-span contract: docs with no criterion tables emit no spans
+    assert(r.outSpans.count() == 0)
+  }
 }
