@@ -211,6 +211,34 @@ object SparkEntry {
         val emb = t(s, d, "embeddings")
         Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 20),
           k = 5, nLists = 16, nProbe = 4, iters = 2)
+      }),
+      // ---- bucketed co-located join: both sides written bucketed by the
+      //      join key, so the sort-merge join needs ZERO shuffle exchanges
+      //      (the write-once / join-free-forever layout for doc-keyed
+      //      enrichment at scale). The exchange count is part of the
+      //      driver-compared output — the scale claim is oracle-checked,
+      //      not just asserted in a test.
+      "x20_bucketed_join" -> ((s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("graft-x20").toString
+        val docs = t(s, d, "documents")
+        val left = docs.select(col("doc_id"), length(col("text")).as("text_len"))
+        val right = docs.select(col("doc_id"),
+          TextAnalysis.fingerprint64(col("text")).as("fp64"))
+        graft.io.Bucketed.writeBucketed(left, "graft_x20_left", s"$dir/left", 8, "doc_id")
+        graft.io.Bucketed.writeBucketed(right, "graft_x20_right", s"$dir/right", 8, "doc_id")
+        val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+        try {
+          val joined = s.table("graft_x20_left").join(s.table("graft_x20_right"), "doc_id")
+          val n = joined.count()
+          val ex = graft.io.Bucketed.shuffleExchangeCount(joined).toLong
+          Seq(("joined_rows", n), ("shuffle_exchanges_join", ex)).toDF("metric", "n")
+        } finally {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+          s.sql("DROP TABLE IF EXISTS graft_x20_left")
+          s.sql("DROP TABLE IF EXISTS graft_x20_right")
+        }
       }))
 
     relational ++ text ++ FixtureQueries.queries
@@ -457,5 +485,9 @@ object SparkEntry {
     },
     "q23_knn_ivf" ->
       Similarity.ivfKnnSql(queryPred = "e.vec_id < 20", k = 5, nLists = 16,
-        nProbe = 4, iters = 2, dim = 64)) ++ FixtureQueries.oracleSql
+        nProbe = 4, iters = 2, dim = 64),
+    "x20_bucketed_join" ->
+      """SELECT 'joined_rows' AS metric, count(*) AS n FROM documents
+        |UNION ALL SELECT 'shuffle_exchanges_join', 0""".stripMargin) ++
+    FixtureQueries.oracleSql
 }
