@@ -384,6 +384,7 @@ object SparkEntry {
       }
       s"""SELECT doc_id,
          |  len($toks) AS n_tokens,
+         |  ${TextAnalysis.bpeTokenCountSql("text")} AS n_tokens_bpe,
          |  CAST(floor(list_sum(list_transform($toks, t -> length(t)))*1000.0 / len($toks)) AS BIGINT) AS mean_token_len_milli,
          |  len(list_filter($toks, t -> list_contains($stops, t))) AS n_stopwords,
          |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,

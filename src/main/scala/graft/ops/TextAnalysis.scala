@@ -21,6 +21,27 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** GPT-2-style pretokenizer alternation (contractions, space-prefixed
+    * letter runs, digit runs, symbol runs, whitespace) — the "BPE-ish"
+    * token boundary rule. Java regex and DuckDB's RE2 share leftmost-first
+    * alternation semantics and Unicode \p classes here, so the count is
+    * oracle-checkable verbatim. */
+  val BpeIshPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish token count: pretokenizer matches that contain a non-space
+    * character (pure-whitespace runs are boundaries, not tokens). */
+  def bpeTokenCount(text: Column): Column =
+    size(filter(regexp_extract_all(text, lit(BpeIshPattern), lit(0)),
+      t => t.rlike("\\S")))
+
+  /** The same count in DuckDB SQL, generated from [[BpeIshPattern]]. */
+  def bpeTokenCountSql(textExpr: String): String = {
+    val pat = BpeIshPattern.replace("'", "''")
+    s"len(list_filter(regexp_extract_all($textExpr, '$pat'), " +
+      s"t -> regexp_matches(t, '\\S')))"
+  }
+
   /** Mean token length in 1/1000s from a materialized tokens column
     * (integer — exact cross-engine compare; Spark's `/` is always double
     * division, so floor+cast keeps it exact). */
@@ -113,6 +134,7 @@ object TextAnalysis {
     counted.select(
       col("doc_id"),
       col("n_tokens"),
+      bpeTokenCount(col("text")).as("n_tokens_bpe"),
       meanTokenLenMilliOf(col("toks")).as("mean_token_len_milli"),
       col("n_stopwords"),
       punctCount(col("text")).as("n_punct"),

@@ -24,6 +24,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(n(1L, "n_stopwords") == 0)
   }
 
+  test("BPE-ish token count: pretokenizer boundaries, contractions split") {
+    def bpe(s: String): Long = Seq((0L, s)).toDF("doc_id", "text")
+      .select(TextAnalysis.bpeTokenCount(col("text")).as("n"))
+      .as[Int].collect().head.toLong
+    assert(bpe("the fast table scan and the slow merge join") == 9)
+    // letters/digits/symbols split into separate runs; punctuation counted
+    assert(bpe("Punct, heavy; text! with? many. marks:") == 12)
+    assert(bpe("it's 42 degrees") == 4) // it | 's | 42 | degrees
+    assert(bpe("") == 0)
+    assert(bpe("   ") == 0) // pure whitespace: boundaries, not tokens
+  }
+
   test("lang id picks the language with most marker hits; und when none") {
     val p = TextAnalysis.profile(docs).collect().map(r =>
       r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
