@@ -140,6 +140,35 @@ object SparkEntry {
         import s.implicits._
         Events.replayHourly(s, t(s, d, "events").as[Events.Event])
       }),
+      // ---- as-of join (time-series enrichment; no Spark built-in):
+      //      each purchase gets the user's most recent click at-or-before
+      //      it. The oracle is DuckDB's NATIVE ASOF LEFT JOIN — an
+      //      independent implementation of the same semantics.
+      "q24_asof_join" -> ((s, d) => {
+        val ev = t(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(floor(col("value") * 100).cast("long")).as("click_cents"))
+          .select(col("user_id"), col("ts"), col("ts").as("click_ts"),
+            col("click_cents"))
+        graft.ops.AsOf.asofJoin(purchases, clicks, key = "user_id", ts = "ts",
+          leftCols = Seq("purchase_id"), rightCols = Seq("click_ts", "click_cents"))
+      }),
+      // ---- set operations (INTERSECT / EXCEPT)
+      "q25_set_ops" -> ((s, d) => {
+        val sn = t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+        val cn = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        sn.intersect(cn).withColumn("which", lit("both"))
+          .unionByName(cn.except(sn).withColumn("which", lit("customer_only")))
+          .unionByName(sn.except(cn).withColumn("which", lit("supplier_only")))
+      }),
+      // ---- CUBE grouping sets (q07 covers ROLLUP)
+      "q26_cube" -> ((s, d) =>
+        t(s, d, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"))),
       // ---- describe() stats incl. exact median (C11)
       "q21_event_value_stats" -> ((s, d) =>
         t(s, d, "events")
@@ -356,6 +385,29 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q24_asof_join" ->
+      """WITH purchases AS (
+        |  SELECT user_id, ts, event_id AS purchase_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, ts, ts AS click_ts,
+        |    max(CAST(floor(value*100) AS BIGINT)) AS click_cents
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2, 3)
+        |SELECT p.user_id, p.ts, p.purchase_id, c.click_ts, c.click_cents
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin,
+    "q25_set_ops" ->
+      """SELECT s_nationkey AS nationkey, 'both' AS which FROM supplier
+        |INTERSECT SELECT c_nationkey, 'both' FROM customer
+        |UNION ALL
+        |(SELECT c_nationkey, 'customer_only' FROM customer
+        | EXCEPT SELECT s_nationkey, 'customer_only' FROM supplier)
+        |UNION ALL
+        |(SELECT s_nationkey, 'supplier_only' FROM supplier
+        | EXCEPT SELECT c_nationkey, 'supplier_only' FROM customer)""".stripMargin,
+    "q26_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
     "q21_event_value_stats" ->
       """WITH c AS (SELECT event_type, CAST(floor(value*100) AS BIGINT) AS cents FROM events)
         |SELECT event_type, count(*) AS n,
