@@ -17,13 +17,15 @@ import graft.streaming.Events
   * are materialized as integers (cents / basis points / microunits) computed
   * with order-deterministic folds so the two engines agree bit-for-bit.
   *
-  * Queries with no SQL-expressible oracle (MinHash-LSH, SimHash — their
-  * char-fold hash families need 64-bit wraparound multiplies DuckDB's
-  * BIGINT rejects) are exposed without an oracle entry: the driver records
-  * a weaker rows-only check, and their semantics are pinned by ScalaTest
-  * (recall vs brute force, etc.). The hyperplane-LSH queries (q18/q19) DO
-  * carry oracles: their signatures are plain double dot-product sign tests,
-  * which DuckDB reproduces bit-for-bit from the same plane constants.
+  * Every query carries an oracle — including the char-fold hash families
+  * (MinHash-LSH, SimHash, fingerprint64), whose 64-bit wraparound
+  * multiplies DuckDB replays in HUGEINT with an explicit mod-2^64 at each
+  * fold step (then a two's-complement cast back to BIGINT). The
+  * hyperplane-LSH oracles (q18/q19) replicate the plane sign tests from
+  * the same constants; the MinHash oracle (q15) inlines the (a,b) affine
+  * params from [[graft.ops.Dedup.hashParams]] so oracle and engine cannot
+  * drift. ScalaTest additionally pins the statistical semantics (recall vs
+  * brute force, etc.).
   */
 object SparkEntry {
 
@@ -201,10 +203,12 @@ object SparkEntry {
       // ---- n-gram Jaccard near-dup pairs on a cheap blocking key
       "q14_ngram_jaccard_pairs" -> ((s, d) =>
         Dedup.ngramJaccardPairs(t(s, d, "documents"), minJaccardBp = 2000L)),
-      // ---- MinHash+LSH near-dup pairs (rows-only: engine-specific hashes)
+      // ---- MinHash+LSH near-dup pairs (oracle replays the full chain:
+      //      shingle char-fold hash, 32 affine mins, banded bucket folds)
       "q15_minhash_lsh_pairs" -> ((s, d) =>
         Dedup.minhashLshPairs(t(s, d, "documents"), minJaccardBp = 2000L)),
-      // ---- SimHash near-dup pairs (rows-only)
+      // ---- SimHash near-dup pairs (oracle rebuilds the 64-bit signature
+      //      from per-token char-fold hashes in HUGEINT)
       "q16_simhash_pairs" -> ((s, d) =>
         Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 18)),
       // ---- brute-force cosine top-k (exactness baseline)
@@ -227,8 +231,8 @@ object SparkEntry {
         Similarity.cosineNearDupPairsLsh(emb, minSimMicro = 350000L,
           nBits = Similarity.adaptiveBits(emb.count()))
       }),
-      // ---- custom codegen expression: rolling-hash fingerprint (rows-only:
-      //      the hash family is ours; correctness pinned in OpsSpec:207-227)
+      // ---- custom codegen expression: rolling-hash fingerprint (oracle
+      //      replays the byte fold in HUGEINT; also pinned in OpsSpec:207-227)
       "q20_fingerprint64" -> ((s, d) =>
         t(s, d, "documents").select(col("doc_id"),
           TextAnalysis.fingerprint64(col("text")).as("fp64"))),
@@ -470,6 +474,111 @@ object SparkEntry {
          |WHERE floor(len(list_intersect(a.sh, b.sh))*10000.0 /
          |       len(list_distinct(list_concat(a.sh, b.sh)))) >= 2000""".stripMargin
     },
+    // The three char-fold-hash oracles below replay Java's 64-bit
+    // wraparound arithmetic in DuckDB: fold in HUGEINT with % 2^64 each
+    // step, then a two's-complement CASE maps the unsigned value back to
+    // the engine's signed BIGINT. Text is ASCII in the test tables, so
+    // ord(char) == UTF-8 byte == UTF-16 code unit and one fold serves all
+    // three hash definitions.
+    "q15_minhash_lsh_pairs" -> {
+      // identical chain to Dedup.minhashLshPairs: tokens -> positional
+      // 3-gram shingles -> char-fold hash mod MinhashPrime -> 32 affine
+      // mins (params inlined from the SAME Dedup.hashParams call the
+      // engine uses) -> 8 banded bucket folds -> bucket join -> exact
+      // Jaccard (distinct shingles) >= 2000 bp
+      val params = Dedup.hashParams(32).zipWithIndex
+        .map { case ((a, b), k) => s"($k, $a, $b)" }.mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id, $toks AS toks FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, greatest(len(toks) - 2, 1)),
+         |      i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) AS shingles
+         |  FROM base),
+         |shrow AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |hm AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(3421674724 AS HUGEINT),
+         |      list_transform(split(s, ''), c -> CAST(ord(c) AS HUGEINT))),
+         |      (h, c) -> (h * 1000003 + c) % (CAST(1 AS HUGEINT) << 64)) AS hu
+         |  FROM shrow),
+         |hmod AS (
+         |  SELECT doc_id,
+         |    CAST((((CASE WHEN hu >= (CAST(1 AS HUGEINT) << 63)
+         |            THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END) % 2038074743)
+         |          + 2038074743) % 2038074743 AS BIGINT) AS h
+         |  FROM hm),
+         |sig AS (
+         |  SELECT doc_id, p.k, min((h * p.a + p.b) % 2038074743) AS sv
+         |  FROM hmod CROSS JOIN (VALUES $params) p(k, a, b)
+         |  GROUP BY doc_id, p.k),
+         |sigs AS (SELECT doc_id, list(sv ORDER BY k) AS sv32 FROM sig GROUP BY doc_id),
+         |buckets AS (
+         |  SELECT doc_id, t.band,
+         |    CAST(list_reduce(
+         |      list_prepend(CAST(3421674724 + t.band AS HUGEINT),
+         |        list_transform(list_slice(sv32, t.band * 4 + 1, t.band * 4 + 4),
+         |          v -> CAST(v AS HUGEINT))),
+         |      (h, v) -> (h * 1000003 + v) % (CAST(1 AS HUGEINT) << 64)) AS HUGEINT) AS bu
+         |  FROM sigs CROSS JOIN (SELECT CAST(range AS INTEGER) AS band FROM range(8)) t),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.bu = b.bu AND a.doc_id < b.doc_id),
+         |dsh AS (SELECT doc_id, list_distinct(shingles) AS ds FROM sh)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST((len(list_intersect(x.ds, y.ds)) * 10000)
+         |    // (len(x.ds) + len(y.ds) - len(list_intersect(x.ds, y.ds))) AS BIGINT) AS jaccard_bp
+         |FROM cand c
+         |JOIN dsh x ON x.doc_id = c.doc_a
+         |JOIN dsh y ON y.doc_id = c.doc_b
+         |WHERE CAST((len(list_intersect(x.ds, y.ds)) * 10000)
+         |    // (len(x.ds) + len(y.ds) - len(list_intersect(x.ds, y.ds))) AS BIGINT) >= 2000""".stripMargin
+    },
+    "q16_simhash_pairs" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |th AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(3421674724 AS HUGEINT),
+         |      list_transform(split(tok, ''), c -> CAST(ord(c) AS HUGEINT))),
+         |      (h, c) -> (h * 1000003 + c) % (CAST(1 AS HUGEINT) << 64)) AS hu
+         |  FROM tok),
+         |bitcnt AS (
+         |  SELECT doc_id, t.bit,
+         |    sum(CASE WHEN (hu >> t.bit) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
+         |  FROM th CROSS JOIN (SELECT CAST(range AS INTEGER) AS bit FROM range(64)) t
+         |  GROUP BY doc_id, t.bit),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN cnt > 0 THEN CAST(CAST(1 AS HUGEINT) << bit AS HUGEINT)
+         |             ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS sigu
+         |  FROM bitcnt GROUP BY doc_id),
+         |s2 AS (
+         |  SELECT doc_id, sigu,
+         |    CAST(CASE WHEN sigu >= (CAST(1 AS HUGEINT) << 63)
+         |         THEN sigu - (CAST(1 AS HUGEINT) << 64) ELSE sigu END AS BIGINT) AS sig
+         |  FROM sigs)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         |FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 18
+         |  AND ((a.sigu % 65536) = (b.sigu % 65536)
+         |    OR ((a.sigu >> 16) % 65536) = ((b.sigu >> 16) % 65536)
+         |    OR ((a.sigu >> 32) % 65536) = ((b.sigu >> 32) % 65536)
+         |    OR ((a.sigu >> 48) % 65536) = ((b.sigu >> 48) % 65536))""".stripMargin,
+    "q20_fingerprint64" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(3421674724 AS HUGEINT),
+        |        list_transform(split(text, ''), c -> CAST(ord(c) AS HUGEINT))),
+        |      (h, c) -> (h * 1000003 + c) % (CAST(1 AS HUGEINT) << 64)) AS hu
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN hu >= (CAST(1 AS HUGEINT) << 63)
+        |       THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END AS BIGINT) AS fp64
+        |FROM f""".stripMargin,
     "q17_knn_bruteforce" -> {
       val dot = "list_reduce(list_transform(list_zip(q.emb, n.emb), p -> p[1]*p[2]), (x,y) -> x+y)"
       val nq = "list_reduce(list_transform(q.emb, x -> x*x), (x,y) -> x+y)"
