@@ -171,6 +171,27 @@ object SparkEntry {
         t(s, d, "orders")
           .cube(col("o_orderstatus"), col("o_orderpriority"))
           .agg(count(lit(1)).as("n_orders"))),
+      // ---- range (interval) join via bin bucketing (no equality key in
+      //      the predicate — naively a nested-loop join; the operator
+      //      manufactures a bin equi-key instead): post-purchase click
+      //      attribution, clicks inside each high-value purchase's 2h window
+      "q27_range_join" -> ((s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), unix_timestamp(col("ts")).as("x"),
+            floor(col("value") * 100).cast("long").as("cents"))
+        val windows = ev
+          .filter(col("event_type") === "purchase" && col("value") >= 200)
+          .select(col("event_id").as("purchase_id"),
+            unix_timestamp(col("ts")).as("lo"))
+          .withColumn("hi", col("lo") + 7199L)
+        graft.ops.RangeJoin
+          .pointsInIntervals(clicks, windows, "x", "lo", "hi", binWidth = 7200L)
+          .groupBy("purchase_id")
+          .agg(count(lit(1)).as("n_clicks"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("cents")).as("click_cents"))
+      }),
       // ---- describe() stats incl. exact median (C11)
       "q21_event_value_stats" -> ((s, d) =>
         t(s, d, "events")
@@ -412,6 +433,20 @@ object SparkEntry {
     "q26_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q27_range_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS x,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'click'),
+        |windows AS (
+        |  SELECT event_id AS purchase_id, CAST(floor(epoch(ts)) AS BIGINT) AS lo,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 7199 AS hi
+        |  FROM events WHERE event_type = 'purchase' AND value >= 200)
+        |SELECT purchase_id, count(*) AS n_clicks,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(cents) AS BIGINT) AS click_cents
+        |FROM clicks JOIN windows ON x >= lo AND x <= hi
+        |GROUP BY 1""".stripMargin,
     "q21_event_value_stats" ->
       """WITH c AS (SELECT event_type, CAST(floor(value*100) AS BIGINT) AS cents FROM events)
         |SELECT event_type, count(*) AS n,
