@@ -192,6 +192,31 @@ object SparkEntry {
             countDistinct(col("user_id")).as("n_users"),
             sum(col("cents")).as("click_cents"))
       }),
+      // ---- same semantics as q27, but written as a PLAIN inequality join:
+      //      the Catalyst optimizer rule (plans.RangeJoinRewrite, the
+      //      SparkSessionExtensions injection) manufactures the bin
+      //      equi-key — no nested loop even though the query never heard
+      //      of RangeJoin
+      "q28_rangejoin_rule" -> ((s, d) => {
+        if (!s.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+        s.conf.set(graft.plans.RangeJoinRewrite.BinWidthKey, "7200")
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), unix_timestamp(col("ts")).as("x"),
+            floor(col("value") * 100).cast("long").as("cents"))
+        val windows = ev
+          .filter(col("event_type") === "purchase" && col("value") >= 200)
+          .select(col("event_id").as("purchase_id"),
+            unix_timestamp(col("ts")).as("lo"))
+          .withColumn("hi", col("lo") + 7199L)
+        clicks.join(windows, col("x") >= col("lo") && col("x") <= col("hi"))
+          .groupBy("purchase_id")
+          .agg(count(lit(1)).as("n_clicks"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("cents")).as("click_cents"))
+      }),
       // ---- describe() stats incl. exact median (C11)
       "q21_event_value_stats" -> ((s, d) =>
         t(s, d, "events")
@@ -329,6 +354,24 @@ object SparkEntry {
   }
 
   private val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+  /** Post-purchase click-attribution oracle: shared by q27 (explicit
+    * RangeJoin operator) and q28 (plain inequality join + optimizer rule) —
+    * both must produce exactly this inequality join's result. */
+  private val rangeAttributionSql =
+    """WITH clicks AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS x,
+      |    CAST(floor(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'click'),
+      |windows AS (
+      |  SELECT event_id AS purchase_id, CAST(floor(epoch(ts)) AS BIGINT) AS lo,
+      |    CAST(floor(epoch(ts)) AS BIGINT) + 7199 AS hi
+      |  FROM events WHERE event_type = 'purchase' AND value >= 200)
+      |SELECT purchase_id, count(*) AS n_clicks,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(cents) AS BIGINT) AS click_cents
+      |FROM clicks JOIN windows ON x >= lo AND x <= hi
+      |GROUP BY 1""".stripMargin
   private def listLit(ss: Seq[String]) = ss.map(s => s"'$s'").mkString("[", ",", "]")
 
   def oracleSql: Map[String, String] = Map(
@@ -433,20 +476,10 @@ object SparkEntry {
     "q26_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
-    "q27_range_join" ->
-      """WITH clicks AS (
-        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS x,
-        |    CAST(floor(value * 100) AS BIGINT) AS cents
-        |  FROM events WHERE event_type = 'click'),
-        |windows AS (
-        |  SELECT event_id AS purchase_id, CAST(floor(epoch(ts)) AS BIGINT) AS lo,
-        |    CAST(floor(epoch(ts)) AS BIGINT) + 7199 AS hi
-        |  FROM events WHERE event_type = 'purchase' AND value >= 200)
-        |SELECT purchase_id, count(*) AS n_clicks,
-        |  count(DISTINCT user_id) AS n_users,
-        |  CAST(sum(cents) AS BIGINT) AS click_cents
-        |FROM clicks JOIN windows ON x >= lo AND x <= hi
-        |GROUP BY 1""".stripMargin,
+    "q27_range_join" -> rangeAttributionSql,
+    // q28 computes the same result through a plain inequality join that
+    // the RangeJoinRewrite optimizer rule rewrites — identical oracle
+    "q28_rangejoin_rule" -> rangeAttributionSql,
     "q21_event_value_stats" ->
       """WITH c AS (SELECT event_type, CAST(floor(value*100) AS BIGINT) AS cents FROM events)
         |SELECT event_type, count(*) AS n,
