@@ -217,6 +217,18 @@ object SparkEntry {
             countDistinct(col("user_id")).as("n_users"),
             sum(col("cents")).as("click_cents"))
       }),
+      // ---- salted skew join (the 100 TB hot-key defense; testdata is
+      //      uniform, so this pins SEMANTICS — the skew spread itself is
+      //      pinned by SkewJoinSpec's 90%-hot-key histogram)
+      "q29_salted_join" -> ((s, d) => {
+        val li = t(s, d, "lineitem")
+        val p = t(s, d, "part")
+          .select(col("p_partkey").as("l_partkey"), col("p_type"))
+        graft.ops.SkewJoin.saltedJoin(li, p, "l_partkey", saltFactor = 8)
+          .groupBy("p_type")
+          .agg(count(lit(1)).as("n_items"),
+            sum(floor(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"))
+      }),
       // ---- describe() stats incl. exact median (C11)
       "q21_event_value_stats" -> ((s, d) =>
         t(s, d, "events")
@@ -480,6 +492,11 @@ object SparkEntry {
     // q28 computes the same result through a plain inequality join that
     // the RangeJoinRewrite optimizer rule rewrites — identical oracle
     "q28_rangejoin_rule" -> rangeAttributionSql,
+    "q29_salted_join" ->
+      """SELECT p_type, count(*) AS n_items,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
     "q21_event_value_stats" ->
       """WITH c AS (SELECT event_type, CAST(floor(value*100) AS BIGINT) AS cents FROM events)
         |SELECT event_type, count(*) AS n,
