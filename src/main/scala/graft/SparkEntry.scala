@@ -258,6 +258,14 @@ object SparkEntry {
       "q12_text_profile" -> ((s, d) => TextAnalysis.profile(t(s, d, "documents"))),
       // ---- exact dedup groups via md5 fingerprint
       "q13_exact_dup_groups" -> ((s, d) => Dedup.exactGroups(t(s, d, "documents"))),
+      // ---- streaming exact dedup: the same aggregation as a stateful
+      //      Structured Streaming query over a two-batch replay
+      "x21_stream_dup_groups" -> ((s, d) => {
+        import s.implicits._
+        graft.streaming.DocDedup.replayDupGroups(s,
+          t(s, d, "documents").select("doc_id", "text")
+            .as[graft.streaming.DocDedup.Doc])
+      }),
       // ---- n-gram Jaccard near-dup pairs on a cheap blocking key
       "q14_ngram_jaccard_pairs" -> ((s, d) =>
         Dedup.ngramJaccardPairs(t(s, d, "documents"), minJaccardBp = 2000L)),
@@ -366,6 +374,13 @@ object SparkEntry {
   }
 
   private val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+  /** Exact-dedup oracle: shared by q13 (batch) and x21 (the streaming
+    * stateful-aggregation replay of the same operator). */
+  private val exactDupGroupsSql =
+    """SELECT md5(lower(trim(text))) AS fp, count(*) AS n_docs,
+      |  min(doc_id) AS keeper_doc_id
+      |FROM documents GROUP BY 1""".stripMargin
 
   /** Post-purchase click-attribution oracle: shared by q27 (explicit
     * RangeJoin operator) and q28 (plain inequality join + optimizer rule) —
@@ -535,10 +550,10 @@ object SparkEntry {
          |  $langCases AS lang_pred
          |FROM documents""".stripMargin
     },
-    "q13_exact_dup_groups" ->
-      """SELECT md5(lower(trim(text))) AS fp, count(*) AS n_docs,
-        |  min(doc_id) AS keeper_doc_id
-        |FROM documents GROUP BY 1""".stripMargin,
+    "q13_exact_dup_groups" -> exactDupGroupsSql,
+    // x21 is the same aggregation run as a streaming stateful query over a
+    // two-batch replay — its final complete-mode table must equal q13
+    "x21_stream_dup_groups" -> exactDupGroupsSql,
     "q14_ngram_jaccard_pairs" -> {
       val sh = s"list_distinct(list_transform(range(0, greatest(len($toks)-3, 0)+1), " +
         s"i -> concat_ws(' ', $toks[i+1], $toks[i+2], $toks[i+3])))"
