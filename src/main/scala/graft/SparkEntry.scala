@@ -229,6 +229,37 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_items"),
             sum(floor(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"))
       }),
+      // ---- relational PIVOT (wide aggregation; the reference's step_5
+      //      "pivot" is a column derivation, so this is the engine-only
+      //      genuine PIVOT — explicit value list keeps the plan one-pass,
+      //      no values-discovery job)
+      "q30_pivot_wide" -> ((s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(sum(floor(col("l_quantity") * 100).cast("long")))
+          .select(col("l_returnflag"), col("F").as("qty_f_cents"),
+            col("O").as("qty_o_cents"))),
+      // ---- distinctive terms per document (keyword extraction): the 3
+      //      rarest corpus terms in each doc, ranked by document frequency.
+      //      Integer/string sort keys only — no float idf — so the result
+      //      is bit-deterministic cross-engine. Two shuffles total: the
+      //      doc-frequency agg and the rank window; term join broadcasts
+      //      when the vocabulary is small, hash-shuffles when it is not.
+      "q31_distinctive_terms" -> ((s, d) => {
+        val docTerms = t(s, d, "documents")
+          .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
+        // doc_freq as a window count (not a groupBy + self-join): ONE scan
+        // of documents and exactly two shuffles — by term, then by doc_id
+        val rank = Window.partitionBy("doc_id")
+          .orderBy(col("doc_freq").asc, col("term").asc)
+        docTerms
+          .withColumn("doc_freq", count(lit(1)).over(Window.partitionBy("term")))
+          .withColumn("rank", row_number().over(rank))
+          .where(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("term"), col("doc_freq"))
+      }),
       // ---- describe() stats incl. exact median (C11)
       "q21_event_value_stats" -> ((s, d) =>
         t(s, d, "events")
@@ -512,6 +543,23 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1""".stripMargin,
+    "q30_pivot_wide" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F'
+        |       THEN CAST(floor(l_quantity * 100) AS BIGINT) END) AS BIGINT) AS qty_f_cents,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O'
+        |       THEN CAST(floor(l_quantity * 100) AS BIGINT) END) AS BIGINT) AS qty_o_cents
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q31_distinctive_terms" ->
+      s"""WITH dt AS (
+         |  SELECT doc_id, unnest(list_distinct($toks)) AS term FROM documents),
+         |df AS (SELECT term, count(*) AS doc_freq FROM dt GROUP BY 1),
+         |ranked AS (
+         |  SELECT dt.doc_id, dt.term, df.doc_freq,
+         |    row_number() OVER (PARTITION BY dt.doc_id
+         |      ORDER BY df.doc_freq ASC, dt.term ASC) AS rank
+         |  FROM dt JOIN df ON dt.term = df.term)
+         |SELECT doc_id, rank, term, doc_freq FROM ranked WHERE rank <= 3""".stripMargin,
     "q21_event_value_stats" ->
       """WITH c AS (SELECT event_type, CAST(floor(value*100) AS BIGINT) AS cents FROM events)
         |SELECT event_type, count(*) AS n,
