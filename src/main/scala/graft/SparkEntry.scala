@@ -107,6 +107,12 @@ object SparkEntry {
           .where(col("rn") <= 3)
           .select(col("o_custkey"), col("o_orderkey"), col("rn"))
       }),
+      // ---- same top-3, but via the bounded-heap typed Aggregator
+      //      (ops.TopK): two-phase ObjectHashAggregate, the shuffle carries
+      //      at most k entries per group per map task instead of every row
+      "q32_topk_aggregator" -> ((s, d) =>
+        graft.ops.TopK.topKByValue(t(s, d, "orders"),
+          "o_custkey", "o_totalprice", "o_orderkey", k = 3)),
       // ---- rollup (grouping sets)
       "q07_rollup_status_priority" -> ((s, d) => {
         t(s, d, "orders")
@@ -406,6 +412,15 @@ object SparkEntry {
 
   private val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
+  /** Top-3-orders oracle: shared by q06 (window row_number) and q32 (the
+    * bounded-heap typed Aggregator) — same deterministic ranking. */
+  private val top3OrdersSql =
+    """SELECT o_custkey, o_orderkey, rn FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3""".stripMargin
+
   /** Exact-dedup oracle: shared by q13 (batch) and x21 (the streaming
     * stateful-aggregation replay of the same operator). */
   private val exactDupGroupsSql =
@@ -462,12 +477,10 @@ object SparkEntry {
       """SELECT c_nationkey, count(*) AS n_customers FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY 1""".stripMargin,
-    "q06_top3_orders_per_customer" ->
-      """SELECT o_custkey, o_orderkey, rn FROM (
-        |  SELECT o_custkey, o_orderkey,
-        |    row_number() OVER (PARTITION BY o_custkey
-        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
-        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "q06_top3_orders_per_customer" -> top3OrdersSql,
+    // q32 computes the same top-3 with the bounded-heap typed Aggregator
+    // (shuffle carries k entries per group per task, not whole groups)
+    "q32_topk_aggregator" -> top3OrdersSql,
     "q07_rollup_status_priority" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         |  CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents

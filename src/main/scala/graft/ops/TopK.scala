@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.col
+
+/** Bounded top-k per group as a typed [[Aggregator]].
+  *
+  * The window formulation (row_number over partitionBy/orderBy + filter)
+  * shuffles EVERY row of a group to one reducer and sorts it all, paying
+  * O(n log n) per group for an answer of size k. The Aggregator keeps a
+  * k-bounded buffer; Spark runs it as a two-phase ObjectHashAggregate, so
+  * each map task ships at most k entries per group into the shuffle —
+  * at 100 TB the shuffle carries O(groups * k), not O(rows), and a skewed
+  * group costs its reducer O(k) memory instead of the whole group.
+  *
+  * Ordering is (value desc, id asc) — the id tiebreak makes the result
+  * deterministic, which is what lets the driver hash-compare it against
+  * the window formulation's oracle (q06/q32 share one SQL).
+  */
+object TopK {
+
+  /** One ranked entry: group-local rank is assigned in [[topKByValue]]. */
+  final case class Ranked(group: Long, id: Long, rn: Int)
+
+  /** Aggregator over (value, id) pairs keeping the k largest by
+    * (value desc, id asc). Buffer is a sorted Vector capped at k — merge
+    * and insert are O(k), the buffer encodes as a compact array. */
+  final class TopKAgg(k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    require(k > 0)
+    private def lt(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2) // "better than"
+    private def cap(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      s.sortWith(lt).take(k)
+    override def zero: Seq[(Double, Long)] = Vector.empty
+    override def reduce(buf: Seq[(Double, Long)], e: (Double, Long)): Seq[(Double, Long)] =
+      cap(buf :+ e)
+    override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      cap(a ++ b)
+    override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = cap(buf)
+    override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
+  }
+
+  /** Top-k rows per group of `df(groupCol)` by (`valueCol` desc, `idCol`
+    * asc), with a 1-based group-local rank. Output columns:
+    * (groupCol, idCol, "rn"). */
+  def topKByValue(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new TopKAgg(k).toColumn
+    df.select(col(groupCol).cast("long"), col(valueCol).cast("double"),
+        col(idCol).cast("long"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg)
+      .flatMap { case (g, entries) =>
+        entries.iterator.zipWithIndex.map { case ((_, id), i) => Ranked(g, id, i + 1) }
+      }
+      .toDF(groupCol, idCol, "rn")
+  }
+}
