@@ -266,6 +266,19 @@ object SparkEntry {
           .where(col("rank") <= 3)
           .select(col("doc_id"), col("rank"), col("term"), col("doc_freq"))
       }),
+      // ---- hive-style partitioned sink + partition-pruned scan (the
+      //      IO-layer filter: the skipped event types' files are never
+      //      opened — PartitionedSpec pins the selected/total directory
+      //      counts; this query pins the round-trip values)
+      "x22_partitioned_scan" -> ((s, d) => {
+        val path = "/tmp/graft-part-events"
+        graft.io.Partitioned.writePartitioned(t(s, d, "events"), path, "event_type")
+        graft.io.Partitioned.readPartitioned(s, path)
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(floor(col("value") * 100).cast("long")).as("cents"))
+      }),
       // ---- describe() stats incl. exact median (C11)
       "q21_event_value_stats" -> ((s, d) =>
         t(s, d, "events")
@@ -555,6 +568,11 @@ object SparkEntry {
       """SELECT p_type, count(*) AS n_items,
         |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+    "x22_partitioned_scan" ->
+      """SELECT user_id, count(*) AS n_purchases,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1""".stripMargin,
     "q30_pivot_wide" ->
       """SELECT l_returnflag,
