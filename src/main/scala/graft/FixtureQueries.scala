@@ -167,6 +167,20 @@ object FixtureQueries {
       s.createDataset(HtmlFixtures.docs).toDF("doc_id", "html")
         .select(col("doc_id"), Boilerplate.stripTagsColumn(col("html")).as("text"))
     }),
+    // the PDF byte-stream source (io.Pdf): three fixture docs are rendered
+    // to REAL PDF bytes driver-side, then the bytes are distributed and
+    // each task parses its documents (startxref -> xref -> objects ->
+    // content-stream lexing) back into the span model. The oracle is a
+    // VALUES literal of the INPUT span definitions — the parser must
+    // recover the authored content exactly through the byte round trip.
+    "x23_pdf_roundtrip" -> ((s, _) => {
+      import s.implicits._
+      val bytes = pdfDocs.map(d => (d.doc_id, graft.io.Pdf.write(d)))
+      s.createDataset(bytes).flatMap { case (id, b) =>
+        graft.io.Pdf.parse(id, b).spans
+          .map(sp => (id, sp.offset, sp.kind, sp.text, sp.media_ref))
+      }.toDF("doc_id", "ord", "kind", "text", "media_ref")
+    }),
     // M4+M5+M7+P7+P8 composed: the v1 TableFinder bbox-continuation flow
     // (find_tables_with_context, table_finder.py:23-90)
     "x14_fixture_tablefinder" -> ((s, _) => {
@@ -181,6 +195,22 @@ object FixtureQueries {
       }.toDF("doc_id", "tbl_idx", "start_page", "end_page",
         "x0", "y0", "x1", "y1", "caption", "header_region")
     }))
+
+  /** The PDF round-trip corpus: clean single-table, cross-page, and media
+    * docs — the three span-grammar shapes the PDF renderer must carry. */
+  private def pdfDocs: Vector[graft.layout.DocRow] =
+    Vector(FixtureCorpus.f01, FixtureCorpus.f02, FixtureCorpus.f11)
+
+  /** VALUES literal of the INPUT span definitions for [[pdfDocs]] —
+    * independent of the parser, so x23 is a genuine round-trip oracle. */
+  private def pdfSpanValues: String = {
+    def q(s: String): String =
+      if (s == null) "NULL" else "'" + s.replace("'", "''") + "'"
+    pdfDocs.flatMap { d =>
+      d.spans.map(sp =>
+        s"(${q(d.doc_id)}, ${sp.offset}, ${q(sp.kind)}, ${q(sp.text)}, ${q(sp.media_ref)})")
+    }.mkString(",\n  ")
+  }
 
   /** VALUES literal of (doc_id, page-1 text) straight from the INPUT corpus
     * — independent of the pipeline, so x04 is a genuine logic oracle. */
@@ -209,6 +239,10 @@ object FixtureQueries {
          |  $htmlValues)
          |SELECT doc_id, ${Boilerplate.stripTagsSql("html")} AS text FROM corpus""".stripMargin,
     // the xlsx round trip must reproduce the pivot exactly
-    "x16_xlsx_roundtrip" -> FixtureGoldens.oracleSql("x03_fixture_pivot")
+    "x16_xlsx_roundtrip" -> FixtureGoldens.oracleSql("x03_fixture_pivot"),
+    "x23_pdf_roundtrip" ->
+      s"""WITH spans(doc_id, ord, kind, text, media_ref) AS (VALUES
+         |  $pdfSpanValues)
+         |SELECT doc_id, ord, kind, text, media_ref FROM spans""".stripMargin
   ) ++ FixtureGoldens.oracleSql
 }

@@ -1,0 +1,65 @@
+package graft.io
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.layout.{FixtureCorpus, SpanDoc}
+import graft.pipeline.{ExtractionPipeline, TestSpark}
+
+class PdfSpec extends AnyFunSuite {
+
+  test("byte round trip: parse(write(doc)) == doc for the whole fixture corpus") {
+    FixtureCorpus.fixtureDocs.foreach { doc =>
+      val bytes = Pdf.write(doc)
+      assert(new String(bytes.take(8), "ISO-8859-1").startsWith("%PDF-1.4"))
+      val back = Pdf.parse(doc.doc_id, bytes)
+      assert(back.spans == doc.spans,
+        s"${doc.doc_id}:\n got ${back.spans.take(8)}\nwant ${doc.spans.take(8)}")
+    }
+  }
+
+  test("the parser locates objects via the xref table, not by scanning") {
+    val doc = FixtureCorpus.fixtureDocs.head
+    val bytes = Pdf.write(doc)
+    // corrupt one xref entry: parsing must FAIL (offset points at the wrong
+    // object) — proof the offsets are load-bearing
+    val s = new String(bytes, "ISO-8859-1")
+    val xrefAt = s.lastIndexOf("\nxref\n") + 1 // NOT the one inside "startxref"
+    val entriesAt = s.indexOf("\n", s.indexOf("\n", xrefAt) + 1) + 1
+    val firstEntryEnd = entriesAt + 20 * 2 // skip the object-0 free entry; hit object 1
+    val corrupted = s.substring(0, firstEntryEnd) + "0000000009 00000 n \n" +
+      s.substring(firstEntryEnd + 20)
+    val err = intercept[Exception] {
+      Pdf.parse(doc.doc_id, corrupted.getBytes("ISO-8859-1"))
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("strings with parens, backslashes and nested parens survive") {
+    val doc = FixtureCorpus.doc("42.esc.pdf") { b =>
+      b.page(1).text("""a (nested (deep)) \ backslash""", "plain", "")
+    }
+    val back = Pdf.parse(doc.doc_id, Pdf.write(doc))
+    assert(back.spans == doc.spans)
+  }
+
+  test("parsed PDFs flow through the extraction pipeline like native span docs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = FixtureCorpus.fixtureDocs
+    val viaPdf = docs.map(d => Pdf.parse(d.doc_id, Pdf.write(d)))
+    val a = ExtractionPipeline.run(spark, spark.createDataset(viaPdf),
+      persistIntermediate = false)
+    val b = ExtractionPipeline.run(spark, spark.createDataset(docs),
+      persistIntermediate = false)
+    val gotStats = a.stats.collect().sortBy(_.doc_id)
+    val wantStats = b.stats.collect().sortBy(_.doc_id)
+    assert(gotStats.sameElements(wantStats))
+    val gotSpans = a.outSpans.collect().sortBy(s => (s.doc_id, s.ord))
+    val wantSpans = b.outSpans.collect().sortBy(s => (s.doc_id, s.ord))
+    assert(gotSpans.sameElements(wantSpans))
+  }
+
+  test("media payload bytes are deterministic and ref-dependent") {
+    assert(Pdf.mediaPayload("m1").sameElements(Pdf.mediaPayload("m1")))
+    assert(!Pdf.mediaPayload("m1").sameElements(Pdf.mediaPayload("m2")))
+  }
+}
