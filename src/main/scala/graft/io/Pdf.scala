@@ -29,9 +29,14 @@ import java.io.ByteArrayOutputStream
   *  - page objects carry /GraftPageNo so non-sequential page markers
   *    round-trip; the parser emits the grammar's kind="page" markers.
   *
+  * Content streams are Flate-compressed by default (`/Filter /FlateDecode`,
+  * like real-world producers; `write(doc, compress = false)` emits plain
+  * bytes) and the parser inflates them — both through java.util.zip, no
+  * external codec.
+  *
   * Honest limitations (all irrelevant to the synthesized corpus, all
-  * documented rather than half-working): uncompressed streams only, direct
-  * /Length integers only, flat /Kids, no encryption, no incremental
+  * documented rather than half-working): Flate or plain streams only,
+  * direct /Length integers only, flat /Kids, no encryption, no incremental
   * updates, Tj only (no TJ kerning arrays).
   */
 object Pdf {
@@ -64,8 +69,32 @@ object Pdf {
   private[io] def mediaPayload(ref: String): Array[Byte] =
     Array.tabulate(16)(i => (graft.ops.Dedup.stringHash64(ref) >>> (i % 8 * 8)).toByte)
 
+  private[io] def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    d.setInput(data); d.finish()
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private[io] def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      if (n == 0 && inf.needsInput()) sys.error("truncated Flate stream")
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
   /** Render one span document as a complete PDF file. */
-  def write(doc: DocRow): Array[Byte] = {
+  def write(doc: DocRow, compress: Boolean = true): Array[Byte] = {
     val pages = SpanDoc.pages(doc.spans)
     require(pages.nonEmpty, s"${doc.doc_id}: empty document")
 
@@ -134,10 +163,12 @@ object Pdf {
           s" /Resources << /Font << /F1 $fontNum 0 R >>$xo >> >>\n")
       }
       obj(contentNum) {
-        val bytes = content.getBytes("ISO-8859-1")
-        emit(s"<< /Length ${bytes.length} >>\nstream\n")
+        val plain = content.getBytes("ISO-8859-1")
+        val bytes = if (compress) deflate(plain) else plain
+        val filter = if (compress) " /Filter /FlateDecode" else ""
+        emit(s"<< /Length ${bytes.length}$filter >>\nstream\n")
         out.write(bytes)
-        emit("endstream\n")
+        emit("\nendstream\n")
       }
       imgNums.foreach { case (n, im) =>
         obj(n) {
@@ -376,7 +407,12 @@ object Pdf {
           case _ => Map.empty
         }
 
-      val PStream(_, content) = pdf.deref(page("Contents")): @unchecked
+      val PStream(cdict, raw) = pdf.deref(page("Contents")): @unchecked
+      val content = cdict.get("Filter") match {
+        case Some(PName("FlateDecode")) => inflate(raw)
+        case None => raw
+        case other => sys.error(s"unsupported stream filter: $other")
+      }
 
       // --- content-stream interpretation
       sealed trait Item

@@ -58,6 +58,17 @@ class PdfSpec extends AnyFunSuite {
     assert(gotSpans.sameElements(wantSpans))
   }
 
+  test("Flate-compressed (default) and plain content streams both round-trip") {
+    val doc = FixtureCorpus.fixtureDocs(1) // cross-page doc, multiple streams
+    val flate = Pdf.write(doc)
+    val plain = Pdf.write(doc, compress = false)
+    assert(new String(flate, "ISO-8859-1").contains("/Filter /FlateDecode"))
+    assert(!new String(plain, "ISO-8859-1").contains("FlateDecode"))
+    assert(flate.length < plain.length) // it actually compressed
+    assert(Pdf.parse(doc.doc_id, flate).spans == doc.spans)
+    assert(Pdf.parse(doc.doc_id, plain).spans == doc.spans)
+  }
+
   test("media payload bytes are deterministic and ref-dependent") {
     assert(Pdf.mediaPayload("m1").sameElements(Pdf.mediaPayload("m1")))
     assert(!Pdf.mediaPayload("m1").sameElements(Pdf.mediaPayload("m2")))
