@@ -279,6 +279,15 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_purchases"),
             sum(floor(col("value") * 100).cast("long")).as("cents"))
       }),
+      // ---- sequence packing (concat-then-chunk training layout): global
+      //      stream offsets via the scalable two-pass prefix sum — no
+      //      SinglePartition window anywhere in the plan
+      "q33_sequence_packing" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"),
+            size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+        graft.ops.Packing.packSequences(docs, "doc_id", "n_tokens", budget = 4096)
+      }),
       // ---- describe() stats incl. exact median (C11)
       "q21_event_value_stats" -> ((s, d) =>
         t(s, d, "events")
@@ -581,6 +590,19 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN l_linestatus = 'O'
         |       THEN CAST(floor(l_quantity * 100) AS BIGINT) END) AS BIGINT) AS qty_o_cents
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q33_sequence_packing" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+         |p AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS stream_offset
+         |  FROM w)
+         |SELECT doc_id, n_tokens, stream_offset,
+         |  stream_offset // 4096 AS seq_id,
+         |  stream_offset % 4096 AS offset_in_seq
+         |FROM p""".stripMargin,
     "q31_distinctive_terms" ->
       s"""WITH dt AS (
          |  SELECT doc_id, unnest(list_distinct($toks)) AS term FROM documents),
