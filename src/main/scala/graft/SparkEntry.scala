@@ -288,6 +288,27 @@ object SparkEntry {
             size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
         graft.ops.Packing.packSequences(docs, "doc_id", "n_tokens", budget = 4096)
       }),
+      // ---- the curation funnel: the training-data ops COMPOSED the way a
+      //      real corpus build runs them — language gate -> quality gate ->
+      //      exact-dedup keeper — with per-stage survivor counts (the
+      //      numbers a pipeline owner actually monitors)
+      "q34_curation_funnel" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+        val prof = TextAnalysis.profile(docs)
+          .select("doc_id", "lang_pred", "quality_bp")
+        val langOk = prof.filter(col("lang_pred") === "en")
+        val qualOk = langOk.filter(col("quality_bp") >= 6000)
+        val surviving = docs
+          .join(qualOk.select("doc_id"), Seq("doc_id"), "left_semi")
+        val keepers = Dedup.exactDedup(surviving)
+        def stage(name: String, df: DataFrame) =
+          df.agg(count(lit(1)).as("n_docs")).withColumn("stage", lit(name))
+        stage("s0_total", docs)
+          .unionByName(stage("s1_lang_en", langOk))
+          .unionByName(stage("s2_quality", qualOk))
+          .unionByName(stage("s3_dedup_keeper", keepers))
+          .select("stage", "n_docs")
+      }),
       // ---- describe() stats incl. exact median (C11)
       "q21_event_value_stats" -> ((s, d) =>
         t(s, d, "events")
@@ -469,6 +490,26 @@ object SparkEntry {
       |GROUP BY 1""".stripMargin
   private def listLit(ss: Seq[String]) = ss.map(s => s"'$s'").mkString("[", ",", "]")
 
+  /** DuckDB fragments shared by q12 (full profile) and q34 (the curation
+    * funnel composed from the same predicates). */
+  private def langCaseSql: String = {
+    val scores = TextAnalysis.LangMarkers.map { case (l, ms) =>
+      l -> s"len(list_filter($toks, t -> list_contains(${listLit(ms)}, t)))"
+    }
+    val best = scores.map(_._2).mkString("greatest(", ", ", ")")
+    val whens = scores.map { case (l, sc) =>
+      s"WHEN $sc = $best AND $sc > 0 THEN '$l'"
+    }.mkString(" ")
+    s"CASE $whens ELSE 'und' END"
+  }
+
+  private def qualityBpSql: String = {
+    val stops = listLit(TextAnalysis.Stopwords)
+    s"CAST(floor(least(len($toks), 200)*5000.0/200) AS BIGINT)" +
+      s" + CAST(floor(3000.0*(len($toks) - len(list_filter($toks, t -> list_contains($stops, t)))) / greatest(len($toks), 1)) AS BIGINT)" +
+      s" + CASE WHEN (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))*20 <= length(text) THEN 2000 ELSE 0 END"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -590,6 +631,19 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN l_linestatus = 'O'
         |       THEN CAST(floor(l_quantity * 100) AS BIGINT) END) AS BIGINT) AS qty_o_cents
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q34_curation_funnel" ->
+      s"""WITH prof AS (
+         |  SELECT doc_id, text, $langCaseSql AS lang_pred, $qualityBpSql AS quality_bp
+         |  FROM documents),
+         |lang_ok AS (SELECT * FROM prof WHERE lang_pred = 'en'),
+         |qual_ok AS (SELECT * FROM lang_ok WHERE quality_bp >= 6000),
+         |keepers AS (
+         |  SELECT min(doc_id) AS doc_id FROM qual_ok
+         |  GROUP BY md5(lower(trim(text))))
+         |SELECT 's0_total' AS stage, count(*) AS n_docs FROM documents
+         |UNION ALL SELECT 's1_lang_en', count(*) FROM lang_ok
+         |UNION ALL SELECT 's2_quality', count(*) FROM qual_ok
+         |UNION ALL SELECT 's3_dedup_keeper', count(*) FROM keepers""".stripMargin,
     "q33_sequence_packing" ->
       s"""WITH w AS (
          |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
@@ -629,26 +683,14 @@ object SparkEntry {
       s"SELECT doc_id, ${monthSql("text")} AS publish_month FROM documents",
     "q12_text_profile" -> {
       val stops = listLit(TextAnalysis.Stopwords)
-      val langCases = {
-        val scores = TextAnalysis.LangMarkers.map { case (l, ms) =>
-          l -> s"len(list_filter($toks, t -> list_contains(${listLit(ms)}, t)))"
-        }
-        val best = scores.map(_._2).mkString("greatest(", ", ", ")")
-        val whens = scores.map { case (l, sc) =>
-          s"WHEN $sc = $best AND $sc > 0 THEN '$l'"
-        }.mkString(" ")
-        s"CASE $whens ELSE 'und' END"
-      }
       s"""SELECT doc_id,
          |  len($toks) AS n_tokens,
          |  ${TextAnalysis.bpeTokenCountSql("text")} AS n_tokens_bpe,
          |  CAST(floor(list_sum(list_transform($toks, t -> length(t)))*1000.0 / len($toks)) AS BIGINT) AS mean_token_len_milli,
          |  len(list_filter($toks, t -> list_contains($stops, t))) AS n_stopwords,
          |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
-         |  CAST(floor(least(len($toks), 200)*5000.0/200) AS BIGINT)
-         |    + CAST(floor(3000.0*(len($toks) - len(list_filter($toks, t -> list_contains($stops, t)))) / greatest(len($toks), 1)) AS BIGINT)
-         |    + CASE WHEN (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))*20 <= length(text) THEN 2000 ELSE 0 END AS quality_bp,
-         |  $langCases AS lang_pred
+         |  $qualityBpSql AS quality_bp,
+         |  $langCaseSql AS lang_pred
          |FROM documents""".stripMargin
     },
     "q13_exact_dup_groups" -> exactDupGroupsSql,
