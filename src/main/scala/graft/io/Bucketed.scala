@@ -36,9 +36,21 @@ object Bucketed {
     * move the small side, not the data). */
   def shuffleExchangeCount(df: DataFrame): Int = {
     // executedPlan after an action reflects AQE's final plan; stringly
-    // counted to stay off private APIs
-    val plan = df.queryExecution.executedPlan.toString
+    // counted to stay off private APIs. A FINALIZED adaptive plan prints
+    // "== Final Plan ==" followed by "== Initial Plan ==" — count only the
+    // final section or every exchange doubles.
+    val plan = finalSection(df)
     "Exchange hashpartitioning".r.findAllIn(plan).length +
       "Exchange rangepartitioning".r.findAllIn(plan).length
+  }
+
+  /** The executed plan string truncated to AQE's final plan (the whole
+    * string when the plan never adapted or never executed). */
+  def finalSection(df: DataFrame): String = {
+    val full = df.queryExecution.executedPlan.toString
+    full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
   }
 }

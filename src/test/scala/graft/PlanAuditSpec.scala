@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.Bucketed.shuffleExchangeCount
+import graft.pipeline.TestSpark
+
+/** Physical-plan pins for headline queries: the scale design lives in the
+  * plan shape (shuffle count, broadcast choice, codegen spans), so a
+  * regression there should fail a test, not wait for a benchmark. Run
+  * against the real sf0.001 parquet tables so scans/pushdown behave as in
+  * production, not as LocalTableScans. */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // AQE finalizes the executed plan
+    df.queryExecution.executedPlan.toString
+  }
+  private def shuffles(name: String): Int = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    shuffleExchangeCount(df)
+  }
+
+  test("q01 pricing summary: two shuffles (countDistinct is 2-phase), codegen'd") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+    df.collect()
+    // group-keys + (keys, l_orderkey) distinct pre-agg — the price of an
+    // EXACT distinct; drop to approx_count_distinct to get 1 shuffle
+    assert(shuffleExchangeCount(df) == 2)
+    // "*(n)" prefixes are how toString marks WholeStageCodegen spans
+    assert(graft.io.Bucketed.finalSection(df).contains("*("))
+  }
+
+  test("q02 top-k: TakeOrderedAndProject, zero shuffles (no global sort)") {
+    assert(planOf("q02_top_orders").contains("TakeOrderedAndProject"))
+    assert(shuffles("q02_top_orders") == 0)
+  }
+
+  test("q03 multi-join: the nation dimension is broadcast, never shuffled") {
+    assert(planOf("q03_revenue_by_nation").contains("BroadcastHashJoin"))
+  }
+
+  test("q12 text profile: map-only — zero shuffles, no UDF nodes") {
+    val plan = planOf("q12_text_profile")
+    assert(shuffles("q12_text_profile") == 0)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("SQLAppendPartition"))
+  }
+
+  test("q13 exact dedup: exactly one shuffle, on the 16-byte fingerprint") {
+    assert(shuffles("q13_exact_dup_groups") == 1)
+  }
+
+  test("q16 simhash: signature + banding + verify stay out of UDF land") {
+    val plan = planOf("q16_simhash_pairs")
+    assert(plan.contains("graft_simhash64") || plan.contains("simhash"), plan.take(2000))
+    assert(!plan.contains("BatchEvalPython"))
+  }
+
+  test("q31 distinctive terms: one scan of documents, two window shuffles") {
+    val df = SparkEntry.queries("q31_distinctive_terms")(spark, sf)
+    df.collect()
+    val plan = graft.io.Bucketed.finalSection(df)
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan.take(3000))
+    assert(shuffleExchangeCount(df) == 2)
+    // Spark's rank-limit pushdown kicked in: per-partition top-k BEFORE
+    // the doc_id shuffle — worth pinning, it is the scale-relevant part
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+}
