@@ -267,7 +267,18 @@ object Pdf {
           while (b(pos) != ']') { items += next(); ws() }
           pos += 1
           PArr(resolveRefs(items.result()))
-        case '<' if b(pos + 1) == '<' =>
+        case '<' if b(pos + 1) != '<' =>
+          // hex string <48656C6C6F>
+          pos += 1
+          val sb = new StringBuilder
+          while (b(pos) != '>') {
+            if (!isWs(b(pos))) sb.append(b(pos).toChar)
+            pos += 1
+          }
+          pos += 1
+          val hex = if (sb.length % 2 == 1) sb.append('0').toString else sb.toString
+          PStr(hex.grouped(2).map(h => Integer.parseInt(h, 16).toChar).mkString)
+        case '<' =>
           pos += 2
           val items = Vector.newBuilder[PVal]
           ws()
@@ -425,14 +436,32 @@ object Pdf {
       val stack = scala.collection.mutable.ArrayBuffer[PVal]()
       var cmY = 0.0
       val cmStack = scala.collection.mutable.ArrayBuffer[Double]()
+      // text-space y: BT resets the line matrix; Td/TD TRANSLATE it
+      // (accumulating, per spec — our writer's single absolute Td after BT
+      // is the degenerate case); Tm REPLACES it (y = operand f); T* moves
+      // down by the TL leading
       var tdY = 0.0
+      var leading = 0.0
       val pendingRects = scala.collection.mutable.ArrayBuffer[(Double, Double, Double, Double)]()
+      def num(v: PVal): Double = v.asInstanceOf[PNum].v
       while ({ lx.ws(); lx.pos < content.length }) {
         lx.next() match {
           case POp("Td") =>
-            tdY = stack.last.asInstanceOf[PNum].v; stack.clear()
+            tdY += num(stack.last); stack.clear()
+          case POp("TD") =>
+            leading = -num(stack.last); tdY += num(stack.last); stack.clear()
+          case POp("Tm") =>
+            tdY = num(stack.last); stack.clear() // f, the ty of the matrix
+          case POp("T*") =>
+            tdY -= leading; stack.clear()
+          case POp("TL") =>
+            leading = num(stack.last); stack.clear()
           case POp("Tj") =>
             items += ((tdY, TextItem(stack.last.asInstanceOf[PStr].v))); stack.clear()
+          case POp("TJ") =>
+            val PArr(parts) = stack.last: @unchecked
+            val text = parts.collect { case PStr(s) => s }.mkString
+            items += ((tdY, TextItem(text))); stack.clear()
           case POp("re") =>
             val n = stack.takeRight(4).map(_.asInstanceOf[PNum].v)
             pendingRects += ((n(0), n(1), n(2), n(3))); stack.clear()
@@ -456,7 +485,8 @@ object Pdf {
             }
             items += ((cmY, MediaItem(str("GraftRef"), str("GraftAlt"))))
             stack.clear()
-          case POp("BT") | POp("ET") | POp("Tf") => stack.clear()
+          case POp("BT") => tdY = 0.0; leading = 0.0; stack.clear()
+          case POp("ET") | POp("Tf") => stack.clear()
           case POp(_) => stack.clear() // unknown operator: drop operands
           case v => stack += v
         }

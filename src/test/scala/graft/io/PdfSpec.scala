@@ -69,6 +69,39 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.parse(doc.doc_id, plain).spans == doc.spans)
   }
 
+  test("foreign producer style: Tm matrices, TJ kern arrays, hex strings, accumulating Td") {
+    // hand-assembled PDF with op styles our own writer never emits —
+    // proves the content lexer is a parser, not an inverse of the writer
+    val content =
+      "BT /F1 9 Tf 1 0 0 1 72 720 Tm [(Hel) -20 (lo) 5 ( world)] TJ ET\n" +
+        "BT 14 TL 72 708 Td (line two) Tj 0 -12 Td <6C696E65207468726565> Tj ET\n"
+    def assemble(streamBody: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val offs = scala.collection.mutable.LinkedHashMap[Int, Long]()
+      def emit(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+      def obj(n: Int)(body: => Unit): Unit = { offs(n) = out.size().toLong; emit(s"$n 0 obj\n"); body; emit("endobj\n") }
+      emit("%PDF-1.4\n")
+      obj(1) { emit("<< /Type /Catalog /Pages 2 0 R >>\n") }
+      obj(2) { emit("<< /Type /Pages /Kids [3 0 R] /Count 1 >>\n") }
+      obj(3) { emit("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R" +
+        " /Resources << /Font << /F1 5 0 R >> >> >>\n") }
+      obj(4) { emit(s"<< /Length ${streamBody.length} >>\nstream\n"); emit(streamBody); emit("endstream\n") }
+      obj(5) { emit("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n") }
+      val xref = out.size()
+      emit("xref\n0 6\n0000000000 65535 f \n")
+      (1 to 5).foreach(n => emit(f"${offs(n)}%010d 00000 n \n"))
+      emit(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xref\n")
+      emit("%%EOF\n")
+      out.toByteArray
+    }
+    val spans = Pdf.parse("foreign.pdf", assemble(content)).spans
+    assert(spans.map(s => (s.kind, s.text)) == Seq(
+      ("page", "1"), // no /GraftPageNo -> positional numbering
+      ("text", "Hello world"), // TJ concat, kern numbers dropped, Tm y=720
+      ("text", "line two"), // absolute first Td
+      ("text", "line three"))) // accumulated relative Td + hex string
+  }
+
   test("media payload bytes are deterministic and ref-dependent") {
     assert(Pdf.mediaPayload("m1").sameElements(Pdf.mediaPayload("m1")))
     assert(!Pdf.mediaPayload("m1").sameElements(Pdf.mediaPayload("m2")))
