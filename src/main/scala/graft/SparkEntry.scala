@@ -271,7 +271,9 @@ object SparkEntry {
       //      opened — PartitionedSpec pins the selected/total directory
       //      counts; this query pins the round-trip values)
       "x22_partitioned_scan" -> ((s, d) => {
-        val path = "/tmp/graft-part-events"
+        // per-session path: a fixed name could collide with a concurrent
+        // bench/verify process writing the same table
+        val path = s"/tmp/graft-part-events-${s.sparkContext.applicationId}"
         graft.io.Partitioned.writePartitioned(t(s, d, "events"), path, "event_type")
         graft.io.Partitioned.readPartitioned(s, path)
           .filter(col("event_type") === "purchase")
