@@ -148,6 +148,13 @@ object SparkEntry {
         import s.implicits._
         Events.replayHourly(s, t(s, d, "events").as[Events.Event])
       }),
+      // ---- stream-stream watermarked interval join (the streaming analog
+      //      of q27's range join): purchase x same-user clicks within 2h,
+      //      state bounded by watermark + time-range eviction
+      "x24_stream_attribution" -> ((s, d) => {
+        import s.implicits._
+        Events.replayAttribution(s, t(s, d, "events").as[Events.Event])
+      }),
       // ---- as-of join (time-series enrichment; no Spark built-in):
       //      each purchase gets the user's most recent click at-or-before
       //      it. The oracle is DuckDB's NATIVE ASOF LEFT JOIN — an
@@ -589,6 +596,12 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "x24_stream_attribution" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts <= p.ts""".stripMargin,
     "q24_asof_join" ->
       """WITH purchases AS (
         |  SELECT user_id, ts, event_id AS purchase_id FROM events

@@ -142,6 +142,54 @@ object Events {
         col("n_errors"), col("value_cents"))
   }
 
+  /** Stream-stream INTERVAL join: each purchase joined to the same user's
+    * clicks in the 2 hours at-or-before it — attribution as a watermarked
+    * Structured Streaming join (the streaming analog of the batch range
+    * join q27/q28).
+    *
+    * Scale shape: StreamingSymmetricHashJoin keyed on user_id; the
+    * watermark + the time-range condition let Spark EVICT state — a click
+    * older than (watermark - 2h) can never match a future purchase, so
+    * per-key state is bounded by the window, not the stream length. An
+    * inner join emits eagerly when both sides are present (no
+    * end-of-window flush needed, unlike the windowed-agg replays). */
+  def streamAttribution(clicks: Dataset[Event], purchases: Dataset[Event]): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "2 hours")
+    p.join(c, expr(
+      """p_user = c_user AND
+        |click_ts >= purchase_ts - INTERVAL 2 HOURS AND
+        |click_ts <= purchase_ts""".stripMargin))
+      .select(col("purchase_id"), col("click_id"))
+  }
+
+  /** Drive [[streamAttribution]] over a FINITE batch of events. Inner
+    * stream-stream joins emit matches as soon as both rows have arrived,
+    * so a full feed + processAllAvailable yields every pair — no sentinel
+    * machinery. */
+  def replayAttribution(spark: SparkSession, events: Dataset[Event]): DataFrame = {
+    import spark.implicits._
+    val rows = events.collect().toSeq
+    require(rows.nonEmpty, "replayAttribution needs a non-empty batch")
+    val clicks = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    val purchases = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    val qname = "graft_x24_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = streamAttribution(clicks.toDS(), purchases.toDS())
+      .writeStream.format("memory").queryName(qname).outputMode("append").start()
+    try {
+      clicks.addData(rows.filter(_.event_type == "click"))
+      purchases.addData(rows.filter(_.event_type == "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(qname).select("purchase_id", "click_id")
+  }
+
   /** Streaming sessionization via flatMapGroupsWithState: event-time gap
     * sessions. A session closes either when a same-user event arrives past
     * the gap (data path) or when the WATERMARK passes its gap deadline

@@ -79,4 +79,38 @@ class EventsSpec extends AnyFunSuite {
       assert(rows2.exists(r => r.user_id == 1L && r.n_events == 1 && r.n_errors == 1))
     } finally q.stop()
   }
+
+  test("stream-stream interval join == batch join; symmetric hash join in the plan") {
+    def ts(str: String) = java.sql.Timestamp.valueOf(str)
+    val events = Seq(
+      Events.Event(1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, ""),
+      Events.Event(2L, ts("2024-01-01 11:30:00"), 1L, "click", 1.0, ""),
+      Events.Event(3L, ts("2024-01-01 11:59:00"), 2L, "click", 1.0, ""),
+      Events.Event(4L, ts("2024-01-01 12:00:00"), 1L, "purchase", 9.0, ""), // joins 1 (edge: exactly 2h) + 2
+      Events.Event(5L, ts("2024-01-01 12:00:00"), 2L, "purchase", 9.0, ""), // joins 3
+      Events.Event(6L, ts("2024-01-01 15:00:00"), 1L, "purchase", 9.0, ""), // no clicks in window
+      Events.Event(7L, ts("2024-01-01 12:01:00"), 1L, "click", 1.0, "")     // after purchase 4: no join
+    ).toDS()
+
+    val got = Events.replayAttribution(spark, events)
+      .as[(Long, Long)].collect().sorted
+    assert(got.toSeq == Seq((4L, 1L), (4L, 2L), (5L, 3L)))
+
+    // the streaming plan must be the bounded-state symmetric hash join
+    val clicks = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Events.Event](spark)
+    val purchases = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Events.Event](spark)
+    val qname = "graft_attr_plan_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = Events.streamAttribution(clicks.toDS(), purchases.toDS())
+      .writeStream.format("memory").queryName(qname).outputMode("append").start()
+    try {
+      clicks.addData(events.collect().toSeq.filter(_.event_type == "click"))
+      purchases.addData(events.collect().toSeq.filter(_.event_type == "purchase"))
+      q.processAllAvailable()
+      assert(q.lastProgress.sources.nonEmpty)
+      val baos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(baos)) { q.explain() }
+      val plan = baos.toString
+      assert(plan.contains("StreamingSymmetricHashJoin"), plan.take(2000))
+    } finally q.stop()
+  }
 }
