@@ -318,6 +318,20 @@ object SparkEntry {
           .unionByName(stage("s3_dedup_keeper", keepers))
           .select("stage", "n_docs")
       }),
+      // ---- deterministic train/val split: hash-bucket the doc id with the
+      //      engine's fingerprint (salted), so the assignment is stable
+      //      across runs, machines, and engine versions — resampling never
+      //      leaks val docs into train. No rand(): reproducibility IS the
+      //      operator.
+      "q35_train_val_split" -> ((s, d) =>
+        t(s, d, "documents")
+          .withColumn("bucket",
+            pmod(TextAnalysis.fingerprint64(
+              concat(col("doc_id").cast("string"), lit(":v1"))), lit(100L)))
+          .withColumn("split",
+            when(col("bucket") < 90, "train").otherwise("val"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))),
       // ---- describe() stats incl. exact median (C11)
       "q21_event_value_stats" -> ((s, d) =>
         t(s, d, "events")
@@ -825,6 +839,24 @@ object SparkEntry {
          |    OR ((a.sigu >> 16) % 65536) = ((b.sigu >> 16) % 65536)
          |    OR ((a.sigu >> 32) % 65536) = ((b.sigu >> 32) % 65536)
          |    OR ((a.sigu >> 48) % 65536) = ((b.sigu >> 48) % 65536))""".stripMargin,
+    "q35_train_val_split" ->
+      """WITH f AS (
+        |  SELECT doc_id, n_chars,
+        |    list_reduce(
+        |      list_prepend(CAST(3421674724 AS HUGEINT),
+        |        list_transform(split(CAST(doc_id AS VARCHAR) || ':v1', ''),
+        |          c -> CAST(ord(c) AS HUGEINT))),
+        |      (h, c) -> (h * 1000003 + c) % (CAST(1 AS HUGEINT) << 64)) AS hu
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST((((CASE WHEN hu >= (CAST(1 AS HUGEINT) << 63)
+        |          THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END) % 100)
+        |        + 100) % 100 AS BIGINT) AS bucket
+        |  FROM f)
+        |SELECT CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM b GROUP BY 1""".stripMargin,
     "q20_fingerprint64" ->
       """WITH f AS (
         |  SELECT doc_id,
