@@ -332,6 +332,53 @@ object SparkEntry {
             when(col("bucket") < 90, "train").otherwise("val"))
           .groupBy("split")
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))),
+      // ---- small-files compaction on the committed sink: 4 appends of 4
+      //      files each -> 16 small files -> 2 compacted ones, rows intact,
+      //      old dir swapped out atomically (Checkpointing.compact)
+      "x25_compaction" -> ((s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-x25").toString + "/docs"
+        val docs = t(s, d, "documents").select("doc_id", "n_chars")
+        (0 until 4).foreach { i =>
+          docs.filter(pmod(col("doc_id"), lit(4)) === i)
+            .repartition(4)
+            .write.mode("append").parquet(dir)
+        }
+        def files = Option(new java.io.File(dir).listFiles())
+          .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+        val before = files
+        val (b2, after, rows) =
+          graft.pipeline.Checkpointing.compact(s, dir, partitions = 2, "x25")
+        val rereadRows = s.read.parquet(dir).count()
+        val rereadSum = s.read.parquet(dir).agg(sum("n_chars")).as[Long].head()
+        val origSum = docs.agg(sum("n_chars")).as[Long].head()
+        Seq(
+          ("files_before", before.toLong),
+          ("files_after", after.toLong),
+          ("rows_compacted", rows),
+          ("rows_reread", rereadRows),
+          ("chars_preserved", if (rereadSum == origSum) 1L else 0L),
+          ("counted_same_dir", if (b2 == before) 1L else 0L))
+          .toDF("metric", "n")
+      }),
+      // ---- parquet schema evolution on an append sink: batch 2 adds a
+      //      column; mergeSchema reads old rows with NULLs — the
+      //      add-a-column migration every long-lived table hits
+      "x26_schema_evolution" -> ((s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-x26").toString + "/events"
+        val ev = t(s, d, "events")
+        ev.filter(pmod(col("event_id"), lit(2)) === 0)
+          .select("event_id", "user_id")
+          .write.mode("append").parquet(dir)
+        ev.filter(pmod(col("event_id"), lit(2)) === 1)
+          .select("event_id", "user_id", "event_type")
+          .write.mode("append").parquet(dir)
+        s.read.option("mergeSchema", "true").parquet(dir)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+      }),
       // ---- describe() stats incl. exact median (C11)
       "q21_event_value_stats" -> ((s, d) =>
         t(s, d, "events")
@@ -839,6 +886,16 @@ object SparkEntry {
          |    OR ((a.sigu >> 16) % 65536) = ((b.sigu >> 16) % 65536)
          |    OR ((a.sigu >> 32) % 65536) = ((b.sigu >> 32) % 65536)
          |    OR ((a.sigu >> 48) % 65536) = ((b.sigu >> 48) % 65536))""".stripMargin,
+    "x25_compaction" ->
+      """SELECT * FROM (VALUES
+        |  ('files_before', 16), ('files_after', 2),
+        |  ('rows_compacted', (SELECT count(*) FROM documents)),
+        |  ('rows_reread', (SELECT count(*) FROM documents)),
+        |  ('chars_preserved', 1), ('counted_same_dir', 1)) t(metric, n)""".stripMargin,
+    "x26_schema_evolution" ->
+      """SELECT CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type,
+        |  count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
     "q35_train_val_split" ->
       """WITH f AS (
         |  SELECT doc_id, n_chars,

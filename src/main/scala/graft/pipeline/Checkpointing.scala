@@ -34,6 +34,42 @@ object Checkpointing {
     }
   }
 
+  /** Rewrite a committed directory's many small files into `partitions`
+    * large ones — the small-files compaction every incremental sink needs
+    * (each resumed run appends its own files; a year of hourly commits is
+    * thousands of parquet footers per scan task otherwise). The rewrite
+    * goes to a fresh `<dir>_compact-<runId>` directory and is only then
+    * atomically swapped in (rename), so a crash mid-compact leaves the
+    * original intact; the lineage manifests are superseded by a single
+    * compaction manifest recording the rewrite.
+    *
+    * Returns (filesBefore, filesAfter, rows). */
+  def compact(spark: SparkSession, dir: String, partitions: Int,
+      runId: String): (Int, Int, Long) = {
+    require(partitions > 0)
+    def parquetFiles(d: java.io.File): Int =
+      Option(d.listFiles()).map(_.count(f => f.getName.endsWith(".parquet"))).getOrElse(0)
+    val before = parquetFiles(new java.io.File(dir))
+    val df = spark.read.parquet(dir)
+    val tmp = s"${dir}_compact-$runId"
+    df.coalesce(partitions).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val rows = spark.read.parquet(tmp).count()
+    // swap: old dir aside, compacted in, old removed
+    val old = new java.io.File(dir)
+    val aside = new java.io.File(s"${dir}_pre-$runId")
+    require(old.renameTo(aside), s"rename $dir -> $aside failed")
+    require(new java.io.File(tmp).renameTo(old), s"rename $tmp -> $dir failed")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(aside)
+    val manifestDir = Paths.get(dir + "_manifest")
+    Files.createDirectories(manifestDir)
+    Files.writeString(manifestDir.resolve(s"compaction-$runId.json"),
+      s"""{"run":"$runId","files_before":$before,"files_after":${parquetFiles(old)},"rows":$rows}""")
+    (before, parquetFiles(old), rows)
+  }
+
   /** Append a batch and write its lineage manifest. Returns rows written.
     *
     * The per-partition metrics are gathered by an accumulator INSIDE the
