@@ -379,6 +379,23 @@ object SparkEntry {
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
       }),
+      // ---- observed metrics (the O8 progress/metrics analog done the
+      //      Spark way): Observation attaches aggregates to the RUNNING
+      //      dedup job — input rows and bytes are measured in the same
+      //      pass, no second scan — and the values are exact, so they
+      //      carry a SQL oracle like any other output
+      "x27_observed_metrics" -> ((s, d) => {
+        import s.implicits._
+        val obs = org.apache.spark.sql.Observation()
+        val docs = t(s, d, "documents")
+          .observe(obs, count(lit(1)).as("rows_seen"),
+            sum(col("n_chars")).as("chars_seen"))
+        val dupGroups = Dedup.exactGroups(docs).count()
+        Seq(
+          ("rows_seen", obs.get("rows_seen").asInstanceOf[Long]),
+          ("chars_seen", obs.get("chars_seen").asInstanceOf[Long]),
+          ("dup_groups", dupGroups)).toDF("metric", "n")
+      }),
       // ---- describe() stats incl. exact median (C11)
       "q21_event_value_stats" -> ((s, d) =>
         t(s, d, "events")
@@ -886,6 +903,12 @@ object SparkEntry {
          |    OR ((a.sigu >> 16) % 65536) = ((b.sigu >> 16) % 65536)
          |    OR ((a.sigu >> 32) % 65536) = ((b.sigu >> 32) % 65536)
          |    OR ((a.sigu >> 48) % 65536) = ((b.sigu >> 48) % 65536))""".stripMargin,
+    "x27_observed_metrics" ->
+      """SELECT * FROM (VALUES
+        |  ('rows_seen', (SELECT count(*) FROM documents)),
+        |  ('chars_seen', (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents)),
+        |  ('dup_groups', (SELECT count(DISTINCT md5(lower(trim(text)))) FROM documents))
+        |) t(metric, n)""".stripMargin,
     "x25_compaction" ->
       """SELECT * FROM (VALUES
         |  ('files_before', 16), ('files_after', 2),
