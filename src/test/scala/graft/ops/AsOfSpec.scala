@@ -41,6 +41,40 @@ class AsOfSpec extends AnyFunSuite {
     assert(out(104L) == (Some(ts("2020-01-01 09:30:00")), Some(9L))) // inclusive
   }
 
+  test("random differential: window-carry result == brute-force latest-at-or-before") {
+    val rnd = new scala.util.Random(17)
+    def randTs() = ts(f"2020-01-${1 + rnd.nextInt(5)}%02d ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00")
+    val left = Seq.tabulate(600)(i => (rnd.nextInt(12).toLong, randTs(), i.toLong))
+      .toDF("user_id", "ts", "purchase_id")
+    // right unique per (key, ts) — the operator's documented requirement
+    val right = Seq.tabulate(300)(i => (rnd.nextInt(12).toLong, randTs(), i.toLong))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      .toDF("user_id", "ts", "click_cents")
+      .select(col("user_id"), col("ts"), col("ts").as("click_ts"), col("click_cents"))
+
+    val got = AsOf.asofJoin(left, right, "user_id", "ts",
+      Seq("purchase_id"), Seq("click_ts", "click_cents"))
+      .select("purchase_id", "click_ts", "click_cents")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getTimestamp(1)), Option(r.get(2))))
+      .sortBy(_._1)
+
+    // brute force: per left row, scan all right rows of the key
+    val rights = right.select("user_id", "ts", "click_cents")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    val want = left.collect().map { l =>
+      val (u, t, pid) = (l.getLong(0), l.getTimestamp(1), l.getLong(2))
+      val best = rights.filter(r => r._1 == u && !r._2.after(t))
+        .sortBy(_._2.getTime).lastOption
+      (pid, best.map(_._2), best.map(_._3))
+    }.sortBy(_._1)
+
+    assert(got.length == want.length)
+    got.zip(want).foreach { case ((gp, gt, gc), (wp, wt, wc)) =>
+      assert(gp == wp && gt == wt && gc.map(_.asInstanceOf[Long]) == wc, s"purchase $gp")
+    }
+  }
+
   test("as-of join plan: one shuffle (the key window), no pair join") {
     val left = (0L until 200L).map(i => (i % 10, ts(f"2020-01-01 ${10 + (i % 12)}%02d:00:00"), i))
       .toDF("user_id", "ts", "purchase_id")
