@@ -400,6 +400,21 @@ object SparkEntry {
           ("chars_seen", obs.get("chars_seen").asInstanceOf[Long]),
           ("dup_groups", dupGroups)).toDF("metric", "n")
       }),
+      // ---- HLL approx distinct next to the exact count: the sketch is
+      //      order-insensitive and deterministic for a fixed input, so the
+      //      within-2% flag is a stable, oracle-checkable output even
+      //      though the estimate itself has no cross-engine oracle. At
+      //      100 TB the sketch is the affordable default (constant memory
+      //      per group vs the exact count's distinct pre-aggregation).
+      "q36_approx_distinct" -> ((s, d) => {
+        t(s, d, "events")
+          .groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_exact"),
+            approx_count_distinct(col("user_id"), rsd = 0.02).as("n_approx"))
+          .select(col("event_type"), col("n_exact"),
+            (abs(col("n_approx") - col("n_exact")) * 50 <= col("n_exact"))
+              .cast("int").as("approx_within_2pct"))
+      }),
       // ---- describe() stats incl. exact median (C11)
       "q21_event_value_stats" -> ((s, d) =>
         t(s, d, "events")
@@ -907,6 +922,10 @@ object SparkEntry {
          |    OR ((a.sigu >> 16) % 65536) = ((b.sigu >> 16) % 65536)
          |    OR ((a.sigu >> 32) % 65536) = ((b.sigu >> 32) % 65536)
          |    OR ((a.sigu >> 48) % 65536) = ((b.sigu >> 48) % 65536))""".stripMargin,
+    "q36_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  1 AS approx_within_2pct
+        |FROM events GROUP BY 1""".stripMargin,
     "x27_observed_metrics" ->
       """SELECT * FROM (VALUES
         |  ('rows_seen', (SELECT count(*) FROM documents)),
