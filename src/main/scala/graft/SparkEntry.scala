@@ -526,7 +526,67 @@ object SparkEntry {
         }
       }))
 
-    relational ++ text ++ FixtureQueries.queries
+    val curation: Map[String, (SparkSession, String) => DataFrame] = Map(
+      // ---- connected components over the near-dup pair graph: the
+      //      transitive-closure step a fuzzy-dedup pass needs before
+      //      choosing keepers (a~b, b~c => one cluster of three). Min-label
+      //      propagation, one 16-byte-row shuffle per round, rounds bounded
+      //      by the (tiny) cluster diameter. Oracle: recursive CTE over the
+      //      SAME pair SQL as q14.
+      "q37_dup_clusters" -> ((s, d) =>
+        graft.ops.Components.dupClusters(
+          graft.ops.Dedup.ngramJaccardPairs(t(s, d, "documents"),
+            minJaccardBp = 2000L))),
+      // ---- Gopher-style word-repetition quality metrics, expression-only
+      //      (map-side inside the scan stage; integral basis points)
+      "q38_repetition_profile" -> ((s, d) =>
+        graft.ops.Curation.repetitionProfile(t(s, d, "documents"))
+          .withColumn("keep", col("keep").cast("int"))),
+      // ---- PII redaction over a deterministic synthetic payload (the
+      //      test tables carry no PII, so the query constructs one per doc
+      //      from its id; the regexp chain is codegen'd, count and replace
+      //      share the same patterns)
+      "q39_pii_scrub" -> ((s, d) => {
+        val payload = t(s, d, "documents").filter(col("doc_id") < 50)
+          .select(col("doc_id"),
+            concat(
+              lit("reach me at user"), col("doc_id"), lit("@example.com or +1-415-5"),
+              lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+              lit("-1000 host 192.168."),
+              pmod(col("doc_id"), lit(256)).cast("string"),
+              lit(".1 card 4111 1111 1111 "),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+              lit(" done")).as("payload"))
+        graft.ops.Curation.piiScrub(payload, "payload")
+          .select("doc_id", "scrubbed", "n_redactions")
+      }),
+      // ---- BM25-family keyword search: postings built only for the query
+      //      terms (token filter BEFORE explode), df/corpus stats
+      //      broadcast, top-k via TakeOrderedAndProject — no global sort
+      "q40_bm25_search" -> ((s, d) =>
+        graft.ops.Search.bm25TopK(t(s, d, "documents"),
+          Seq("join", "stream", "window"), k = 20)),
+      // ---- deterministic stratified sampling: salted hash buckets per
+      //      stratum (downsample hot sources), aggregated to per-source
+      //      survivor counts
+      "q41_stratified_sample" -> ((s, d) =>
+        graft.ops.Curation.stratifiedSample(t(s, d, "documents"),
+            "source", "doc_id",
+            rates = Map("src0" -> 20, "src1" -> 20, "src2" -> 50),
+            defaultRate = 80, salt = ":strat1")
+          .groupBy("source")
+          .agg(max("sample_rate").as("sample_rate"),
+            count(lit(1)).as("n_kept"),
+            sum("n_chars").as("kept_chars"))),
+      // ---- per-domain corpus caps: keep the top-10 largest docs per
+      //      source via the k-bounded TopK aggregator (shuffle carries
+      //      k*groups, not rows)
+      "q42_domain_caps" -> ((s, d) =>
+        graft.ops.TopK.topKByValueStr(
+          t(s, d, "documents").select(col("source"), col("n_chars"), col("doc_id")),
+          "source", "n_chars", "doc_id", k = 10)))
+
+    relational ++ text ++ curation ++ FixtureQueries.queries
   }
 
   // ====================================================================
@@ -560,6 +620,28 @@ object SparkEntry {
   }
 
   private val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+  /** q14's full pair SELECT, shared with q37's recursive-closure oracle. */
+  private lazy val ngramPairsOracleSql: String = {
+    val sh = s"list_distinct(list_transform(range(0, greatest(len($toks)-3, 0)+1), " +
+      s"i -> concat_ws(' ', $toks[i+1], $toks[i+2], $toks[i+3])))"
+    s"""WITH keyed AS (
+       |  SELECT doc_id, $sh AS sh,
+       |    CAST(floor(len($toks)/10.0) AS BIGINT) AS len_bucket,
+       |    list_sort($sh)[1] AS m1, list_sort($sh)[2] AS m2
+       |  FROM documents),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM keyed a JOIN keyed b
+       |    ON a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+       |   AND (a.m1 = b.m1 OR a.m1 = b.m2 OR a.m2 = b.m1 OR a.m2 = b.m2))
+       |SELECT doc_a, doc_b,
+       |  CAST(floor(len(list_intersect(a.sh, b.sh))*10000.0 /
+       |       len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) AS jaccard_bp
+       |FROM cand JOIN keyed a ON a.doc_id = doc_a JOIN keyed b ON b.doc_id = doc_b
+       |WHERE floor(len(list_intersect(a.sh, b.sh))*10000.0 /
+       |       len(list_distinct(list_concat(a.sh, b.sh)))) >= 2000""".stripMargin
+  }
 
   /** Top-3-orders oracle: shared by q06 (window row_number) and q32 (the
     * bounded-heap typed Aggregator) — same deterministic ranking. */
@@ -809,26 +891,95 @@ object SparkEntry {
     // x21 is the same aggregation run as a streaming stateful query over a
     // two-batch replay — its final complete-mode table must equal q13
     "x21_stream_dup_groups" -> exactDupGroupsSql,
-    "q14_ngram_jaccard_pairs" -> {
-      val sh = s"list_distinct(list_transform(range(0, greatest(len($toks)-3, 0)+1), " +
-        s"i -> concat_ws(' ', $toks[i+1], $toks[i+2], $toks[i+3])))"
-      s"""WITH keyed AS (
-         |  SELECT doc_id, $sh AS sh,
-         |    CAST(floor(len($toks)/10.0) AS BIGINT) AS len_bucket,
-         |    list_sort($sh)[1] AS m1, list_sort($sh)[2] AS m2
-         |  FROM documents),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM keyed a JOIN keyed b
-         |    ON a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-         |   AND (a.m1 = b.m1 OR a.m1 = b.m2 OR a.m2 = b.m1 OR a.m2 = b.m2))
-         |SELECT doc_a, doc_b,
-         |  CAST(floor(len(list_intersect(a.sh, b.sh))*10000.0 /
-         |       len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) AS jaccard_bp
-         |FROM cand JOIN keyed a ON a.doc_id = doc_a JOIN keyed b ON b.doc_id = doc_b
-         |WHERE floor(len(list_intersect(a.sh, b.sh))*10000.0 /
-         |       len(list_distinct(list_concat(a.sh, b.sh)))) >= 2000""".stripMargin
+    "q14_ngram_jaccard_pairs" -> ngramPairsOracleSql,
+    "q37_dup_clusters" ->
+      // connected components of the SAME pair graph as q14: recursive
+      // min-label closure, then component sizes (component = min doc id)
+      s"""WITH RECURSIVE pairs AS ($ngramPairsOracleSql),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |verts AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM verts
+         |  UNION
+         |  SELECT e.dst AS id, r.lbl AS lbl
+         |  FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+         |SELECT component, count(*) AS n_docs FROM comp GROUP BY 1""".stripMargin,
+    "q38_repetition_profile" ->
+      // word/bigram/trigram repetition in integral basis points; top-word
+      // count via per-word grouping (equivalent to the engine's sorted-
+      // array run-length fold)
+      s"""WITH base AS (SELECT doc_id, $toks AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, toks,
+         |    list_transform(range(0, greatest(len(toks)-1, 0)),
+         |      i -> concat_ws(' ', toks[i+1], toks[i+2])) AS g2,
+         |    list_transform(range(0, greatest(len(toks)-2, 0)),
+         |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])) AS g3
+         |  FROM base),
+         |wc AS (SELECT doc_id, w, count(*) AS c
+         |       FROM (SELECT doc_id, unnest(toks) AS w FROM base) GROUP BY 1, 2),
+         |top AS (SELECT doc_id, max(c) AS mx FROM wc GROUP BY 1),
+         |m AS (
+         |  SELECT g.doc_id,
+         |    CAST(len(g.toks) AS BIGINT) AS n_words,
+         |    CASE WHEN len(g.toks) > 0 THEN CAST(floor(len(list_distinct(g.toks))*10000.0/len(g.toks)) AS BIGINT) ELSE 0 END AS distinct_word_bp,
+         |    CASE WHEN len(g.toks) > 0 THEN CAST(floor(t.mx*10000.0/len(g.toks)) AS BIGINT) ELSE 0 END AS top_word_bp,
+         |    CASE WHEN len(g.g2) > 0 THEN CAST(floor((len(g.g2) - len(list_distinct(g.g2)))*10000.0/len(g.g2)) AS BIGINT) ELSE 0 END AS dup_bigram_bp,
+         |    CASE WHEN len(g.g3) > 0 THEN CAST(floor((len(g.g3) - len(list_distinct(g.g3)))*10000.0/len(g.g3)) AS BIGINT) ELSE 0 END AS dup_trigram_bp
+         |  FROM g JOIN top t ON t.doc_id = g.doc_id)
+         |SELECT m.*,
+         |  CAST((distinct_word_bp >= 2000 AND top_word_bp <= 2500
+         |        AND dup_trigram_bp <= 6000) AS INT) AS keep
+         |FROM m""".stripMargin,
+    "q39_pii_scrub" -> {
+      val payload = "'reach me at user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com or +1-415-5' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || " +
+        "'-1000 host 192.168.' || CAST(doc_id % 256 AS VARCHAR) || " +
+        "'.1 card 4111 1111 1111 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' done'"
+      val (scrub, count) = graft.ops.Curation.piiScrubSql("payload")
+      s"""WITH p AS (
+         |  SELECT doc_id, $payload AS payload
+         |  FROM documents WHERE doc_id < 50)
+         |SELECT doc_id, $scrub AS scrubbed,
+         |  CAST($count AS BIGINT) AS n_redactions
+         |FROM p""".stripMargin
     },
+    "q40_bm25_search" ->
+      graft.ops.Search.bm25Sql(toks, Seq("join", "stream", "window"), 20),
+    "q41_stratified_sample" ->
+      // the q35 fingerprint replay with the ':strat1' salt, then the same
+      // per-source CASE rates
+      s"""WITH f AS (
+         |  SELECT doc_id, source, n_chars,
+         |    list_reduce(
+         |      list_prepend(CAST(3421674724 AS HUGEINT),
+         |        list_transform(split(CAST(doc_id AS VARCHAR) || ':strat1', ''),
+         |          c -> CAST(ord(c) AS HUGEINT))),
+         |      (h, c) -> (h * 1000003 + c) % (CAST(1 AS HUGEINT) << 64)) AS hu
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, source, n_chars,
+         |    CAST((((CASE WHEN hu >= (CAST(1 AS HUGEINT) << 63)
+         |          THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END) % 100)
+         |        + 100) % 100 AS BIGINT) AS bucket
+         |  FROM f),
+         |r AS (
+         |  SELECT *, CASE WHEN source = 'src0' THEN 20 WHEN source = 'src1' THEN 20
+         |    WHEN source = 'src2' THEN 50 ELSE 80 END AS sample_rate
+         |  FROM b)
+         |SELECT source, max(sample_rate) AS sample_rate, count(*) AS n_kept,
+         |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
+         |FROM r WHERE bucket < sample_rate GROUP BY 1""".stripMargin,
+    "q42_domain_caps" ->
+      """SELECT source, doc_id, CAST(rn AS INT) AS rn FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) WHERE rn <= 10""".stripMargin,
     // The three char-fold-hash oracles below replay Java's 64-bit
     // wraparound arithmetic in DuckDB: fold in HUGEINT with % 2^64 each
     // step, then a two's-complement CASE maps the unsigned value back to

@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs before
+  * anything else: repetition-based quality filtering (the Gopher rules,
+  * Rae et al. 2021, adapted to word level) and PII redaction. No reference
+  * counterpart; engine-only additions per the training-pipeline mandate.
+  *
+  * Both are per-document, shuffle-free column expressions — at 100 TB these
+  * run map-side inside the scan stage, so the only cost is CPU next to the
+  * parquet reader and the filters prune rows BEFORE any downstream shuffle
+  * (dedup, packing) pays for them. All ratio outputs are integer basis
+  * points (floor(10000*x)) so the DuckDB oracle compares exactly, never
+  * through float formatting.
+  */
+object Curation {
+
+  /** Word n-gram array of an already-tokenized column (space-joined),
+    * empty when the doc is shorter than n. */
+  private def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array())
+
+  /** Longest run length in a sorted array = count of the most frequent
+    * element — computed with a single fold over the sorted tokens instead
+    * of a per-word explode+groupBy (no shuffle, no per-doc quadratic
+    * transform+filter scan). */
+  private def topRunLength(sortedToks: Column): Column =
+    aggregate(sortedToks,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  private def dupBp(all: Column, distinctN: Column): Column =
+    when(size(all) > 0,
+      floor((size(all) - distinctN) * lit(10000L) / size(all)))
+      .otherwise(lit(0L)).cast("long")
+
+  /** Per-document repetition metrics (all integral):
+    *  - n_words
+    *  - distinct_word_bp: 10000 * distinct words / words
+    *  - top_word_bp:      10000 * occurrences of the most frequent word / words
+    *  - dup_bigram_bp / dup_trigram_bp: 10000 * duplicated n-grams / n-grams
+    *  - keep: the Gopher-style gate (repetitive docs fail)
+    *
+    * Tokens are projected into their own attribute first so the scan
+    * tokenizes once, not once per derived metric (TextAnalysis.tokens note).
+    */
+  def repetitionProfile(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val grams = base.select(col("doc_id"), col("toks"),
+      array_sort(col("toks")).as("sorted"),
+      ngrams(col("toks"), 2).as("g2"), ngrams(col("toks"), 3).as("g3"))
+    val m = grams.select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("n_words"),
+      when(size(col("toks")) > 0,
+        floor(size(array_distinct(col("toks"))) * lit(10000L) / size(col("toks"))))
+        .otherwise(lit(0L)).cast("long").as("distinct_word_bp"),
+      when(size(col("toks")) > 0,
+        floor(topRunLength(col("sorted")) * lit(10000L) / size(col("toks"))))
+        .otherwise(lit(0L)).cast("long").as("top_word_bp"),
+      dupBp(col("g2"), size(array_distinct(col("g2")))).as("dup_bigram_bp"),
+      dupBp(col("g3"), size(array_distinct(col("g3")))).as("dup_trigram_bp"))
+    m.withColumn("keep",
+      col("distinct_word_bp") >= 2000 && col("top_word_bp") <= 2500 &&
+        col("dup_trigram_bp") <= 6000)
+  }
+
+  /** PII patterns, applied in order (earlier redactions cannot create
+    * later matches: replacement tokens contain no digits or '@'). Each
+    * pattern is valid in BOTH Java regex and DuckDB's RE2 — no
+    * backreferences, no lookaround. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{4}( \\d{4}){3}\\b" -> "<CARD>",
+    "\\+\\d{1,3}(-\\d{2,4}){2,4}" -> "<PHONE>",
+    "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>")
+
+  /** Redact PII from `text`, appending a redaction count. The regexp
+    * chain is plain codegen'd expressions; counting uses the SAME patterns
+    * so count and replacement can never disagree. */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
+    val scrubbed = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (pat, tok)) => regexp_replace(c, pat, tok)
+    }
+    val counts = PiiPatterns.zipWithIndex.map { case ((pat, _), i) =>
+      // count on the partially-scrubbed text, mirroring the replace order
+      val upto = PiiPatterns.take(i).foldLeft(col(textCol)) {
+        case (c, (p, t)) => regexp_replace(c, p, t)
+      }
+      size(regexp_extract_all(upto, lit(pat), lit(0))).cast("long")
+    }
+    df.withColumn("scrubbed", scrubbed)
+      .withColumn("n_redactions", counts.reduce(_ + _))
+  }
+
+  /** DuckDB replay of [[piiScrub]], generated from the SAME pattern list:
+    * (scrubbedExpr, redactionCountExpr). DuckDB regexp_replace needs the
+    * explicit 'g' flag to match Spark's replace-all semantics. */
+  def piiScrubSql(textExpr: String): (String, String) = {
+    val scrub = PiiPatterns.foldLeft(textExpr) {
+      case (e, (p, t)) => s"regexp_replace($e, '$p', '$t', 'g')"
+    }
+    val counts = PiiPatterns.zipWithIndex.map { case ((p, _), i) =>
+      val upto = PiiPatterns.take(i).foldLeft(textExpr) {
+        case (e, (pp, tt)) => s"regexp_replace($e, '$pp', '$tt', 'g')"
+      }
+      s"len(regexp_extract_all($upto, '$p'))"
+    }
+    (scrub, counts.mkString("(", " + ", ")"))
+  }
+
+  /** Deterministic stratified sampling: keep a per-stratum percentage of
+    * rows, chosen by a salted content-hash bucket of the row id — the same
+    * no-rand() reproducibility contract as the train/val split (q35): the
+    * sample is stable across runs, partitionings, and engines. Per-domain
+    * downsampling (cap an over-represented crawl source) is this operator
+    * with rates < 100 for the hot strata. Map-side only: a broadcast-sized
+    * rates lookup and a hash — no shuffle, no sort, no sampling pass. */
+  def stratifiedSample(docs: DataFrame, stratumCol: String, idCol: String,
+      rates: Map[String, Int], defaultRate: Int, salt: String): DataFrame = {
+    require(defaultRate >= 0 && defaultRate <= 100 &&
+      rates.values.forall(r => r >= 0 && r <= 100))
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    val bucket = pmod(TextAnalysis.fingerprint64(
+      concat(col(idCol).cast("string"), lit(salt))), lit(100L))
+    docs.withColumn("sample_rate", rate).filter(bucket < col("sample_rate"))
+  }
+}

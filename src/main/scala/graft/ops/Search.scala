@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus keyword search: BM25-family ranking over the documents table.
+  * No reference counterpart (the reference's "search" is the criterion
+  * header predicate); engine-only addition — a training-data pipeline uses
+  * this shape for corpus exploration and contamination checks (find docs
+  * matching benchmark phrases).
+  *
+  * Scale design: the postings list is built ONLY for the query terms —
+  * tokens are filtered map-side inside the array (before the explode), so
+  * the shuffle carries (doc_id, term, tf) for matching docs, not the
+  * corpus. Doc-frequency and corpus stats are broadcast (a handful of
+  * rows). Top-k uses orderBy+limit, which Spark executes as
+  * TakeOrderedAndProject — per-partition heaps merged on the driver, no
+  * global sort, no single-partition window.
+  *
+  * Bit-exactness: the classic idf is ln((N-df+.5)/(df+.5)+1), but ln() is
+  * not IEEE-754-exact and differs across math libraries, which would make
+  * the DuckDB oracle flaky at the last ulp. The idf here is the same
+  * fraction WITHOUT the log — monotone in the standard idf, so ranking
+  * semantics are preserved — and avgdl enters as exact integer corpus
+  * totals (sum_dl, n_docs), so every arithmetic step is IEEE +,-,*,/ on
+  * identically-derived doubles and the oracle compares exactly.
+  */
+object Search {
+
+  /** Top-k docs for `queryTerms` by summed per-term BM25 score.
+    * Output: (doc_id, rank, score_micro) with rank 1-based by
+    * (score desc, doc_id asc). */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queryTerms.map(_.toLowerCase).distinct.sorted
+    val wl = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("double").as("dl"))
+    val corpus = wl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl").cast("long")).as("sum_dl"))
+    val tf = wl
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("toks"), t => t.isInCollection(terms))).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(corpus))
+      .withColumn("sc",
+        ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") * col("n_docs") / col("sum_dl"))))
+    // fixed-order summation over the (small, sorted) term list so the
+    // float total is identical in any engine: s = ((s_t1 + s_t2) + ...)
+    val perTerm = terms.map(t =>
+      sum(when(col("term") === t, col("sc")).otherwise(lit(0.0))).as(s"s_$t"))
+    val agg = scored.groupBy("doc_id").agg(perTerm.head, perTerm.tail: _*)
+    val total = terms.map(t => col(s"s_$t")).reduce(_ + _)
+    val top = agg.select(col("doc_id"), total.as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    // rank over the k collected rows only — tiny, not a corpus window
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("doc_id"), col("rank"),
+        floor(col("score") * lit(1e6)).cast("long").as("score_micro"))
+  }
+
+  /** The DuckDB replay of [[bm25TopK]] — identical expression tree, term
+    * order, and summation order. Float literals are printed from the SAME
+    * Scala doubles the engine uses (Double.toString round-trips exactly),
+    * so e.g. k1+1 lands on the identical double even when it is not the
+    * nearest double to the decimal "2.2". */
+  def bm25Sql(toksExpr: String, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    val terms = queryTerms.map(_.toLowerCase).distinct.sorted
+    val termList = terms.map(t => s"'$t'").mkString("[", ",", "]")
+    val (k1p1, k1s, oneMinusB, bs) =
+      (s"${k1 + 1.0}", s"$k1", s"${1.0 - b}", s"$b")
+    val perTerm = terms.map(t =>
+      s"sum(CASE WHEN term = '$t' THEN sc ELSE 0.0 END)").toList
+    val total = perTerm.map(e => s"($e)").reduce((a, b) => s"($a + $b)")
+    s"""WITH wl AS (
+       |  SELECT doc_id, $toksExpr AS toks,
+       |    CAST(len($toksExpr) AS DOUBLE) AS dl
+       |  FROM documents),
+       |corpus AS (SELECT count(*) AS n_docs, sum(CAST(dl AS BIGINT)) AS sum_dl FROM wl),
+       |tf AS (
+       |  SELECT doc_id, dl,
+       |    unnest(list_filter(toks, t -> list_contains($termList, t))) AS term
+       |  FROM wl),
+       |tfc AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+       |        FROM tf GROUP BY 1, 2, 3),
+       |dfreq AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+       |s AS (
+       |  SELECT doc_id, term,
+       |    ((n_docs - df + 0.5) / (df + 0.5)) * (tf * $k1p1) /
+       |      (tf + $k1s * ($oneMinusB + (($bs * dl) * n_docs) / sum_dl)) AS sc
+       |  FROM tfc JOIN dfreq USING (term) CROSS JOIN corpus),
+       |agg AS (SELECT doc_id, $total AS score FROM s GROUP BY doc_id),
+       |top AS (SELECT doc_id, score FROM agg
+       |        ORDER BY score DESC, doc_id LIMIT $k)
+       |SELECT doc_id,
+       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+       |  CAST(floor(score * 1e6) AS BIGINT) AS score_micro
+       |FROM top""".stripMargin
+  }
+}

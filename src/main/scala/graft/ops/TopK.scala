@@ -63,4 +63,24 @@ object TopK {
       }
       .toDF(groupCol, idCol, "rn")
   }
+
+  /** [[topKByValue]] with a STRING group key (e.g. a source/domain column
+    * for per-domain corpus caps) — same k-bounded aggregator and shuffle
+    * shape, only the groupByKey key type changes. */
+  def topKByValueStr(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new TopKAgg(k).toColumn
+    df.select(col(groupCol).cast("string"), col(valueCol).cast("double"),
+        col(idCol).cast("long"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg)
+      .flatMap { case (g, entries) =>
+        entries.iterator.zipWithIndex.map { case ((_, id), i) => (g, id, i + 1) }
+      }
+      .toDF(groupCol, idCol, "rn")
+  }
 }

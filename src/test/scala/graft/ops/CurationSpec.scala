@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.TestSpark
+
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- connected components -------------------------------------------
+
+  test("components: transitivity across pairs that were never candidates") {
+    // a-b, b-c, plus an unrelated d-e: two components {1,2,3} and {7,8}
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("src", "dst")
+    val got = Components.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("components: long chain converges (diameter rounds, not 1)") {
+    val chain = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("src", "dst")
+    val got = Components.connectedComponents(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(0L) && got.size == 12)
+  }
+
+  test("components: direction and duplicate edges are irrelevant") {
+    val e1 = Seq((5L, 4L), (4L, 5L), (5L, 4L), (4L, 3L)).toDF("src", "dst")
+    val got = Components.connectedComponents(e1).as[(Long, Long)].collect().toMap
+    assert(got == Map(3L -> 3L, 4L -> 3L, 5L -> 3L))
+  }
+
+  test("dupClusters summarizes component sizes under the min-id label") {
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = Components.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 3L, 20L -> 2L))
+  }
+
+  // ---- repetition profile ---------------------------------------------
+
+  private def profileOf(text: String): (Long, Long, Long, Long, Long, Boolean) = {
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    Curation.repetitionProfile(df)
+      .select("n_words", "distinct_word_bp", "top_word_bp", "dup_bigram_bp",
+        "dup_trigram_bp", "keep")
+      .as[(Long, Long, Long, Long, Long, Boolean)].head()
+  }
+
+  test("repetition: all-same-word doc is maximally repetitive and dropped") {
+    val (n, dw, tw, db, dt, keep) = profileOf("spam spam spam spam")
+    assert(n == 4 && dw == 2500 && tw == 10000)
+    assert(db == 6666 && dt == 5000) // 3 bigrams 1 distinct; 2 trigrams 1 distinct
+    assert(!keep)
+  }
+
+  test("repetition: all-distinct doc is clean and kept") {
+    val (n, dw, tw, db, dt, keep) = profileOf("alpha beta gamma delta")
+    assert(n == 4 && dw == 10000 && tw == 2500 && db == 0 && dt == 0 && keep)
+  }
+
+  test("repetition: alternating bigram loop caught by the n-gram rule") {
+    val (_, _, _, db, dt, keep) = profileOf("a b a b a b a b")
+    // 7 bigrams, 2 distinct -> floor(5*10000/7); 6 trigrams, 2 distinct
+    assert(db == 7142 && dt == 6666 && !keep)
+  }
+
+  test("repetition: doc shorter than n yields empty n-gram metrics, not an error") {
+    val (n, _, _, db, dt, _) = profileOf("solo")
+    assert(n == 1 && db == 0 && dt == 0)
+  }
+
+  // ---- PII scrub -------------------------------------------------------
+
+  test("pii: all four pattern families redacted and counted") {
+    val df = Seq((1L,
+      "mail bob.smith+x@corp.example.org call +44-20-7946-0958 " +
+        "from 10.0.0.255 pay 4111 1111 1111 1234 thanks")).toDF("id", "t")
+    val got = Curation.piiScrub(df, "t").select("scrubbed", "n_redactions")
+      .as[(String, Long)].head()
+    assert(got._1 ==
+      "mail <EMAIL> call <PHONE> from <IP> pay <CARD> thanks")
+    assert(got._2 == 4L)
+  }
+
+  test("pii: clean text passes through with zero redactions") {
+    val df = Seq((1L, "nothing sensitive here 12 34")).toDF("id", "t")
+    val got = Curation.piiScrub(df, "t").select("scrubbed", "n_redactions")
+      .as[(String, Long)].head()
+    assert(got._1 == "nothing sensitive here 12 34" && got._2 == 0L)
+  }
+
+  test("pii: replacement tokens cannot cascade into later patterns") {
+    // an email whose local part looks numeric must not leave digits that
+    // the card/phone patterns then match
+    val df = Seq((1L, "x 4111111111111111@mail.com y")).toDF("id", "t")
+    val got = Curation.piiScrub(df, "t").select("scrubbed", "n_redactions")
+      .as[(String, Long)].head()
+    assert(got._1 == "x <EMAIL> y" && got._2 == 1L)
+  }
+
+  // ---- stratified sample ----------------------------------------------
+
+  private val docs = Seq.tabulate(200)(i =>
+    (i.toLong, s"s${i % 4}", 10L + i)).toDF("doc_id", "source", "n_chars")
+
+  test("stratified: rate 0 drops the stratum, rate 100 keeps it whole") {
+    val kept = Curation.stratifiedSample(docs, "source", "doc_id",
+      Map("s0" -> 0, "s1" -> 100), defaultRate = 50, salt = ":t")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(!kept.contains("s0"))
+    assert(kept("s1") == 50L)
+    assert(kept("s2") > 0 && kept("s2") < 50)
+  }
+
+  test("stratified: deterministic across runs and repartitionings") {
+    def run(parts: Int) = Curation.stratifiedSample(
+      docs.repartition(parts), "source", "doc_id",
+      Map("s0" -> 30), defaultRate = 70, salt = ":t")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(run(1) == run(7))
+  }
+
+  // ---- BM25 -----------------------------------------------------------
+
+  test("bm25: the term-stuffed doc outranks casual mentions, ranks deterministic") {
+    val corpus = Seq(
+      (1L, "join join join join join"),
+      (2L, "a join here and a stream there"),
+      (3L, "stream stream stream"),
+      (4L, "nothing relevant at all"),
+      (5L, "window window join stream window")).toDF("doc_id", "text")
+    val got = Search.bm25TopK(corpus, Seq("join", "stream", "window"), k = 3)
+      .select("doc_id", "rank").as[(Long, Int)].collect().toMap
+    // doc 5 hits all three terms; doc 4 never appears
+    assert(got.keySet.contains(5L) && !got.keySet.contains(4L))
+    assert(got.values.toSeq.sorted == Seq(1, 2, 3))
+  }
+
+  test("bm25: rarer term carries a higher idf weight") {
+    val corpus = (1L to 9L).map(i => (i, "common common filler")) :+
+      (10L, "rare common")
+    val got = Search.bm25TopK(corpus.toDF("doc_id", "text"),
+      Seq("rare", "common"), k = 10)
+      .select("doc_id", "rank").as[(Long, Int)].collect().toMap
+    assert(got(10L) == 1) // the only doc with the rare term ranks first
+  }
+}
