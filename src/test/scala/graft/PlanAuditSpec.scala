@@ -69,4 +69,44 @@ class PlanAuditSpec extends AnyFunSuite {
     // the doc_id shuffle — worth pinning, it is the scale-relevant part
     assert(plan.contains("WindowGroupLimit"), plan.take(3000))
   }
+
+  test("q38 repetition profile: map-only — zero shuffles, no UDFs, no explode") {
+    val df = SparkEntry.queries("q38_repetition_profile")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(shuffleExchangeCount(df) == 0)
+    // the top-word count must come from the sorted-array fold, not an
+    // explode+groupBy (which would shuffle every token)
+    assert(!plan.contains("Generate") && !plan.contains("BatchEvalPython"), plan.take(2000))
+  }
+
+  test("q39 pii scrub: map-only regexp chain, zero shuffles") {
+    val df = SparkEntry.queries("q39_pii_scrub")(spark, sf)
+    df.collect()
+    assert(shuffleExchangeCount(df) == 0)
+  }
+
+  test("q40 bm25: df/corpus stats broadcast; top-k via TakeOrdered, no global sort") {
+    val df = SparkEntry.queries("q40_bm25_search")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("q41 stratified sample: the gate is map-side — only the summary agg shuffles") {
+    val df = SparkEntry.queries("q41_stratified_sample")(spark, sf)
+    df.collect()
+    assert(shuffleExchangeCount(df) == 1)
+  }
+
+  test("q42 domain caps: k-bounded ObjectHashAggregate, no Window, one shuffle") {
+    val df = SparkEntry.queries("q42_domain_caps")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(shuffleExchangeCount(df) == 1)
+  }
 }
