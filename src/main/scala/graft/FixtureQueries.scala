@@ -49,12 +49,15 @@ object FixtureQueries {
       // P4 body + P5 bbox + P6 bold positions, per candidate (the fields
       // the reference persists on target_table rows, src/models.py:37-51)
       result(s).candidates
-        .map(c => (c.doc_id, c.page, c.raw_data.length, c.headers.mkString("|"),
-          c.bbox(0).toLong, c.bbox(1).toLong, c.bbox(2).toLong, c.bbox(3).toLong,
-          c.bold.mkString(",")))
+        .map(graft.streaming.StreamExtract.candidateRow)
         .toDF("doc_id", "page", "n_rows", "headers",
           "x0", "y0", "x1", "y1", "bold_cells")
     }),
+    // the same extraction as a two-batch Structured Streaming append query
+    // — stateless per doc, so the appended union must equal x06 exactly
+    // (shared golden oracle)
+    "x28_stream_candidates" -> ((s, _) =>
+      graft.streaming.StreamExtract.replayCandidates(s, FixtureCorpus.fixtureDocs)),
     // P7 caption + P8 header-region, for EVERY detected table on every page
     // (not just criterion candidates — the v1 capability is table-agnostic,
     // table_finder.py:92-114,160-188)
@@ -240,6 +243,8 @@ object FixtureQueries {
          |SELECT doc_id, ${Boilerplate.stripTagsSql("html")} AS text FROM corpus""".stripMargin,
     // the xlsx round trip must reproduce the pivot exactly
     "x16_xlsx_roundtrip" -> FixtureGoldens.oracleSql("x03_fixture_pivot"),
+    // streaming extraction must append exactly the batch candidate rows
+    "x28_stream_candidates" -> FixtureGoldens.oracleSql("x06_fixture_candidates"),
     "x23_pdf_roundtrip" ->
       s"""WITH spans(doc_id, ord, kind, text, media_ref) AS (VALUES
          |  $pdfSpanValues)

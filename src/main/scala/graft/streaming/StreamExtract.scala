@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.layout.{CandidateTable, DocRow}
+import graft.pipeline.Extract
+
+/** The flagship extraction as a Structured Streaming job — the shape the
+  * reference's DB-state-driven incremental loop (step_2's per-paper
+  * commits, src/v3_stable/step_2_add_candidate_tables.py:51-60) takes when
+  * documents ARRIVE instead of sitting in a settled corpus: readStream the
+  * interleaved-doc table, extract per micro-batch, append candidates to
+  * the sink. Extraction is stateless per document, so the streaming query
+  * needs no watermark and no state store — each doc is parsed exactly once
+  * in whatever batch delivers it, and the appended union across batches
+  * must equal the batch pipeline's output row-for-row. That equality is
+  * the driver check: x28 shares x06's golden VALUES oracle.
+  *
+  * At scale this is the checkpointed ingest topology: source offsets +
+  * the append sink give exactly-once candidates without the anti-join
+  * resume pass the batch pipeline uses (Checkpointing.resumeFilter) —
+  * the streaming engine's offset log IS the resume state.
+  */
+object StreamExtract {
+
+  /** The flat driver-visible projection of a candidate row (P4 body, P5
+    * bbox, P6 bold) — one definition shared by the batch x06 query and the
+    * streaming x28 replay so the two can never drift apart. */
+  def candidateRow(c: CandidateTable): (String, Int, Int, String, Long, Long, Long, Long, String) =
+    (c.doc_id, c.page, c.raw_data.length, c.headers.mkString("|"),
+      c.bbox(0).toLong, c.bbox(1).toLong, c.bbox(2).toLong, c.bbox(3).toLong,
+      c.bold.mkString(","))
+
+  private val CandidateCols = Seq("doc_id", "page", "n_rows", "headers",
+    "x0", "y0", "x1", "y1", "bold_cells")
+
+  /** Drive per-doc extraction as a streaming flatMap over a finite
+    * two-batch replay and return every appended candidate row. Append
+    * mode: no state, no watermark — the batch split exercises that rows
+    * from different micro-batches land in one consistent sink. */
+  def replayCandidates(spark: SparkSession, docs: Seq[DocRow]): DataFrame = {
+    import spark.implicits._
+    require(docs.nonEmpty, "replayCandidates needs a non-empty corpus")
+    Events.withReplayPartitions(spark) {
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocRow](spark)
+      val qname = "graft_x28_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = input.toDS()
+        .flatMap(d => Extract.extractDoc(d).candidates.map(candidateRow))
+        .toDF(CandidateCols: _*)
+        .writeStream.format("memory").queryName(qname).outputMode("append")
+        .start()
+      try {
+        val (first, second) = docs.splitAt(docs.length / 2)
+        input.addData(first)
+        q.processAllAvailable()
+        input.addData(second)
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(qname)
+    }
+  }
+}
