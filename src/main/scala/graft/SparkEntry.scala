@@ -584,7 +584,36 @@ object SparkEntry {
       "q42_domain_caps" -> ((s, d) =>
         graft.ops.TopK.topKByValueStr(
           t(s, d, "documents").select(col("source"), col("n_chars"), col("doc_id")),
-          "source", "n_chars", "doc_id", k = 10)))
+          "source", "n_chars", "doc_id", k = 10)),
+      // ---- benchmark-contamination scan: exact-phrase hits per benchmark
+      //      string. The phrase table broadcasts; the corpus is scanned
+      //      once, map-side (substring test inside codegen) — the fuzzy
+      //      variant of decontamination is the MinHash machinery (q15).
+      "q43_contamination" -> ((s, d) => {
+        val phrases = Seq("merge batch part", "stream window", "query value customer")
+        val p = s.createDataset(phrases)(org.apache.spark.sql.Encoders.STRING)
+          .toDF("phrase")
+        t(s, d, "documents")
+          .crossJoin(broadcast(p))
+          .filter(col("text").contains(col("phrase")))
+          .groupBy("phrase")
+          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      }),
+      // ---- JSONL ingest round trip: the interchange format training
+      //      corpora actually arrive in. Read back with the EXPLICIT
+      //      schema (no inference pass — at 100 TB schema inference is a
+      //      full extra scan), then aggregate; must equal the parquet
+      //      truth.
+      "x29_jsonl_roundtrip" -> ((s, d) => {
+        val path = s"/tmp/graft-jsonl-${s.sparkContext.applicationId}"
+        val docs = t(s, d, "documents")
+        docs.write.mode("overwrite").json(path)
+        s.read.schema(docs.schema).json(path)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("total_chars"),
+            sum(length(col("text"))).as("total_text_len"))
+      }))
 
     relational ++ text ++ curation ++ FixtureQueries.queries
   }
@@ -980,6 +1009,17 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source
         |                       ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM documents) WHERE rn <= 10""".stripMargin,
+    "q43_contamination" ->
+      """WITH p(phrase) AS (VALUES
+        |  ('merge batch part'), ('stream window'), ('query value customer'))
+        |SELECT phrase, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM documents, p WHERE contains(text, phrase)
+        |GROUP BY 1""".stripMargin,
+    "x29_jsonl_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_text_len
+        |FROM documents GROUP BY 1""".stripMargin,
     // The three char-fold-hash oracles below replay Java's 64-bit
     // wraparound arithmetic in DuckDB: fold in HUGEINT with % 2^64 each
     // step, then a two's-complement CASE maps the unsigned value back to
