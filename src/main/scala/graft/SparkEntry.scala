@@ -599,6 +599,23 @@ object SparkEntry {
           .groupBy("phrase")
           .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
       }),
+      // ---- doc-length quantiles: exact quartiles next to the mergeable
+      //      approx_percentile sketch (the KLL/GK-family companion to
+      //      q36's HLL — at 100 TB the sketch is the affordable default;
+      //      the exact agg needs the full value multiset per group).
+      //      Quartiles only: 0.25/0.5/0.75 are exact binary fractions, so
+      //      the interpolated value, x4, is integral and engine-exact.
+      "q44_length_quantiles" -> ((s, d) =>
+        t(s, d, "documents")
+          .groupBy("source")
+          .agg(
+            (expr("percentile(n_chars, 0.25)") * 4).cast("long").as("p25_x4"),
+            (expr("percentile(n_chars, 0.5)") * 4).cast("long").as("p50_x4"),
+            (expr("percentile(n_chars, 0.75)") * 4).cast("long").as("p75_x4"),
+            expr("approx_percentile(n_chars, 0.5, 1000)").as("ap50"))
+          .select(col("source"), col("p25_x4"), col("p50_x4"), col("p75_x4"),
+            (abs(col("ap50") * 4 - col("p50_x4")) * 10 <= col("p50_x4"))
+              .cast("int").as("approx_within_10pct"))),
       // ---- JSONL ingest round trip: the interchange format training
       //      corpora actually arrive in. Read back with the EXPLICIT
       //      schema (no inference pass — at 100 TB schema inference is a
@@ -1015,6 +1032,17 @@ object SparkEntry {
         |SELECT phrase, count(*) AS n_docs, min(doc_id) AS first_doc
         |FROM documents, p WHERE contains(text, phrase)
         |GROUP BY 1""".stripMargin,
+    "q44_length_quantiles" ->
+      // the sketch estimate has no cross-engine oracle; the exact
+      // quartiles are strict and the sketch is pinned by the tolerance
+      // flag (same pattern as q36). DuckDB's quantile_cont interpolates
+      // with the same (n-1)*q rule.
+      """SELECT source,
+        |  CAST(quantile_cont(n_chars, 0.25) * 4 AS BIGINT) AS p25_x4,
+        |  CAST(quantile_cont(n_chars, 0.5) * 4 AS BIGINT) AS p50_x4,
+        |  CAST(quantile_cont(n_chars, 0.75) * 4 AS BIGINT) AS p75_x4,
+        |  1 AS approx_within_10pct
+        |FROM documents GROUP BY 1""".stripMargin,
     "x29_jsonl_roundtrip" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -73,14 +73,92 @@ object Components {
     labels.select(col("id"), col("lbl").as("component"))
   }
 
+  /** Connected components via alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the 100 TB default. Where min-label propagation
+    * needs one round per hop of graph diameter, star contraction halves
+    * path lengths every round pair: O(log^2 n) rounds on ANY graph shape,
+    * including the adversarial long chains a crawl near-dup graph can
+    * form (page A ~ A' ~ A'' ~ ...). Each round is two shuffles of
+    * (long, long) edges; edges only ever move toward smaller labels, and
+    * the fixed point is a star forest: every node points directly at its
+    * component's min id.
+    *
+    * Output matches [[connectedComponents]] row-for-row (property-tested
+    * on random graphs); q37 runs THIS path, so the driver's recursive-CTE
+    * oracle pins the contraction, not just the simple loop. */
+  def connectedComponentsStar(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", maxIter: Int = 40): DataFrame = {
+    val spark = edges.sparkSession
+    val raw = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val verts = raw.select(col("src").as("id"))
+      .union(raw.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    def neighbors(e: DataFrame): DataFrame =
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // large-star: every neighbor v > u links to m(u) = min(N(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = neighbors(e)
+      val mins = sym.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src").as("u"), least(col("mn"), col("src")).as("m"))
+      sym.filter(col("dst") > col("src"))
+        .join(mins, col("src") === col("u"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    // small-star: u and its smaller neighbors all link to their min
+    def smallStar(e: DataFrame): DataFrame = {
+      val sym = neighbors(e)
+      val le = sym.filter(col("dst") < col("src"))
+      val mins = le.groupBy("src").agg(min("dst").as("m"))
+      val moved = le.join(mins, "src")
+        .select(col("dst").as("node"), col("m"))
+        .filter(col("node") =!= col("m"))
+        .select(col("node").as("src"), col("m").as("dst"))
+      moved.union(mins.select(col("src"), col("m").as("dst"))).distinct()
+    }
+    // fixpoint check: (count, sum(src*2^32 + dst)) — stable at the star
+    // forest; the weighted sum makes checksum collisions negligible
+    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum((col("src") * lit(4294967296L) + col("dst")).cast("decimal(38,0)")))
+        .head
+      (r.getLong(0), Option(r.getDecimal(1))
+        .getOrElse(java.math.BigDecimal.ZERO))
+    }
+    var e = raw.filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var prev = checksum(e)
+    var it = 0
+    var done = e.isEmpty
+    while (!done && it < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val cur = checksum(next)
+      e.unpersist()
+      e = next
+      done = cur == prev
+      prev = cur
+      it += 1
+    }
+    // star edges are (node, root) with root < node; roots + isolated
+    // vertices label themselves
+    val labeled = verts.join(e.select(col("src").as("id"), col("dst").as("lbl")),
+      Seq("id"), "left")
+    val out = labeled.select(col("id"),
+      coalesce(col("lbl"), col("id")).as("component"))
+    e.unpersist()
+    out
+  }
+
   /** Cluster summary for a near-dup pair set: one row per component with
     * its size. The component label IS the keeper (min doc id — the
     * deterministic survivor a dedup pass retains). Only multi-doc
     * components appear: a doc with no near-dup pair is its own keeper and
-    * needs no row. */
+    * needs no row. Runs the star-contraction path (the scale default). */
   def dupClusters(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b"): DataFrame =
-    connectedComponents(pairs, aCol, bCol)
+    connectedComponentsStar(pairs, aCol, bCol)
       .groupBy("component")
       .agg(count(lit(1)).as("n_docs"))
 }

@@ -32,6 +32,33 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Map(3L -> 3L, 4L -> 3L, 5L -> 3L))
   }
 
+  test("star contraction equals min-label propagation on random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(50)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      val df = edges.toDF("src", "dst")
+      val prop = Components.connectedComponents(df).as[(Long, Long)].collect().toMap
+      val star = Components.connectedComponentsStar(df).as[(Long, Long)].collect().toMap
+      assert(star == prop)
+    }
+  }
+
+  test("star contraction: a 40-hop chain resolves (log rounds, not diameter cap)") {
+    val chain = (100L until 140L).sliding(2).map(s => (s(1), s(0))).toSeq
+      .toDF("src", "dst")
+    val got = Components.connectedComponentsStar(chain, maxIter = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 40 && got.values.toSet == Set(100L))
+  }
+
+  test("star contraction: self-loops and isolated-by-self-loop vertices") {
+    val df = Seq((5L, 5L), (1L, 2L)).toDF("src", "dst")
+    val got = Components.connectedComponentsStar(df).as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("dupClusters summarizes component sizes under the min-id label") {
     val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
     val got = Components.dupClusters(pairs).as[(Long, Long)].collect().toMap
