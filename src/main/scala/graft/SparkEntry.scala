@@ -616,6 +616,12 @@ object SparkEntry {
           .select(col("source"), col("p25_x4"), col("p50_x4"), col("p75_x4"),
             (abs(col("ap50") * 4 - col("p50_x4")) * 10 <= col("p50_x4"))
               .cast("int").as("approx_within_10pct"))),
+      // ---- exact heavy hitters via Misra-Gries sketch + recount: pass 1
+      //      finds candidates with k bounded counters per task (no-miss
+      //      superset guarantee), pass 2 recounts only candidates — the
+      //      corpus vocabulary never shuffles, yet the output is exact
+      "q45_heavy_hitters" -> ((s, d) =>
+        graft.ops.HeavyHitters.frequentTokens(t(s, d, "documents"), "text")),
       // ---- JSONL ingest round trip: the interchange format training
       //      corpora actually arrive in. Read back with the EXPLICIT
       //      schema (no inference pass — at 100 TB schema inference is a
@@ -1043,6 +1049,11 @@ object SparkEntry {
         |  CAST(quantile_cont(n_chars, 0.75) * 4 AS BIGINT) AS p75_x4,
         |  1 AS approx_within_10pct
         |FROM documents GROUP BY 1""".stripMargin,
+    "q45_heavy_hitters" ->
+      s"""WITH w AS (SELECT unnest($toks) AS term FROM documents),
+         |tot AS (SELECT count(*) AS n FROM w),
+         |c AS (SELECT term, count(*) AS cnt FROM w GROUP BY 1)
+         |SELECT term, cnt FROM c, tot WHERE cnt * 400 > n""".stripMargin,
     "x29_jsonl_roundtrip" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
