@@ -616,6 +616,27 @@ object SparkEntry {
           .select(col("source"), col("p25_x4"), col("p50_x4"), col("p75_x4"),
             (abs(col("ap50") * 4 - col("p50_x4")) * 10 <= col("p50_x4"))
               .cast("int").as("approx_within_10pct"))),
+      // ---- dynamic partition pruning: the fact scan's partition filter
+      //      arrives at RUNTIME from the broadcast dim's selective filter
+      //      (dynamicpruningexpression on the FileScan — pinned in
+      //      PlanAuditSpec). At 100 TB this is the difference between
+      //      scanning 2 partitions and scanning all of them when the
+      //      selected keys are only known after filtering the dimension.
+      "x30_dynamic_pruning" -> ((s, d) => {
+        val base = s"/tmp/graft-dpp-${s.sparkContext.applicationId}"
+        graft.io.Partitioned.writePartitioned(t(s, d, "events"),
+          s"$base/facts", "event_type")
+        t(s, d, "events").select("event_type").distinct()
+          .withColumn("w",
+            when(col("event_type").isin("purchase", "view"), 1).otherwise(0))
+          .write.mode("overwrite").parquet(s"$base/dim")
+        val facts = graft.io.Partitioned.readPartitioned(s, s"$base/facts")
+        val dim = s.read.parquet(s"$base/dim").filter(col("w") > 0)
+        facts.join(dim.select("event_type"), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(floor(col("value") * 100).cast("long")).as("cents"))
+      }),
       // ---- exact heavy hitters via Misra-Gries sketch + recount: pass 1
       //      finds candidates with k bounded counters per task (no-miss
       //      superset guarantee), pass 2 recounts only candidates — the
@@ -1049,6 +1070,11 @@ object SparkEntry {
         |  CAST(quantile_cont(n_chars, 0.75) * 4 AS BIGINT) AS p75_x4,
         |  1 AS approx_within_10pct
         |FROM documents GROUP BY 1""".stripMargin,
+    "x30_dynamic_pruning" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events WHERE event_type IN ('purchase', 'view')
+        |GROUP BY 1""".stripMargin,
     "q45_heavy_hitters" ->
       s"""WITH w AS (SELECT unnest($toks) AS term FROM documents),
          |tot AS (SELECT count(*) AS n FROM w),

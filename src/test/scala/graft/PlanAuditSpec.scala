@@ -101,6 +101,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffleExchangeCount(df) == 1)
   }
 
+  test("x30: the fact scan carries a runtime dynamicpruning partition filter") {
+    val df = SparkEntry.queries("x30_dynamic_pruning")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"), plan.take(3000))
+  }
+
   test("q42 domain caps: k-bounded ObjectHashAggregate, no Window, one shuffle") {
     val df = SparkEntry.queries("q42_domain_caps")(spark, sf)
     df.collect()
