@@ -616,6 +616,20 @@ object SparkEntry {
           .select(col("source"), col("p25_x4"), col("p50_x4"), col("p75_x4"),
             (abs(col("ap50") * 4 - col("p50_x4")) * 10 <= col("p50_x4"))
               .cast("int").as("approx_within_10pct"))),
+      // ---- per-label embedding centroids (class prototypes): float sums
+      //      are order-dependent, so each element is fixed to micro-int
+      //      space first (floor(x*1e6) as long) — integer sums commute,
+      //      making the distributed aggregation exact and engine-portable.
+      //      slice-then-posexplode keeps the fan-out map-side; the shuffle
+      //      carries (label, pos) partial sums only.
+      "q46_label_centroids" -> ((s, d) =>
+        t(s, d, "embeddings")
+          .select(col("label"), posexplode(slice(col("embedding"), 1, 8)))
+          .groupBy(col("label"), col("pos"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("col").cast("double") * 1e6).cast("long")).as("sum_micro"))
+          .withColumn("centroid_micro",
+            floor(col("sum_micro") / col("n")).cast("long"))),
       // ---- dynamic partition pruning: the fact scan's partition filter
       //      arrives at RUNTIME from the broadcast dim's selective filter
       //      (dynamicpruningexpression on the FileScan — pinned in
@@ -1070,6 +1084,19 @@ object SparkEntry {
         |  CAST(quantile_cont(n_chars, 0.75) * 4 AS BIGINT) AS p75_x4,
         |  1 AS approx_within_10pct
         |FROM documents GROUP BY 1""".stripMargin,
+    "q46_label_centroids" ->
+      """WITH u AS (
+        |  SELECT label,
+        |    unnest(list_transform(range(1, 9),
+        |      i -> {'pos': i - 1, 'e': embedding[i]})) AS s
+        |  FROM embeddings),
+        |g AS (
+        |  SELECT label, s.pos AS pos, count(*) AS n,
+        |    CAST(sum(CAST(floor(CAST(s.e AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS sum_micro
+        |  FROM u GROUP BY 1, 2)
+        |SELECT label, CAST(pos AS INT) AS pos, n, sum_micro,
+        |  CAST(floor(sum_micro * 1.0 / n) AS BIGINT) AS centroid_micro
+        |FROM g""".stripMargin,
     "x30_dynamic_pruning" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS cents
