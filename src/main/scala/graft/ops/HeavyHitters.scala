@@ -22,22 +22,30 @@ import org.apache.spark.sql.functions._
   * an oracle for it. */
 object HeavyHitters {
 
-  /** Misra-Gries with weighted merge: combine, then subtract the (k+1)-th
-    * largest count from everything and drop non-positive counters. */
+  /** Misra-Gries with weighted merge: subtract the (k+1)-th largest count
+    * from everything and drop non-positive counters. The shrink is LAZY —
+    * buffers grow to 2k before compacting back under k — so the per-item
+    * cost is O(1) map update plus an O(k log k) compaction amortized over
+    * ≥ k inserts, instead of a full sort per insert. Laziness only delays
+    * decrements, so the superset guarantee (count > n/(k+1) survives) is
+    * unchanged; it costs a bounded constant factor of state. */
   final class MisraGries(k: Int)
       extends Aggregator[String, Map[String, Long], Seq[String]] {
     require(k > 0)
-    private def shrink(m: Map[String, Long]): Map[String, Long] =
-      if (m.size <= k) m
-      else {
-        val cut = m.values.toSeq.sorted(Ordering[Long].reverse).apply(k)
-        m.collect { case (t, c) if c > cut => t -> (c - cut) }
-      }
+    private def compact(m: Map[String, Long]): Map[String, Long] = {
+      val cut = m.values.toSeq.sorted(Ordering[Long].reverse).apply(k)
+      m.collect { case (t, c) if c > cut => t -> (c - cut) }
+    }
+    private def shrink(m: Map[String, Long], force: Boolean): Map[String, Long] =
+      if (m.size <= k || (!force && m.size <= 2 * k)) m else compact(m)
     override def zero: Map[String, Long] = Map.empty
     override def reduce(b: Map[String, Long], t: String): Map[String, Long] =
-      shrink(b.updated(t, b.getOrElse(t, 0L) + 1L))
+      shrink(b.updated(t, b.getOrElse(t, 0L) + 1L), force = false)
     override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
-      shrink(b.foldLeft(a) { case (m, (t, c)) => m.updated(t, m.getOrElse(t, 0L) + c) })
+      // map-side partial buffers ship at ≤ 2k entries; compact hard on
+      // merge so the final state is back under k
+      shrink(b.foldLeft(a) { case (m, (t, c)) => m.updated(t, m.getOrElse(t, 0L) + c) },
+        force = true)
     override def finish(b: Map[String, Long]): Seq[String] = b.keys.toSeq.sorted
     override def bufferEncoder: Encoder[Map[String, Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
