@@ -616,6 +616,20 @@ object SparkEntry {
           .select(col("source"), col("p25_x4"), col("p50_x4"), col("p75_x4"),
             (abs(col("ap50") * 4 - col("p50_x4")) * 10 <= col("p50_x4"))
               .cast("int").as("approx_within_10pct"))),
+      // ---- AQE runtime skew split: the same hot-key problem as q29, but
+      //      handled by OptimizeSkewedJoin at runtime (plan pinned in
+      //      PlanAuditSpec: SortMergeJoin(skew=true)). Materialized inside
+      //      the conf scope so the lowered skew thresholds apply at
+      //      execution, then returned as values.
+      "x31_aqe_skew_join" -> ((s, d) => {
+        import s.implicits._
+        graft.ops.SkewJoin.withSkewTestConfs(s) {
+          val j = graft.ops.SkewJoin.aqeSkewedJoin(t(s, d, "events"))
+          val row = j.agg(count(lit(1)).as("n_rows"),
+            sum("cents").as("cents")).as[(Long, Long)].head()
+          Seq(row).toDF("n_rows", "cents")
+        }
+      }),
       // ---- per-label embedding centroids (class prototypes): float sums
       //      are order-dependent, so each element is fixed to micro-int
       //      space first (floor(x*1e6) as long) — integer sums commute,
@@ -1084,6 +1098,14 @@ object SparkEntry {
         |  CAST(quantile_cont(n_chars, 0.75) * 4 AS BIGINT) AS p75_x4,
         |  1 AS approx_within_10pct
         |FROM documents GROUP BY 1""".stripMargin,
+    "x31_aqe_skew_join" ->
+      """WITH l AS (
+        |  SELECT CASE WHEN user_id % 10 < 9 THEN 0 ELSE user_id END AS k,
+        |    CAST(floor(value*100) + rep.range AS BIGINT) AS cents
+        |  FROM events CROSS JOIN range(1, 101) AS rep),
+        |r AS (SELECT range AS k FROM range(0, 1000) WHERE range % 3 = 0)
+        |SELECT count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM l JOIN r USING (k)""".stripMargin,
     "q46_label_centroids" ->
       """WITH u AS (
         |  SELECT label,

@@ -40,4 +40,57 @@ object SkewJoin {
       explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Session confs that let AQE's OptimizeSkewedJoin fire on test-scale
+    * data (default thresholds are sized for real clusters), restored after
+    * `body`. AQE skew split is the RUNTIME counterpart of [[saltedJoin]]:
+    * it splits oversized shuffle partitions after seeing map output sizes,
+    * but only when no downstream operator requires the join key's hash
+    * partitioning — salting remains the a-priori fix for those plans. */
+  def withSkewTestConfs[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  /** The skewed join AQE must re-plan: 90% of events collapse onto key 0,
+    * joined against a filtered distinct-key dim. Returned UN-aggregated so
+    * a caller can both pin the executed plan (SortMergeJoin(skew=true))
+    * and aggregate for the value check. Events are replicated x100
+    * (deterministic explode; the oracle mirrors it with CROSS JOIN
+    * range(100)) so the hot partition exceeds the skew threshold even on
+    * the smallest test table. */
+  def aqeSkewedJoin(events: DataFrame): DataFrame = {
+    val left = events
+      .select(col("user_id"), col("value"),
+        explode(sequence(lit(1), lit(100))).as("__rep"))
+      // multiple map tasks are REQUIRED for the runtime split: AQE carves
+      // a skewed reduce partition along mapper-output boundaries, so a
+      // single-mapper stage (one small parquet file) cannot be split at
+      // all — the same reason tiny-file inputs defeat skew handling in
+      // production until they are repartitioned
+      .repartition(8)
+      .select(
+        when(pmod(col("user_id"), lit(10)) < 9, lit(0L))
+          .otherwise(col("user_id")).as("k"),
+        // replicas carry distinct values: identical rows would compress
+        // ~100x in the shuffle and fall back under the skew threshold
+        (floor(col("value") * 100) + col("__rep")).cast("long").as("cents"))
+    // the dim must reach the join as Sort(ShuffleRead) directly:
+    // OptimizeSkewedJoin pattern-matches SMJ over bare shuffle stages, so
+    // an aggregate (e.g. a distinct) on the build side disqualifies the
+    // split — one more production subtlety this demo pins
+    val right = events.sparkSession.range(0, 1000)
+      .filter(pmod(col("id"), lit(3)) === 0)
+      .select(col("id").as("k"))
+    left.join(right, "k")
+  }
 }

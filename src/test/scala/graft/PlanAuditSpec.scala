@@ -101,6 +101,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffleExchangeCount(df) == 1)
   }
 
+  test("x31: AQE splits the skewed join partition at runtime (skew=true)") {
+    import org.apache.spark.sql.functions.{col, sum}
+    graft.ops.SkewJoin.withSkewTestConfs(spark) {
+      val j = graft.ops.SkewJoin
+        .aqeSkewedJoin(spark.read.parquet(s"$sf/events.parquet"))
+        .agg(sum(col("cents")))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(3000))
+    }
+  }
+
   test("x30: the fact scan carries a runtime dynamicpruning partition filter") {
     val df = SparkEntry.queries("x30_dynamic_pruning")(spark, sf)
     df.collect()
