@@ -616,6 +616,39 @@ object SparkEntry {
           .select(col("source"), col("p25_x4"), col("p50_x4"), col("p75_x4"),
             (abs(col("ap50") * 4 - col("p50_x4")) * 10 <= col("p50_x4"))
               .cast("int").as("approx_within_10pct"))),
+      // ---- the full corpus build, composed end to end the way a training
+      //      corpus is actually curated: language gate -> quality gate ->
+      //      repetition gate -> exact-dedup keeper -> deterministic 80%
+      //      sample, with per-stage survivor counts plus the final token
+      //      budget. Every stage is an operator this engine ships and
+      //      oracle-checks individually; this query pins their COMPOSITION.
+      "q47_corpus_build" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+        val prof = TextAnalysis.profile(docs)
+          .select("doc_id", "lang_pred", "quality_bp")
+        val rep = graft.ops.Curation.repetitionProfile(docs)
+          .filter(col("keep")).select("doc_id")
+        val langOk = prof.filter(col("lang_pred") === "en")
+        val qualOk = langOk.filter(col("quality_bp") >= 6000)
+        val repOk = qualOk.join(rep, Seq("doc_id"), "left_semi")
+        val surviving = docs.join(repOk.select("doc_id"), Seq("doc_id"), "left_semi")
+        val keepers = Dedup.exactDedup(surviving)
+        val sampled = graft.ops.Curation.stratifiedSample(keepers,
+          "source", "doc_id", rates = Map.empty, defaultRate = 80,
+          salt = ":build1")
+        def stage(name: String, df: DataFrame) =
+          df.agg(count(lit(1)).as("n")).withColumn("stage", lit(name))
+        stage("s0_total", docs)
+          .unionByName(stage("s1_lang_en", langOk))
+          .unionByName(stage("s2_quality", qualOk))
+          .unionByName(stage("s3_repetition", repOk))
+          .unionByName(stage("s4_dedup_keeper", keepers))
+          .unionByName(stage("s5_sampled", sampled))
+          .unionByName(sampled
+            .agg(sum(size(TextAnalysis.tokens(col("text")))).cast("long").as("n"))
+            .withColumn("stage", lit("s6_sampled_tokens")))
+          .select("stage", "n")
+      }),
       // ---- AQE runtime skew split: the same hot-key problem as q29, but
       //      handled by OptimizeSkewedJoin at runtime (plan pinned in
       //      PlanAuditSpec: SortMergeJoin(skew=true)). Materialized inside
@@ -721,6 +754,35 @@ object SparkEntry {
   }
 
   private val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+  /** q38's full repetition-profile SELECT, shared with q47's funnel
+    * oracle. Word/bigram/trigram repetition in integral basis points;
+    * top-word count via per-word grouping (equivalent to the engine's
+    * sorted-array run-length fold). */
+  private lazy val repetitionOracleSql: String =
+    s"""WITH base AS (SELECT doc_id, $toks AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, toks,
+       |    list_transform(range(0, greatest(len(toks)-1, 0)),
+       |      i -> concat_ws(' ', toks[i+1], toks[i+2])) AS g2,
+       |    list_transform(range(0, greatest(len(toks)-2, 0)),
+       |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])) AS g3
+       |  FROM base),
+       |wc AS (SELECT doc_id, w, count(*) AS c
+       |       FROM (SELECT doc_id, unnest(toks) AS w FROM base) GROUP BY 1, 2),
+       |top AS (SELECT doc_id, max(c) AS mx FROM wc GROUP BY 1),
+       |m AS (
+       |  SELECT g.doc_id,
+       |    CAST(len(g.toks) AS BIGINT) AS n_words,
+       |    CASE WHEN len(g.toks) > 0 THEN CAST(floor(len(list_distinct(g.toks))*10000.0/len(g.toks)) AS BIGINT) ELSE 0 END AS distinct_word_bp,
+       |    CASE WHEN len(g.toks) > 0 THEN CAST(floor(t.mx*10000.0/len(g.toks)) AS BIGINT) ELSE 0 END AS top_word_bp,
+       |    CASE WHEN len(g.g2) > 0 THEN CAST(floor((len(g.g2) - len(list_distinct(g.g2)))*10000.0/len(g.g2)) AS BIGINT) ELSE 0 END AS dup_bigram_bp,
+       |    CASE WHEN len(g.g3) > 0 THEN CAST(floor((len(g.g3) - len(list_distinct(g.g3)))*10000.0/len(g.g3)) AS BIGINT) ELSE 0 END AS dup_trigram_bp
+       |  FROM g JOIN top t ON t.doc_id = g.doc_id)
+       |SELECT m.*,
+       |  CAST((distinct_word_bp >= 2000 AND top_word_bp <= 2500
+       |        AND dup_trigram_bp <= 6000) AS INT) AS keep
+       |FROM m""".stripMargin
 
   /** q14's full pair SELECT, shared with q37's recursive-closure oracle. */
   private lazy val ngramPairsOracleSql: String = {
@@ -1009,33 +1071,7 @@ object SparkEntry {
          |  FROM reach r JOIN edges e ON e.src = r.id),
          |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
          |SELECT component, count(*) AS n_docs FROM comp GROUP BY 1""".stripMargin,
-    "q38_repetition_profile" ->
-      // word/bigram/trigram repetition in integral basis points; top-word
-      // count via per-word grouping (equivalent to the engine's sorted-
-      // array run-length fold)
-      s"""WITH base AS (SELECT doc_id, $toks AS toks FROM documents),
-         |g AS (
-         |  SELECT doc_id, toks,
-         |    list_transform(range(0, greatest(len(toks)-1, 0)),
-         |      i -> concat_ws(' ', toks[i+1], toks[i+2])) AS g2,
-         |    list_transform(range(0, greatest(len(toks)-2, 0)),
-         |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])) AS g3
-         |  FROM base),
-         |wc AS (SELECT doc_id, w, count(*) AS c
-         |       FROM (SELECT doc_id, unnest(toks) AS w FROM base) GROUP BY 1, 2),
-         |top AS (SELECT doc_id, max(c) AS mx FROM wc GROUP BY 1),
-         |m AS (
-         |  SELECT g.doc_id,
-         |    CAST(len(g.toks) AS BIGINT) AS n_words,
-         |    CASE WHEN len(g.toks) > 0 THEN CAST(floor(len(list_distinct(g.toks))*10000.0/len(g.toks)) AS BIGINT) ELSE 0 END AS distinct_word_bp,
-         |    CASE WHEN len(g.toks) > 0 THEN CAST(floor(t.mx*10000.0/len(g.toks)) AS BIGINT) ELSE 0 END AS top_word_bp,
-         |    CASE WHEN len(g.g2) > 0 THEN CAST(floor((len(g.g2) - len(list_distinct(g.g2)))*10000.0/len(g.g2)) AS BIGINT) ELSE 0 END AS dup_bigram_bp,
-         |    CASE WHEN len(g.g3) > 0 THEN CAST(floor((len(g.g3) - len(list_distinct(g.g3)))*10000.0/len(g.g3)) AS BIGINT) ELSE 0 END AS dup_trigram_bp
-         |  FROM g JOIN top t ON t.doc_id = g.doc_id)
-         |SELECT m.*,
-         |  CAST((distinct_word_bp >= 2000 AND top_word_bp <= 2500
-         |        AND dup_trigram_bp <= 6000) AS INT) AS keep
-         |FROM m""".stripMargin,
+    "q38_repetition_profile" -> repetitionOracleSql,
     "q39_pii_scrub" -> {
       val payload = "'reach me at user' || CAST(doc_id AS VARCHAR) || " +
         "'@example.com or +1-415-5' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || " +
@@ -1098,6 +1134,44 @@ object SparkEntry {
         |  CAST(quantile_cont(n_chars, 0.75) * 4 AS BIGINT) AS p75_x4,
         |  1 AS approx_within_10pct
         |FROM documents GROUP BY 1""".stripMargin,
+    "q47_corpus_build" ->
+      s"""WITH repq AS ($repetitionOracleSql),
+         |repk AS (SELECT doc_id FROM repq WHERE keep = 1),
+         |prof AS (
+         |  SELECT doc_id, text, source, $langCaseSql AS lang_pred,
+         |    $qualityBpSql AS quality_bp
+         |  FROM documents),
+         |lang_ok AS (SELECT * FROM prof WHERE lang_pred = 'en'),
+         |qual_ok AS (SELECT * FROM lang_ok WHERE quality_bp >= 6000),
+         |rep_ok AS (SELECT q.* FROM qual_ok q
+         |           WHERE q.doc_id IN (SELECT doc_id FROM repk)),
+         |keepers AS (
+         |  SELECT min(doc_id) AS doc_id FROM rep_ok
+         |  GROUP BY md5(lower(trim(text)))),
+         |hash AS (
+         |  SELECT k.doc_id,
+         |    list_reduce(
+         |      list_prepend(CAST(3421674724 AS HUGEINT),
+         |        list_transform(split(CAST(k.doc_id AS VARCHAR) || ':build1', ''),
+         |          c -> CAST(ord(c) AS HUGEINT))),
+         |      (h, c) -> (h * 1000003 + c) % (CAST(1 AS HUGEINT) << 64)) AS hu
+         |  FROM keepers k),
+         |sampled AS (
+         |  SELECT doc_id FROM hash
+         |  WHERE CAST((((CASE WHEN hu >= (CAST(1 AS HUGEINT) << 63)
+         |        THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END) % 100)
+         |      + 100) % 100 AS BIGINT) < 80),
+         |sampled_docs AS (
+         |  SELECT d.* FROM documents d
+         |  WHERE d.doc_id IN (SELECT doc_id FROM sampled))
+         |SELECT 's0_total' AS stage, count(*) AS n FROM documents
+         |UNION ALL SELECT 's1_lang_en', count(*) FROM lang_ok
+         |UNION ALL SELECT 's2_quality', count(*) FROM qual_ok
+         |UNION ALL SELECT 's3_repetition', count(*) FROM rep_ok
+         |UNION ALL SELECT 's4_dedup_keeper', count(*) FROM keepers
+         |UNION ALL SELECT 's5_sampled', count(*) FROM sampled
+         |UNION ALL SELECT 's6_sampled_tokens',
+         |  CAST(sum(len($toks)) AS BIGINT) FROM sampled_docs""".stripMargin,
     "x31_aqe_skew_join" ->
       """WITH l AS (
         |  SELECT CASE WHEN user_id % 10 < 9 THEN 0 ELSE user_id END AS k,
