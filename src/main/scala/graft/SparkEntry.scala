@@ -654,13 +654,13 @@ object SparkEntry {
       //      PlanAuditSpec: SortMergeJoin(skew=true)). Materialized inside
       //      the conf scope so the lowered skew thresholds apply at
       //      execution, then returned as values.
-      "x31_aqe_skew_join" -> ((s, d) => {
+      "x31_aqe_skew_join" -> ((s, _) => {
         import s.implicits._
         graft.ops.SkewJoin.withSkewTestConfs(s) {
-          val j = graft.ops.SkewJoin.aqeSkewedJoin(t(s, d, "events"))
+          val j = graft.ops.SkewJoin.aqeSkewedJoin(s)
           val row = j.agg(count(lit(1)).as("n_rows"),
-            sum("cents").as("cents")).as[(Long, Long)].head()
-          Seq(row).toDF("n_rows", "cents")
+            sum("v").as("sum_v")).as[(Long, Long)].head()
+          Seq(row).toDF("n_rows", "sum_v")
         }
       }),
       // ---- per-label embedding centroids (class prototypes): float sums
@@ -1174,11 +1174,11 @@ object SparkEntry {
          |  CAST(sum(len($toks)) AS BIGINT) FROM sampled_docs""".stripMargin,
     "x31_aqe_skew_join" ->
       """WITH l AS (
-        |  SELECT CASE WHEN user_id % 10 < 9 THEN 0 ELSE user_id END AS k,
-        |    CAST(floor(value*100) + rep.range AS BIGINT) AS cents
-        |  FROM events CROSS JOIN range(1, 101) AS rep),
+        |  SELECT CASE WHEN range % 10 < 9 THEN 0 ELSE range % 1000 END AS k,
+        |    range AS v
+        |  FROM range(0, 200000)),
         |r AS (SELECT range AS k FROM range(0, 1000) WHERE range % 3 = 0)
-        |SELECT count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS cents
+        |SELECT count(*) AS n_rows, CAST(sum(v) AS BIGINT) AS sum_v
         |FROM l JOIN r USING (k)""".stripMargin,
     "q46_label_centroids" ->
       """WITH u AS (

@@ -61,34 +61,29 @@ object SkewJoin {
     }
   }
 
-  /** The skewed join AQE must re-plan: 90% of events collapse onto key 0,
-    * joined against a filtered distinct-key dim. Returned UN-aggregated so
-    * a caller can both pin the executed plan (SortMergeJoin(skew=true))
-    * and aggregate for the value check. Events are replicated x100
-    * (deterministic explode; the oracle mirrors it with CROSS JOIN
-    * range(100)) so the hot partition exceeds the skew threshold even on
-    * the smallest test table. */
-  def aqeSkewedJoin(events: DataFrame): DataFrame = {
-    val left = events
-      .select(col("user_id"), col("value"),
-        explode(sequence(lit(1), lit(100))).as("__rep"))
-      // multiple map tasks are REQUIRED for the runtime split: AQE carves
-      // a skewed reduce partition along mapper-output boundaries, so a
-      // single-mapper stage (one small parquet file) cannot be split at
-      // all — the same reason tiny-file inputs defeat skew handling in
-      // production until they are repartitioned
-      .repartition(8)
-      .select(
-        when(pmod(col("user_id"), lit(10)) < 9, lit(0L))
-          .otherwise(col("user_id")).as("k"),
-        // replicas carry distinct values: identical rows would compress
-        // ~100x in the shuffle and fall back under the skew threshold
-        (floor(col("value") * 100) + col("__rep")).cast("long").as("cents"))
-    // the dim must reach the join as Sort(ShuffleRead) directly:
-    // OptimizeSkewedJoin pattern-matches SMJ over bare shuffle stages, so
-    // an aggregate (e.g. a distinct) on the build side disqualifies the
-    // split — one more production subtlety this demo pins
-    val right = events.sparkSession.range(0, 1000)
+  /** The skewed join AQE must re-plan: 90% of a 200k-row stream collapses
+    * onto key 0, joined against a small unique-key dim. Returned
+    * UN-aggregated so a caller can both pin the executed plan
+    * (SortMergeJoin(skew=true)) and aggregate for the value check.
+    * Deterministic range base (sf-independent; the oracle replays it with
+    * DuckDB's range()). Three preconditions this demo had to meet — each a
+    * real production subtlety:
+    *  - multiple mappers: AQE carves a skewed reduce partition along
+    *    mapper-output boundaries, so a single-mapper stage (one small
+    *    input file) cannot be split at all (range() gives one split per
+    *    core);
+    *  - incompressible-enough rows: v = id keeps the hot partition's
+    *    shuffle bytes above the threshold — constant rows compress ~100x
+    *    and duck under it;
+    *  - a bare shuffle on the build side: OptimizeSkewedJoin
+    *    pattern-matches SMJ over Sort(ShuffleRead) directly, so an
+    *    aggregate (e.g. a distinct) on the dim disqualifies the split. */
+  def aqeSkewedJoin(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val left = spark.range(0, 200000).select(
+      when(pmod(col("id"), lit(10)) < 9, lit(0L))
+        .otherwise(pmod(col("id"), lit(1000))).as("k"),
+      col("id").as("v"))
+    val right = spark.range(0, 1000)
       .filter(pmod(col("id"), lit(3)) === 0)
       .select(col("id").as("k"))
     left.join(right, "k")

@@ -104,9 +104,8 @@ class PlanAuditSpec extends AnyFunSuite {
   test("x31: AQE splits the skewed join partition at runtime (skew=true)") {
     import org.apache.spark.sql.functions.{col, sum}
     graft.ops.SkewJoin.withSkewTestConfs(spark) {
-      val j = graft.ops.SkewJoin
-        .aqeSkewedJoin(spark.read.parquet(s"$sf/events.parquet"))
-        .agg(sum(col("cents")))
+      val j = graft.ops.SkewJoin.aqeSkewedJoin(spark)
+        .agg(sum(col("v")))
       j.collect()
       val plan = j.queryExecution.executedPlan.toString
       assert(plan.contains("skew=true"), plan.take(3000))
