@@ -649,6 +649,16 @@ object SparkEntry {
             .withColumn("stage", lit("s6_sampled_tokens")))
           .select("stage", "n")
       }),
+      // ---- the curation funnel as a CONTINUOUS ingest query: stateless
+      //      gates per micro-batch, stateful dedup over survivors only —
+      //      rejected docs never touch the state store. Final table must
+      //      equal the batch formulation (oracle shares q47's fragments).
+      "x32_stream_curated_dedup" -> ((s, d) => {
+        import s.implicits._
+        graft.streaming.StreamCuration.replayCuratedDupGroups(s,
+          t(s, d, "documents").select("doc_id", "text")
+            .as[graft.streaming.DocDedup.Doc])
+      }),
       // ---- AQE runtime skew split: the same hot-key problem as q29, but
       //      handled by OptimizeSkewedJoin at runtime (plan pinned in
       //      PlanAuditSpec: SortMergeJoin(skew=true)). Materialized inside
@@ -1172,6 +1182,21 @@ object SparkEntry {
          |UNION ALL SELECT 's5_sampled', count(*) FROM sampled
          |UNION ALL SELECT 's6_sampled_tokens',
          |  CAST(sum(len($toks)) AS BIGINT) FROM sampled_docs""".stripMargin,
+    "x32_stream_curated_dedup" ->
+      // the streaming funnel's final table == batch gates + md5 groups
+      s"""WITH repq AS ($repetitionOracleSql),
+         |repk AS (SELECT doc_id FROM repq WHERE keep = 1),
+         |prof AS (
+         |  SELECT doc_id, text, $langCaseSql AS lang_pred,
+         |    $qualityBpSql AS quality_bp
+         |  FROM documents),
+         |ok AS (
+         |  SELECT doc_id, text FROM prof
+         |  WHERE lang_pred = 'en' AND quality_bp >= 6000
+         |    AND doc_id IN (SELECT doc_id FROM repk))
+         |SELECT md5(lower(trim(text))) AS fp, count(*) AS n_docs,
+         |  min(doc_id) AS keeper_doc_id
+         |FROM ok GROUP BY 1""".stripMargin,
     "x31_aqe_skew_join" ->
       """WITH l AS (
         |  SELECT CASE WHEN range % 10 < 9 THEN 0 ELSE range % 1000 END AS k,

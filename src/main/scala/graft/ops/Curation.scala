@@ -77,6 +77,41 @@ object Curation {
         col("dup_trigram_bp") <= 6000)
   }
 
+  /** Append the full curation gate — language = en, quality ≥ 6000 bp,
+    * repetition keep — as ONE boolean column, preserving every input
+    * column. Built from the same helper expressions as
+    * [[repetitionProfile]] and TextAnalysis.profile, so the flag equals
+    * "would survive q47's s1–s3 stages" exactly. Stateless projections
+    * only: runs unchanged on a STREAMING frame, which is what lets the
+    * whole gate chain sit in front of a stateful streaming dedup
+    * (StreamCuration). */
+  def gateKeep(docs: DataFrame): DataFrame = {
+    val orig = docs.columns.map(col)
+    val staged = docs
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .withColumn("__sorted", array_sort(col("__toks")))
+      .withColumn("__g3", ngrams(col("__toks"), 3))
+    val n = size(col("__toks"))
+    val distinctBp = when(n > 0,
+      floor(size(array_distinct(col("__toks"))) * lit(10000L) / n))
+      .otherwise(lit(0L)).cast("long")
+    val topBp = when(n > 0,
+      floor(topRunLength(col("__sorted")) * lit(10000L) / n))
+      .otherwise(lit(0L)).cast("long")
+    val dupTri = dupBp(col("__g3"), size(array_distinct(col("__g3"))))
+    val lang = TextAnalysis.langIdFirstWinsOf(
+      TextAnalysis.LangMarkers.map { case (l, ms) =>
+        (l, TextAnalysis.langScoreOf(col("__toks"), ms))
+      })
+    val quality = TextAnalysis.qualityScoreBpOf(col("text"), n,
+      TextAnalysis.stopwordCountOf(col("__toks")))
+    staged
+      .withColumn("curation_keep",
+        lang === "en" && quality >= 6000 &&
+          distinctBp >= 2000 && topBp <= 2500 && dupTri <= 6000)
+      .select(orig :+ col("curation_keep"): _*)
+  }
+
   /** PII patterns, applied in order (earlier redactions cannot create
     * later matches: replacement tokens contain no digits or '@'). Each
     * pattern is valid in BOTH Java regex and DuckDB's RE2 — no
