@@ -649,6 +649,18 @@ object SparkEntry {
             .withColumn("stage", lit("s6_sampled_tokens")))
           .select("stage", "n")
       }),
+      // ---- overlapping token-window chunking (RAG/context prep):
+      //      map-side fan-out only, chunk boundaries a pure function of
+      //      the token count
+      "q48_doc_chunks" -> ((s, d) =>
+        graft.ops.Curation.chunkDocs(t(s, d, "documents"),
+          window = 32, overlap = 8)),
+      // ---- ANALYZE-style column statistics: one scan for all columns
+      //      (multiple exact DISTINCTs via a single Expand); the 100 TB
+      //      variant swaps in approx_count_distinct, same plan shape
+      "q49_table_stats" -> ((s, d) =>
+        graft.ops.Profiler.tableStats(t(s, d, "documents"),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))),
       // ---- the curation funnel as a CONTINUOUS ingest query: stateless
       //      gates per micro-batch, stateful dedup over survivors only —
       //      rejected docs never touch the state store. Final table must
@@ -1182,6 +1194,21 @@ object SparkEntry {
          |UNION ALL SELECT 's5_sampled', count(*) FROM sampled
          |UNION ALL SELECT 's6_sampled_tokens',
          |  CAST(sum(len($toks)) AS BIGINT) FROM sampled_docs""".stripMargin,
+    "q48_doc_chunks" ->
+      // stride 24 = window 32 - overlap 8; chunk_idx = tok_start // stride
+      s"""WITH base AS (SELECT doc_id, $toks AS toks FROM documents),
+         |s AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, greatest(len(toks) - 1, 0) + 1, 24)) AS tok_start
+         |  FROM base)
+         |SELECT doc_id, CAST(tok_start // 24 AS INT) AS chunk_idx,
+         |  CAST(tok_start AS INT) AS tok_start,
+         |  CAST(len(list_slice(toks, tok_start + 1, tok_start + 32)) AS INT) AS n_tokens,
+         |  array_to_string(list_slice(toks, tok_start + 1, tok_start + 32), ' ') AS chunk_text
+         |FROM s""".stripMargin,
+    "q49_table_stats" ->
+      graft.ops.Profiler.tableStatsSql("documents",
+        Seq("doc_id", "text", "lang", "source", "n_chars")),
     "x32_stream_curated_dedup" ->
       // the streaming funnel's final table == batch gates + md5 groups
       s"""WITH repq AS ($repetitionOracleSql),

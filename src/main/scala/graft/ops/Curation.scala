@@ -156,6 +156,28 @@ object Curation {
     (scrub, counts.mkString("(", " + ", ")"))
   }
 
+  /** Overlapping token-window chunking — the RAG/context-prep layout
+    * (window tokens per chunk, stride = window - overlap). Map-side: the
+    * only fan-out is the per-doc posexplode of chunk starts; chunk count
+    * and boundaries are pure functions of the token count, so the output
+    * is deterministic and engine-replayable. Output: (doc_id, chunk_idx,
+    * tok_start, n_tokens, chunk_text). */
+  def chunkDocs(docs: DataFrame, window: Int, overlap: Int): DataFrame = {
+    require(window > 0 && overlap >= 0 && overlap < window,
+      s"need 0 <= overlap < window, got window=$window overlap=$overlap")
+    val stride = window - overlap
+    docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+          lit(stride))).as(Seq("chunk_idx", "tok_start")))
+      .select(col("doc_id"), col("chunk_idx"), col("tok_start"),
+        slice(col("toks"), col("tok_start") + 1, lit(window)).as("ctoks"))
+      .select(col("doc_id"), col("chunk_idx"), col("tok_start"),
+        size(col("ctoks")).as("n_tokens"),
+        array_join(col("ctoks"), " ").as("chunk_text"))
+  }
+
   /** Deterministic stratified sampling: keep a per-stratum percentage of
     * rows, chosen by a salted content-hash bucket of the row id — the same
     * no-rand() reproducibility contract as the train/val split (q35): the

@@ -149,6 +149,65 @@ class CurationSpec extends AnyFunSuite {
     assert(run(1) == run(7))
   }
 
+  // ---- chunking -------------------------------------------------------
+
+  test("chunkDocs: stride layout, overlap, and ragged tail") {
+    val text = (1 to 50).map(i => s"t$i").mkString(" ")
+    val got = Curation.chunkDocs(Seq((1L, text)).toDF("doc_id", "text"),
+        window = 32, overlap = 8)
+      .select("chunk_idx", "tok_start", "n_tokens", "chunk_text")
+      .as[(Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(got.map(c => (c._1, c._2, c._3)).toSeq ==
+      Seq((0, 0, 32), (1, 24, 26), (2, 48, 2)))
+    // consecutive chunks share exactly the 8-token overlap
+    val c0 = got(0)._4.split(" ")
+    val c1 = got(1)._4.split(" ")
+    assert(c0.takeRight(8).sameElements(c1.take(8)))
+    assert(got(2)._4 == "t49 t50")
+  }
+
+  test("chunkDocs: a doc shorter than the window is one whole chunk") {
+    val got = Curation.chunkDocs(Seq((1L, "a b c")).toDF("doc_id", "text"),
+        window = 32, overlap = 8)
+      .select("chunk_idx", "n_tokens").as[(Int, Int)].collect().toSeq
+    assert(got == Seq((0, 3)))
+  }
+
+  // ---- profiler -------------------------------------------------------
+
+  test("tableStats: counts, nulls, distincts, typed min/max") {
+    val df = Seq((1L, Some("b"), 5), (2L, None, 11), (3L, Some("a"), 5))
+      .toDF("id", "s", "v")
+    val got = Profiler.tableStats(df, Seq("id", "s", "v"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("id") == (("id", 3L, 0L, 3L, "1", "3")))
+    assert(got("s") == (("s", 3L, 1L, 2L, "a", "b")))
+    // numeric min/max, not lexicographic: min 5, max 11 (lex would say "11" < "5")
+    assert(got("v") == (("v", 3L, 0L, 2L, "5", "11")))
+  }
+
+  // ---- gate vs composed operators, randomized -------------------------
+
+  test("gateKeep equals the composed batch gates on random corpora") {
+    val rnd = new scala.util.Random(21)
+    val vocab = Seq("the", "a", "of", "and", "el", "la", "de", "spam",
+      "table", "fast") ++ (1 to 40).map(i => s"w$i")
+    val docs = Seq.tabulate(60) { i =>
+      val len = rnd.nextInt(120)
+      (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val viaGate = Curation.gateKeep(docs)
+      .filter(col("curation_keep")).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    val prof = TextAnalysis.profile(docs)
+      .filter(col("lang_pred") === "en" && col("quality_bp") >= 6000)
+      .select("doc_id")
+    val rep = Curation.repetitionProfile(docs).filter(col("keep")).select("doc_id")
+    val viaBatch = prof.join(rep, "doc_id").as[Long].collect().sorted.toSeq
+    assert(viaGate == viaBatch)
+  }
+
   // ---- BM25 -----------------------------------------------------------
 
   test("bm25: the term-stuffed doc outranks casual mentions, ranks deterministic") {
