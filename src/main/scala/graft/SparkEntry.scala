@@ -649,6 +649,30 @@ object SparkEntry {
             .withColumn("stage", lit("s6_sampled_tokens")))
           .select("stage", "n")
       }),
+      // ---- corrupt-input resilience: at 100 TB some files WILL be
+      //      truncated or garbage; ignoreCorruptFiles turns them into
+      //      skipped splits instead of a dead job. The query plants a
+      //      corrupt file next to real parquet and must still return the
+      //      intact rows' aggregate (values pinned by the oracle over the
+      //      clean table).
+      "x33_corrupt_file_skip" -> ((s, d) => {
+        val dir = s"/tmp/graft-corrupt-${s.sparkContext.applicationId}"
+        val docs = t(s, d, "documents").select("doc_id", "n_chars")
+        docs.coalesce(2).write.mode("overwrite").parquet(dir)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/part-corrupt.parquet"),
+          "this is not parquet".getBytes)
+        val prev = s.conf.getOption("spark.sql.files.ignoreCorruptFiles")
+        s.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+        try {
+          import s.implicits._
+          val (n, tot) = s.read.parquet(dir)
+            .agg(count(lit(1)).cast("long"), sum("n_chars").cast("long"))
+            .as[(Long, Long)].head()
+          Seq((n, tot)).toDF("n_docs", "total_chars")
+        } finally prev.fold(s.conf.unset("spark.sql.files.ignoreCorruptFiles"))(
+          s.conf.set("spark.sql.files.ignoreCorruptFiles", _))
+      }),
       // ---- overlapping token-window chunking (RAG/context prep):
       //      map-side fan-out only, chunk boundaries a pure function of
       //      the token count
@@ -1194,6 +1218,9 @@ object SparkEntry {
          |UNION ALL SELECT 's5_sampled', count(*) FROM sampled
          |UNION ALL SELECT 's6_sampled_tokens',
          |  CAST(sum(len($toks)) AS BIGINT) FROM sampled_docs""".stripMargin,
+    "x33_corrupt_file_skip" ->
+      """SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents""".stripMargin,
     "q48_doc_chunks" ->
       // stride 24 = window 32 - overlap 8; chunk_idx = tok_start // stride
       s"""WITH base AS (SELECT doc_id, $toks AS toks FROM documents),
