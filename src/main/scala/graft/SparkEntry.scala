@@ -623,31 +623,35 @@ object SparkEntry {
       //      budget. Every stage is an operator this engine ships and
       //      oracle-checks individually; this query pins their COMPOSITION.
       "q47_corpus_build" -> ((s, d) => {
+        import s.implicits._
         val docs = t(s, d, "documents")
-        val prof = TextAnalysis.profile(docs)
-          .select("doc_id", "lang_pred", "quality_bp")
-        val rep = graft.ops.Curation.repetitionProfile(docs)
-          .filter(col("keep")).select("doc_id")
-        val langOk = prof.filter(col("lang_pred") === "en")
-        val qualOk = langOk.filter(col("quality_bp") >= 6000)
-        val repOk = qualOk.join(rep, Seq("doc_id"), "left_semi")
-        val surviving = docs.join(repOk.select("doc_id"), Seq("doc_id"), "left_semi")
-        val keepers = Dedup.exactDedup(surviving)
-        val sampled = graft.ops.Curation.stratifiedSample(keepers,
-          "source", "doc_id", rates = Map.empty, defaultRate = 80,
-          salt = ":build1")
-        def stage(name: String, df: DataFrame) =
-          df.agg(count(lit(1)).as("n")).withColumn("stage", lit(name))
-        stage("s0_total", docs)
-          .unionByName(stage("s1_lang_en", langOk))
-          .unionByName(stage("s2_quality", qualOk))
-          .unionByName(stage("s3_repetition", repOk))
-          .unionByName(stage("s4_dedup_keeper", keepers))
-          .unionByName(stage("s5_sampled", sampled))
-          .unionByName(sampled
-            .agg(sum(size(TextAnalysis.tokens(col("text")))).cast("long").as("n"))
-            .withColumn("stage", lit("s6_sampled_tokens")))
-          .select("stage", "n")
+        // ONE pass computes every gate flag as a column (funnelFlags ends
+        // in a pushdown barrier, so nothing re-inlines the metric forest);
+        // the 7-branch union formulation re-evaluated the whole chain per
+        // stage and cost ~10x
+        val flagged = graft.ops.Curation.funnelFlags(docs)
+        val keepers = flagged.filter(col("rep_ok"))
+          .select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"))
+          .groupBy("fp").agg(min("doc_id").as("doc_id"))
+          .select(col("doc_id"), lit(true).as("is_keeper"))
+        val bucket = pmod(TextAnalysis.fingerprint64(
+          concat(col("doc_id").cast("string"), lit(":build1"))), lit(100L))
+        val staged = flagged.join(keepers, Seq("doc_id"), "left")
+          .withColumn("is_keeper", coalesce(col("is_keeper"), lit(false)))
+          .withColumn("sampled", col("is_keeper") && bucket < 80)
+        val r = staged.agg(
+          count(lit(1)).cast("long"),
+          sum(col("lang_ok").cast("long")),
+          sum(col("qual_ok").cast("long")),
+          sum(col("rep_ok").cast("long")),
+          sum(col("is_keeper").cast("long")),
+          sum(col("sampled").cast("long")),
+          sum(when(col("sampled"), col("n_toks")).otherwise(lit(0L))))
+          .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+        Seq(("s0_total", r._1), ("s1_lang_en", r._2), ("s2_quality", r._3),
+          ("s3_repetition", r._4), ("s4_dedup_keeper", r._5),
+          ("s5_sampled", r._6), ("s6_sampled_tokens", r._7))
+          .toDF("stage", "n")
       }),
       // ---- corrupt-input resilience: at 100 TB some files WILL be
       //      truncated or garbage; ignoreCorruptFiles turns them into
