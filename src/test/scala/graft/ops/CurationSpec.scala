@@ -208,6 +208,20 @@ class CurationSpec extends AnyFunSuite {
     assert(viaGate == viaBatch)
   }
 
+  test("gate filter evaluates the materialized flag, not a re-inlined metric forest") {
+    val docs = Seq.tabulate(20)(i => (i.toLong, s"w$i the a of and fast table"))
+      .toDF("doc_id", "text")
+    val df = Curation.gateKeep(docs).filter(col("curation_keep"))
+    df.collect()
+    val filters = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f.condition.toString
+    }
+    // without the pushdown barrier, Catalyst substitutes the whole
+    // tokenize/sort/fold forest into this predicate (measured 30x cost)
+    assert(filters.nonEmpty)
+    assert(!filters.exists(_.contains("lambdafunction")), filters.mkString("; "))
+  }
+
   // ---- BM25 -----------------------------------------------------------
 
   test("bm25: the term-stuffed doc outranks casual mentions, ranks deterministic") {
