@@ -175,6 +175,23 @@ object SparkEntry {
         graft.ops.AsOf.asofJoin(purchases, clicks, key = "user_id", ts = "ts",
           leftCols = Seq("purchase_id"), rightCols = Seq("click_ts", "click_cents"))
       }),
+      // ---- the SAME as-of join through the full custom-operator path:
+      //      logical AsOfJoinPlan + planner Strategy + AsOfJoinExec
+      //      (per-partition linear merge, O(1) buffered rows per task) —
+      //      must hash-match q24's window-carry composition via the shared
+      //      DuckDB ASOF oracle
+      "q50_asof_physical" -> ((s, d) => {
+        val ev = t(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(floor(col("value") * 100).cast("long")).as("click_cents"))
+          .select(col("user_id"), col("ts"), col("ts").as("click_ts"),
+            col("click_cents"))
+        graft.plans.PhysicalAsOf.asofJoin(purchases, clicks,
+          key = "user_id", ts = "ts")
+      }),
       // ---- set operations (INTERSECT / EXCEPT)
       "q25_set_ops" -> ((s, d) => {
         val sn = t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
@@ -834,6 +851,21 @@ object SparkEntry {
        |        AND dup_trigram_bp <= 6000) AS INT) AS keep
        |FROM m""".stripMargin
 
+  /** DuckDB's NATIVE ASOF LEFT JOIN — an independent implementation of the
+    * semantics — shared by q24 (window-carry composition) and q50 (custom
+    * physical operator): both engines' formulations must match it. */
+  private lazy val asofOracleSql: String =
+    """WITH purchases AS (
+      |  SELECT user_id, ts, event_id AS purchase_id FROM events
+      |  WHERE event_type = 'purchase'),
+      |clicks AS (
+      |  SELECT user_id, ts, ts AS click_ts,
+      |    max(CAST(floor(value*100) AS BIGINT)) AS click_cents
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2, 3)
+      |SELECT p.user_id, p.ts, p.purchase_id, c.click_ts, c.click_cents
+      |FROM purchases p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin
+
   /** q14's full pair SELECT, shared with q37's recursive-closure oracle. */
   private lazy val ngramPairsOracleSql: String = {
     val sh = s"list_distinct(list_transform(range(0, greatest(len($toks)-3, 0)+1), " +
@@ -994,17 +1026,8 @@ object SparkEntry {
         |  ON p.event_type = 'purchase' AND c.event_type = 'click'
         | AND p.user_id = c.user_id AND p.user_id < 30 AND c.user_id < 30
         | AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts <= p.ts""".stripMargin,
-    "q24_asof_join" ->
-      """WITH purchases AS (
-        |  SELECT user_id, ts, event_id AS purchase_id FROM events
-        |  WHERE event_type = 'purchase'),
-        |clicks AS (
-        |  SELECT user_id, ts, ts AS click_ts,
-        |    max(CAST(floor(value*100) AS BIGINT)) AS click_cents
-        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2, 3)
-        |SELECT p.user_id, p.ts, p.purchase_id, c.click_ts, c.click_cents
-        |FROM purchases p ASOF LEFT JOIN clicks c
-        |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin,
+    "q50_asof_physical" -> asofOracleSql,
+    "q24_asof_join" -> asofOracleSql,
     "q25_set_ops" ->
       """SELECT s_nationkey AS nationkey, 'both' AS which FROM supplier
         |INTERSECT SELECT c_nationkey, 'both' FROM customer
