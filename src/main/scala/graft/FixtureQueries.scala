@@ -184,6 +184,18 @@ object FixtureQueries {
           .map(sp => (id, sp.offset, sp.kind, sp.text, sp.media_ref))
       }.toDF("doc_id", "ord", "kind", "text", "media_ref")
     }),
+    // the same corpus through the DataSource V2 connector: write the
+    // bytes as .pdf files, spark.read.format("graft-pdf").load — one
+    // InputPartition per file, pruning honored; shares x23's
+    // genuine-round-trip oracle (the INPUT span definitions)
+    "x34_pdf_source" -> ((s, _) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-x34-${s.sparkContext.applicationId}")
+      pdfDocs.foreach { d =>
+        java.nio.file.Files.write(dir.resolve(d.doc_id), graft.io.Pdf.write(d))
+      }
+      s.read.format("graft-pdf").load(dir.toString)
+    }),
     // M4+M5+M7+P7+P8 composed: the v1 TableFinder bbox-continuation flow
     // (find_tables_with_context, table_finder.py:23-90)
     "x14_fixture_tablefinder" -> ((s, _) => {
@@ -246,6 +258,11 @@ object FixtureQueries {
     // streaming extraction must append exactly the batch candidate rows
     "x28_stream_candidates" -> FixtureGoldens.oracleSql("x06_fixture_candidates"),
     "x23_pdf_roundtrip" ->
+      s"""WITH spans(doc_id, ord, kind, text, media_ref) AS (VALUES
+         |  $pdfSpanValues)
+         |SELECT doc_id, ord, kind, text, media_ref FROM spans""".stripMargin,
+    // the DSv2 connector must produce the same input spans
+    "x34_pdf_source" ->
       s"""WITH spans(doc_id, ord, kind, text, media_ref) AS (VALUES
          |  $pdfSpanValues)
          |SELECT doc_id, ord, kind, text, media_ref FROM spans""".stripMargin

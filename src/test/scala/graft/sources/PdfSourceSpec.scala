@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.layout.FixtureCorpus
+import graft.pipeline.TestSpark
+
+class PdfSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-pdfsrc").toFile
+    Seq(FixtureCorpus.f01, FixtureCorpus.f02, FixtureCorpus.f11).foreach { doc =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(d.getAbsolutePath, doc.doc_id),
+        graft.io.Pdf.write(doc))
+    }
+    d.getAbsolutePath
+  }
+
+  test("format(graft-pdf) round-trips the authored corpus byte-for-byte") {
+    val got = spark.read.format("graft-pdf").load(dir)
+      .as[(String, Int, String, String, String)].collect().sorted.toSeq
+    val want = Seq(FixtureCorpus.f01, FixtureCorpus.f02, FixtureCorpus.f11)
+      .flatMap(d => d.spans.map(sp =>
+        (d.doc_id, sp.offset, sp.kind, sp.text, sp.media_ref)))
+      .sorted
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("column pruning reaches the reader: 2-column select scans 2 fields") {
+    val df = spark.read.format("graft-pdf").load(dir).select("doc_id", "kind")
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.output.size == 2),
+      scans.map(_.output.map(_.name)).mkString("; "))
+  }
+
+  test("one input partition per file") {
+    val df = spark.read.format("graft-pdf").load(dir)
+    assert(df.rdd.getNumPartitions == 3)
+  }
+}
