@@ -196,6 +196,23 @@ object FixtureQueries {
       }
       s.read.format("graft-pdf").load(dir.toString)
     }),
+    // the V2 WRITE path: span rows (scrambled) -> RequiresDistribution-
+    // AndOrdering reassembles docs -> one .pdf per doc via the two-phase
+    // commit -> read back through the connector; same input-VALUES oracle
+    "x35_pdf_sink" -> ((s, _) => {
+      import org.apache.spark.sql.functions.col
+      val src = java.nio.file.Files
+        .createTempDirectory(s"graft-x35src-${s.sparkContext.applicationId}")
+      pdfDocs.foreach { d =>
+        java.nio.file.Files.write(src.resolve(d.doc_id), graft.io.Pdf.write(d))
+      }
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft-x35out-${s.sparkContext.applicationId}")
+      s.read.format("graft-pdf").load(src.toString)
+        .orderBy(col("text")).repartition(4)
+        .write.format("graft-pdf").mode("append").save(out.toString)
+      s.read.format("graft-pdf").load(out.toString)
+    }),
     // M4+M5+M7+P7+P8 composed: the v1 TableFinder bbox-continuation flow
     // (find_tables_with_context, table_finder.py:23-90)
     "x14_fixture_tablefinder" -> ((s, _) => {
@@ -263,6 +280,11 @@ object FixtureQueries {
          |SELECT doc_id, ord, kind, text, media_ref FROM spans""".stripMargin,
     // the DSv2 connector must produce the same input spans
     "x34_pdf_source" ->
+      s"""WITH spans(doc_id, ord, kind, text, media_ref) AS (VALUES
+         |  $pdfSpanValues)
+         |SELECT doc_id, ord, kind, text, media_ref FROM spans""".stripMargin,
+    // ...and so must the connector-written files read back
+    "x35_pdf_sink" ->
       s"""WITH spans(doc_id, ord, kind, text, media_ref) AS (VALUES
          |  $pdfSpanValues)
          |SELECT doc_id, ord, kind, text, media_ref FROM spans""".stripMargin

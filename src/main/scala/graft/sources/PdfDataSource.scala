@@ -45,14 +45,20 @@ object PdfDataSource {
     StructField("media_ref", StringType, nullable = true)))
 }
 
-final class PdfTable(path: String) extends Table with SupportsRead {
+final class PdfTable(path: String) extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(path != null, "graft-pdf needs a path: spark.read.format(\"graft-pdf\").load(dir)")
   override def name(): String = s"graft-pdf:$path"
   override def schema(): StructType = PdfDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PdfScanBuilder(path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new PdfWriteBuilder(path, info.schema())
 }
 
 final class PdfScanBuilder(path: String)
@@ -79,6 +85,110 @@ final class PdfScan(path: String, required: StructType) extends Scan with Batch 
 }
 
 final case class PdfInputPartition(file: String, docId: String) extends InputPartition
+
+// ---------------------------------------------------------------- write
+
+/** Write side: input rows are the SAME flat span rows the read side
+  * produces (doc_id, ord, kind, text, media_ref) — a symmetric round
+  * trip — and each document becomes ONE .pdf file. The Write declares
+  * RequiresDistributionAndOrdering (cluster by doc_id, order by
+  * (doc_id, ord)), so Spark itself shuffles/sorts every document's spans
+  * contiguously into one task; the writer then just watches the doc_id
+  * change. Tasks write task-unique `.tmp-` names; the driver's commit
+  * renames them into place and abort deletes them (the standard V2
+  * two-phase protocol; rename-as-commit on a shared filesystem). */
+final class PdfWriteBuilder(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder {
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new PdfWrite(path, schema)
+}
+
+final case class PdfCommitMessage(tmpFiles: Seq[String])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+final class PdfWrite(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.BatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+  require(PdfDataSource.Schema.fieldNames.forall(schema.fieldNames.contains),
+    s"graft-pdf write needs ${PdfDataSource.Schema.fieldNames.mkString(",")}, " +
+      s"got ${schema.fieldNames.mkString(",")}")
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      Array(Expressions.identity("doc_id")))
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array(
+      Expressions.sort(Expressions.column("doc_id"), SortDirection.ASCENDING),
+      Expressions.sort(Expressions.column("ord"), SortDirection.ASCENDING))
+
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = this
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    def i(n: String) = schema.fieldIndex(n)
+    new PdfWriterFactory(path, i("doc_id"), i("ord"), i("kind"), i("text"),
+      i("media_ref"))
+  }
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    messages.foreach {
+      case PdfCommitMessage(tmps) => tmps.foreach { t =>
+        val f = new java.io.File(t)
+        val target = new java.io.File(t.replaceFirst("\\.tmp-[^/]*$", ""))
+        if (!f.renameTo(target))
+          throw new java.io.IOException(s"commit rename failed: $t -> $target")
+      }
+      case _ =>
+    }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    messages.foreach {
+      case PdfCommitMessage(tmps) => tmps.foreach(t => new java.io.File(t).delete())
+      case _ =>
+    }
+}
+
+final class PdfWriterFactory(path: String, di: Int, oi: Int, ki: Int,
+    ti: Int, mi: Int)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      private val written = scala.collection.mutable.ArrayBuffer.empty[String]
+      private var curDoc: String = null
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[graft.layout.Span]
+      private def flush(): Unit = if (curDoc != null) {
+        val bytes = graft.io.Pdf.write(graft.layout.DocRow(curDoc, buf.toSeq))
+        val tmp = new java.io.File(path, s"$curDoc.tmp-$partitionId-$taskId")
+        java.nio.file.Files.createDirectories(tmp.getParentFile.toPath)
+        java.nio.file.Files.write(tmp.toPath, bytes)
+        written += tmp.getAbsolutePath
+        buf.clear()
+      }
+      override def write(row: InternalRow): Unit = {
+        val docId = row.getUTF8String(di).toString
+        if (docId != curDoc) { flush(); curDoc = docId }
+        buf += graft.layout.Span(
+          row.getUTF8String(ki).toString,
+          if (row.isNullAt(ti)) null else row.getUTF8String(ti).toString,
+          if (row.isNullAt(mi)) null else row.getUTF8String(mi).toString,
+          row.getInt(oi))
+      }
+      override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+        flush()
+        PdfCommitMessage(written.toSeq)
+      }
+      override def abort(): Unit = written.foreach(t => new java.io.File(t).delete())
+      override def close(): Unit = ()
+    }
+}
 
 final class PdfReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {

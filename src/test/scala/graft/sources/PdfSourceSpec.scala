@@ -41,4 +41,21 @@ class PdfSourceSpec extends AnyFunSuite {
     val df = spark.read.format("graft-pdf").load(dir)
     assert(df.rdd.getNumPartitions == 3)
   }
+
+  test("V2 write path: span rows -> one pdf per doc -> read back identical") {
+    val out = java.nio.file.Files.createTempDirectory("graft-pdfsink").toString
+    val spans = spark.read.format("graft-pdf").load(dir)
+    // scramble the row order: the Write's declared distribution+ordering
+    // must be what reassembles each doc contiguously, not input luck
+    spans.orderBy(org.apache.spark.sql.functions.col("text"))
+      .repartition(5)
+      .write.format("graft-pdf").mode("append").save(out)
+    val files = new java.io.File(out).listFiles.map(_.getName).sorted
+    assert(files.length == 3 && files.forall(_.endsWith(".pdf")), files.mkString(","))
+    val back = spark.read.format("graft-pdf").load(out)
+      .as[(String, Int, String, String, String)].collect().sorted.toSeq
+    val orig = spans.as[(String, Int, String, String, String)]
+      .collect().sorted.toSeq
+    assert(back == orig)
+  }
 }
