@@ -162,6 +162,24 @@ object FixtureQueries {
         d.spans.map(sp => (d.doc_id, sp.offset, sp.kind, sp.text, sp.media_ref))
       }.toDF("doc_id", "ord", "kind", "text", "media_ref")
     }),
+    // the web-scale ingestion chain end to end: HTML payloads inside a
+    // WARC/1.0 container (the crawl interchange format, warcinfo record
+    // skipped) -> byte-accurate parse -> Boilerplate main-content spans.
+    // Must equal x18 exactly (shared golden oracle) — the container layer
+    // cannot perturb a byte of the extraction.
+    "x36_warc_extract" -> ((s, _) => {
+      import s.implicits._
+      val warc = graft.io.Warc.write(HtmlFixtures.docs.map(d =>
+        graft.io.Warc.WarcRecord("response", d.doc_id, "text/html",
+          d.html.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+      val docs = s.createDataset(Seq(warc)).flatMap(bytes =>
+        graft.io.Warc.responses(bytes).map {
+          case (uri, html) => Boilerplate.HtmlDoc(uri, html)
+        })
+      Boilerplate.extractMain(docs).flatMap { d =>
+        d.spans.map(sp => (d.doc_id, sp.offset, sp.kind, sp.text, sp.media_ref))
+      }.toDF("doc_id", "ord", "kind", "text", "media_ref")
+    }),
     // the codegen tag-strip path: pure expression chain on both sides, so
     // the DuckDB oracle is genuinely independent logic (same regex chain
     // evaluated by RE2 over the same VALUES input)
@@ -287,6 +305,8 @@ object FixtureQueries {
     "x35_pdf_sink" ->
       s"""WITH spans(doc_id, ord, kind, text, media_ref) AS (VALUES
          |  $pdfSpanValues)
-         |SELECT doc_id, ord, kind, text, media_ref FROM spans""".stripMargin
+         |SELECT doc_id, ord, kind, text, media_ref FROM spans""".stripMargin,
+    // WARC-container ingestion must reproduce x18's extraction exactly
+    "x36_warc_extract" -> FixtureGoldens.oracleSql("x18_main_spans")
   ) ++ FixtureGoldens.oracleSql
 }
