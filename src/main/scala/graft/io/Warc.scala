@@ -76,8 +76,10 @@ object Warc {
         i = e + 2
         if (line.isEmpty) blank = true
         else {
-          val k = line.substring(0, line.indexOf(':')).trim.toLowerCase
-          val v = line.substring(line.indexOf(':') + 1).trim
+          val colon = line.indexOf(':')
+          require(colon > 0, s"malformed WARC header line (no colon) at byte ${e - line.length}: '$line'")
+          val k = line.substring(0, colon).trim.toLowerCase
+          val v = line.substring(colon + 1).trim
           k match {
             case "warc-type" => warcType = v
             case "warc-target-uri" => uri = v
@@ -88,6 +90,10 @@ object Warc {
         }
       }
       require(clen >= 0, "record without Content-Length")
+      // copyOfRange would silently NUL-pad past the end — a truncated
+      // crawl file must be an error, not fabricated payload bytes
+      require(i + clen <= bytes.length,
+        s"truncated record: Content-Length $clen but only ${bytes.length - i} bytes remain")
       val payload = java.util.Arrays.copyOfRange(bytes, i, i + clen.toInt)
       i += clen.toInt
       recs += WarcRecord(warcType, uri, ctype, payload)

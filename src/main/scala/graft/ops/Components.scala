@@ -89,7 +89,6 @@ object Components {
     * oracle pins the contraction, not just the simple loop. */
   def connectedComponentsStar(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", maxIter: Int = 40): DataFrame = {
-    val spark = edges.sparkSession
     val raw = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val verts = raw.select(col("src").as("id"))

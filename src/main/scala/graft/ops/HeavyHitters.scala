@@ -53,6 +53,25 @@ object HeavyHitters {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
   }
 
+  /** [[MisraGries]] plus a running total in the same buffer — lets the
+    * discovery pass also yield the corpus token count without a separate
+    * scan. */
+  private final class MgWithTotal(k: Int)
+      extends Aggregator[String, (Map[String, Long], Long), (Seq[String], Long)] {
+    private val mg = new MisraGries(k)
+    override def zero: (Map[String, Long], Long) = (mg.zero, 0L)
+    override def reduce(b: (Map[String, Long], Long), t: String): (Map[String, Long], Long) =
+      (mg.reduce(b._1, t), b._2 + 1L)
+    override def merge(a: (Map[String, Long], Long), b: (Map[String, Long], Long)): (Map[String, Long], Long) =
+      (mg.merge(a._1, b._1), a._2 + b._2)
+    override def finish(b: (Map[String, Long], Long)): (Seq[String], Long) =
+      (mg.finish(b._1), b._2)
+    override def bufferEncoder: Encoder[(Map[String, Long], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Map[String, Long], Long)]()
+    override def outputEncoder: Encoder[(Seq[String], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Seq[String], Long)]()
+  }
+
   /** Tokens of `docs(textCol)` whose exact corpus count satisfies
     * cnt * thresholdDen > totalTokens (frequency > 1/thresholdDen).
     * `sketchK` must satisfy sketchK + 1 >= thresholdDen for the no-miss
@@ -65,11 +84,13 @@ object HeavyHitters {
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = docs.select(TextAnalysis.tokens(col(textCol)).as("toks"))
-    val total = toks.agg(sum(size(col("toks"))).cast("long")).as[Long].head()
-    // pass 1: bounded-state candidate discovery (k counters per task)
-    val candidates = toks.select(explode(col("toks")).as("t")).as[String]
-      .select(new MisraGries(sketchK).toColumn.name("cand"))
-      .as[Seq[String]].head()
+    // pass 1: bounded-state candidate discovery (k counters per task);
+    // the total token count rides in the SAME aggregation buffer, so the
+    // corpus is scanned twice overall, not three times
+    val (candidates, total) = toks.select(explode(col("toks")).as("t"))
+      .as[String]
+      .select(new MgWithTotal(sketchK).toColumn.name("r"))
+      .head()
     // pass 2: exact recount of candidates only — the isin filter prunes
     // map-side, so the shuffle carries <= |candidates| groups
     toks.select(explode(filter(col("toks"),

@@ -44,37 +44,26 @@ object TopK {
     override def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
   }
 
-  /** Top-k rows per group of `df(groupCol)` by (`valueCol` desc, `idCol`
-    * asc), with a 1-based group-local rank. Output columns:
-    * (groupCol, idCol, "rn"). */
-  def topKByValue(df: DataFrame, groupCol: String, valueCol: String,
-      idCol: String, k: Int): DataFrame = {
+  /** The shared shape behind both key types: cast/group/aggregate/rank.
+    * A single implementation so the ranking contract (value desc, id asc,
+    * k-cap) cannot silently diverge between the long- and string-keyed
+    * entry points. */
+  private def topKByKey[K: Encoder](df: DataFrame, groupCol: String,
+      keyCast: String, valueCol: String, idCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    implicit val rowEnc: Encoder[(K, Double, Long)] =
+      org.apache.spark.sql.Encoders.tuple(implicitly[Encoder[K]],
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong)
+    implicit val outEnc: Encoder[(K, Long, Int)] =
+      org.apache.spark.sql.Encoders.tuple(implicitly[Encoder[K]],
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaInt)
     val agg = new TopKAgg(k).toColumn
-    df.select(col(groupCol).cast("long"), col(valueCol).cast("double"),
+    df.select(col(groupCol).cast(keyCast), col(valueCol).cast("double"),
         col(idCol).cast("long"))
-      .as[(Long, Double, Long)]
-      .groupByKey(_._1)
-      .mapValues(r => (r._2, r._3))
-      .agg(agg)
-      .flatMap { case (g, entries) =>
-        entries.iterator.zipWithIndex.map { case ((_, id), i) => Ranked(g, id, i + 1) }
-      }
-      .toDF(groupCol, idCol, "rn")
-  }
-
-  /** [[topKByValue]] with a STRING group key (e.g. a source/domain column
-    * for per-domain corpus caps) — same k-bounded aggregator and shuffle
-    * shape, only the groupByKey key type changes. */
-  def topKByValueStr(df: DataFrame, groupCol: String, valueCol: String,
-      idCol: String, k: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val agg = new TopKAgg(k).toColumn
-    df.select(col(groupCol).cast("string"), col(valueCol).cast("double"),
-        col(idCol).cast("long"))
-      .as[(String, Double, Long)]
+      .as[(K, Double, Long)]
       .groupByKey(_._1)
       .mapValues(r => (r._2, r._3))
       .agg(agg)
@@ -82,5 +71,25 @@ object TopK {
         entries.iterator.zipWithIndex.map { case ((_, id), i) => (g, id, i + 1) }
       }
       .toDF(groupCol, idCol, "rn")
+  }
+
+  /** Top-k rows per group of `df(groupCol)` by (`valueCol` desc, `idCol`
+    * asc), with a 1-based group-local rank. Output columns:
+    * (groupCol, idCol, "rn"). */
+  def topKByValue(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    topKByKey[Long](df, groupCol, "long", valueCol, idCol, k)
+  }
+
+  /** [[topKByValue]] with a STRING group key (e.g. a source/domain column
+    * for per-domain corpus caps) — same k-bounded aggregator and shuffle
+    * shape, only the group key type changes. */
+  def topKByValueStr(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    topKByKey[String](df, groupCol, "string", valueCol, idCol, k)
   }
 }

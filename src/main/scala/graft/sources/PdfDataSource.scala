@@ -1,7 +1,6 @@
 package graft.sources
 
 import java.util
-import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -197,24 +196,29 @@ final class PdfReaderFactory(fields: Array[String])
     new PartitionReader[InternalRow] {
       private val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p.file))
       private val spans = graft.io.Pdf.parse(p.docId, bytes).spans.iterator
-      private var current: InternalRow = _
+      private val docIdU = UTF8String.fromString(p.docId)
+      // extractors resolved ONCE per reader — the per-row path is an
+      // array walk, not a string match per field
+      private val extract: Array[graft.layout.Span => Any] = fields.map {
+        case "doc_id" => (_: graft.layout.Span) => docIdU
+        case "ord" => (sp: graft.layout.Span) => sp.offset
+        case "kind" => (sp: graft.layout.Span) => UTF8String.fromString(sp.kind)
+        case "text" => (sp: graft.layout.Span) =>
+          if (sp.text == null) null else UTF8String.fromString(sp.text)
+        case "media_ref" => (sp: graft.layout.Span) =>
+          if (sp.media_ref == null) null else UTF8String.fromString(sp.media_ref)
+        case other => throw new IllegalArgumentException(s"unknown column $other")
+      }
+      private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fields.length)
       override def next(): Boolean =
         if (!spans.hasNext) false
         else {
           val sp = spans.next()
-          val values: Array[Any] = fields.map {
-            case "doc_id" => UTF8String.fromString(p.docId)
-            case "ord" => sp.offset
-            case "kind" => UTF8String.fromString(sp.kind)
-            case "text" => if (sp.text == null) null else UTF8String.fromString(sp.text)
-            case "media_ref" =>
-              if (sp.media_ref == null) null else UTF8String.fromString(sp.media_ref)
-            case other => throw new IllegalArgumentException(s"unknown column $other")
-          }
-          current = InternalRow.fromSeq(values.toSeq)
+          var i = 0
+          while (i < extract.length) { row.update(i, extract(i)(sp)); i += 1 }
           true
         }
-      override def get(): InternalRow = current
+      override def get(): InternalRow = row
       override def close(): Unit = ()
     }
   }

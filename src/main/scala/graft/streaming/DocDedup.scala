@@ -32,23 +32,8 @@ object DocDedup {
     * would readStream from the ingest source. */
   def replayDupGroups(spark: SparkSession, docs: Dataset[Doc]): DataFrame = {
     import spark.implicits._
-    val rows = docs.collect().toSeq
-    require(rows.nonEmpty, "replayDupGroups needs a non-empty batch")
-    Events.withReplayPartitions(spark) {
-      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc](spark)
-      val qname = "graft_x21_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = graft.ops.Dedup.exactGroups(input.toDF())
-        .writeStream.format("memory").queryName(qname).outputMode("complete").start()
-      try {
-        // split the replay mid-corpus: the final table must already reflect
-        // cross-batch state merging, not a single-batch shortcut
-        val (first, second) = rows.splitAt(rows.length / 2)
-        input.addData(first)
-        q.processAllAvailable()
-        input.addData(second)
-        q.processAllAvailable()
-      } finally q.stop()
-      spark.table(qname).select("fp", "n_docs", "keeper_doc_id")
-    }
+    Events.replayTwoBatches(spark, docs.collect().toSeq, "graft_x21_",
+      "complete")(in => graft.ops.Dedup.exactGroups(in.toDF()))
+      .select("fp", "n_docs", "keeper_doc_id")
   }
 }

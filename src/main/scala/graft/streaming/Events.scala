@@ -42,6 +42,36 @@ object Events {
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** The shared two-batch MemoryStream replay harness: feed `rows` split
+    * mid-corpus (so the result must reflect cross-batch behavior — state
+    * merging for stateful pipelines, consistent appends for stateless
+    * ones), run `pipeline` as a streaming query in `outputMode`, return
+    * the memory-sink table. One implementation for every streaming shadow
+    * (DocDedup, StreamCuration, StreamExtract) so the replay protocol
+    * cannot drift between them. */
+  private[streaming] def replayTwoBatches[T](spark: SparkSession, rows: Seq[T],
+      namePrefix: String, outputMode: String)(
+      pipeline: org.apache.spark.sql.Dataset[T] => DataFrame)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): DataFrame = {
+    require(rows.nonEmpty, s"$namePrefix replay needs a non-empty batch")
+    withReplayPartitions(spark) {
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T](spark)
+      val qname = namePrefix + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = pipeline(input.toDS())
+        .writeStream.format("memory").queryName(qname).outputMode(outputMode)
+        .start()
+      try {
+        val (first, second) = rows.splitAt(rows.length / 2)
+        input.addData(first)
+        q.processAllAvailable()
+        input.addData(second)
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(qname)
+    }
+  }
+
   /** Batch gap-based sessionization: a new session starts when the gap from
     * the previous event of the same user exceeds `gapMinutes`. Output: one
     * row per session with stats. Monetary/value sums are in integer cents

@@ -24,24 +24,11 @@ object StreamCuration {
   def replayCuratedDupGroups(spark: SparkSession,
       docs: Dataset[DocDedup.Doc]): DataFrame = {
     import spark.implicits._
-    val rows = docs.collect().toSeq
-    require(rows.nonEmpty, "replayCuratedDupGroups needs a non-empty batch")
-    Events.withReplayPartitions(spark) {
-      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocDedup.Doc](spark)
-      val qname = "graft_x32_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val gated = Curation.gateKeep(input.toDF())
-        .filter(col("curation_keep")).drop("curation_keep")
-      val q = Dedup.exactGroups(gated)
-        .writeStream.format("memory").queryName(qname).outputMode("complete")
-        .start()
-      try {
-        val (first, second) = rows.splitAt(rows.length / 2)
-        input.addData(first)
-        q.processAllAvailable()
-        input.addData(second)
-        q.processAllAvailable()
-      } finally q.stop()
-      spark.table(qname).select("fp", "n_docs", "keeper_doc_id")
-    }
+    Events.replayTwoBatches(spark, docs.collect().toSeq, "graft_x32_",
+      "complete") { in =>
+        Dedup.exactGroups(Curation.gateKeep(in.toDF())
+          .filter(col("curation_keep")).drop("curation_keep"))
+      }
+      .select("fp", "n_docs", "keeper_doc_id")
   }
 }

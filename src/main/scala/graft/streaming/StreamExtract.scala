@@ -39,23 +39,8 @@ object StreamExtract {
     * from different micro-batches land in one consistent sink. */
   def replayCandidates(spark: SparkSession, docs: Seq[DocRow]): DataFrame = {
     import spark.implicits._
-    require(docs.nonEmpty, "replayCandidates needs a non-empty corpus")
-    Events.withReplayPartitions(spark) {
-      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocRow](spark)
-      val qname = "graft_x28_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = input.toDS()
-        .flatMap(d => Extract.extractDoc(d).candidates.map(candidateRow))
-        .toDF(CandidateCols: _*)
-        .writeStream.format("memory").queryName(qname).outputMode("append")
-        .start()
-      try {
-        val (first, second) = docs.splitAt(docs.length / 2)
-        input.addData(first)
-        q.processAllAvailable()
-        input.addData(second)
-        q.processAllAvailable()
-      } finally q.stop()
-      spark.table(qname)
-    }
+    Events.replayTwoBatches(spark, docs, "graft_x28_", "append")(in =>
+      in.flatMap(d => Extract.extractDoc(d).candidates.map(candidateRow))
+        .toDF(CandidateCols: _*))
   }
 }

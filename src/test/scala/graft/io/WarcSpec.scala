@@ -40,6 +40,22 @@ class WarcSpec extends AnyFunSuite {
     assert(got == Seq(("r.html", "<p>x</p>")))
   }
 
+  test("truncated file errors instead of fabricating NUL-padded payload") {
+    val full = Warc.write(Seq(
+      WarcRecord("response", "t.html", "text/html",
+        ("x" * 100).getBytes(StandardCharsets.UTF_8))))
+    val truncated = java.util.Arrays.copyOfRange(full, 0, full.length - 60)
+    val e = intercept[IllegalArgumentException](Warc.parse(truncated))
+    assert(e.getMessage.contains("truncated"))
+  }
+
+  test("header line without a colon errors with position context") {
+    val bad = ("WARC/1.0\r\nWARC-Type: response\r\nnocolonhere\r\n" +
+      "Content-Length: 1\r\n\r\nx\r\n\r\n").getBytes(StandardCharsets.UTF_8)
+    val e = intercept[IllegalArgumentException](Warc.parse(bad))
+    assert(e.getMessage.contains("no colon"))
+  }
+
   test("random payload property: arbitrary bytes survive (as latin-1-safe strings)") {
     val rnd = new scala.util.Random(33)
     for (_ <- 1 to 20) {
