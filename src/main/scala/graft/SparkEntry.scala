@@ -730,6 +730,26 @@ object SparkEntry {
           Seq(row).toDF("n_rows", "sum_v")
         }
       }),
+      // ---- int8 embedding quantization (the storage layout trained
+      //      retrieval corpora ship in): per-vector max-abs scale,
+      //      symmetric round-half-up to [-127, 127]. floor(x+0.5) instead
+      //      of round() so both engines share one rounding rule; outputs
+      //      are integer sums of the quantized values — exact cross-engine.
+      "q51_embedding_quantize" -> ((s, d) => {
+        val emb = col("embedding")
+        val maxabs = array_max(transform(emb, x => abs(x.cast("double"))))
+        val q = transform(emb, x =>
+          when(col("maxabs") === 0d, lit(0L)).otherwise(
+            floor(x.cast("double") * 127d / col("maxabs") + 0.5d).cast("long")))
+        t(s, d, "embeddings")
+          .withColumn("maxabs", maxabs)
+          .withColumn("q", q)
+          .select(col("vec_id"),
+            size(col("q")).as("n_dims"),
+            floor(col("maxabs") * 1e6).cast("long").as("maxabs_micro"),
+            aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+            aggregate(col("q"), lit(0L), (a, x) => a + abs(x)).as("q_l1"))
+      }),
       // ---- per-label embedding centroids (class prototypes): float sums
       //      are order-dependent, so each element is fixed to micro-int
       //      space first (floor(x*1e6) as long) — integer sums commute,
@@ -1286,6 +1306,21 @@ object SparkEntry {
         |r AS (SELECT range AS k FROM range(0, 1000) WHERE range % 3 = 0)
         |SELECT count(*) AS n_rows, CAST(sum(v) AS BIGINT) AS sum_v
         |FROM l JOIN r USING (k)""".stripMargin,
+    "q51_embedding_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, maxabs,
+        |    list_transform(embedding, x -> CASE WHEN maxabs = 0 THEN 0
+        |      ELSE CAST(floor(CAST(x AS DOUBLE) * 127 / maxabs + 0.5) AS BIGINT) END) AS qv
+        |  FROM m)
+        |SELECT vec_id, CAST(len(qv) AS INT) AS n_dims,
+        |  CAST(floor(maxabs * 1e6) AS BIGINT) AS maxabs_micro,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_l1
+        |FROM q""".stripMargin,
     "q46_label_centroids" ->
       """WITH u AS (
         |  SELECT label,
