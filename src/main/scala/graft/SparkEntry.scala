@@ -730,6 +730,20 @@ object SparkEntry {
           Seq(row).toDF("n_rows", "sum_v")
         }
       }),
+      // ---- the SQL-user surface: both custom Catalyst expressions
+      //      registered as session functions, a temp view, and a query
+      //      that is PURE SQL TEXT — what a spark-sql user of this
+      //      library actually types. Oracle replays both hash chains.
+      "x37_sql_surface" -> ((s, d) => {
+        graft.functions.RollingHash64.register(s)
+        graft.functions.SimHash64.register(s)
+        t(s, d, "documents").filter(col("doc_id") < 50)
+          .createOrReplaceTempView("graft_docs_x37")
+        s.sql("""SELECT doc_id,
+                 graft_fingerprint64(text) AS fp64,
+                 graft_simhash64(text) AS sh64
+                 FROM graft_docs_x37""")
+      }),
       // ---- int8 embedding quantization (the storage layout trained
       //      retrieval corpora ship in): per-vector max-abs scale,
       //      symmetric round-half-up to [-127, 127]. floor(x+0.5) instead
@@ -1306,6 +1320,44 @@ object SparkEntry {
         |r AS (SELECT range AS k FROM range(0, 1000) WHERE range % 3 = 0)
         |SELECT count(*) AS n_rows, CAST(sum(v) AS BIGINT) AS sum_v
         |FROM l JOIN r USING (k)""".stripMargin,
+    "x37_sql_surface" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toks) AS tok FROM documents WHERE doc_id < 50),
+         |th AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(3421674724 AS HUGEINT),
+         |      list_transform(split(tok, ''), c -> CAST(ord(c) AS HUGEINT))),
+         |      (h, c) -> (h * 1000003 + c) % (CAST(1 AS HUGEINT) << 64)) AS hu
+         |  FROM tok),
+         |bitcnt AS (
+         |  SELECT doc_id, t.bit,
+         |    sum(CASE WHEN (hu >> t.bit) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
+         |  FROM th CROSS JOIN (SELECT CAST(range AS INTEGER) AS bit FROM range(64)) t
+         |  GROUP BY doc_id, t.bit),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN cnt > 0 THEN CAST(CAST(1 AS HUGEINT) << bit AS HUGEINT)
+         |             ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS sigu
+         |  FROM bitcnt GROUP BY doc_id),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN sigu >= (CAST(1 AS HUGEINT) << 63)
+         |         THEN sigu - (CAST(1 AS HUGEINT) << 64) ELSE sigu END AS BIGINT) AS sh64
+         |  FROM sigs),
+         |fp AS (
+         |  SELECT doc_id,
+         |    list_reduce(
+         |      list_prepend(CAST(3421674724 AS HUGEINT),
+         |        list_transform(split(text, ''), c -> CAST(ord(c) AS HUGEINT))),
+         |      (h, c) -> (h * 1000003 + c) % (CAST(1 AS HUGEINT) << 64)) AS hu
+         |  FROM documents WHERE doc_id < 50),
+         |fps AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN hu >= (CAST(1 AS HUGEINT) << 63)
+         |         THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END AS BIGINT) AS fp64
+         |  FROM fp)
+         |SELECT fps.doc_id, fps.fp64, sh.sh64
+         |FROM fps JOIN sh USING (doc_id)""".stripMargin,
     "q51_embedding_quantize" ->
       """WITH m AS (
         |  SELECT vec_id, embedding,
