@@ -51,11 +51,13 @@ object Components {
       .withColumn("lbl", col("id"))
       .localCheckpoint(true)
     // monotone checksum: sum of labels strictly decreases until fixpoint
+    // (sum over an EMPTY frame is null — Option it, or the compare NPEs)
     def checksum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prev = checksum(labels)
     var it = 0
-    var done = false
+    var done = labels.isEmpty
     while (!done && it < maxIter) {
       val msgs = und.join(labels, und("src") === labels("id"))
         .select(col("dst").as("id"), col("lbl"))

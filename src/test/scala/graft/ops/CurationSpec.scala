@@ -187,6 +187,27 @@ class CurationSpec extends AnyFunSuite {
     assert(got("v") == (("v", 3L, 0L, 2L, "5", "11")))
   }
 
+  test("components: empty edge set yields an empty labeling, no hang") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Components.connectedComponents(empty).count() == 0)
+    assert(Components.connectedComponentsStar(empty).count() == 0)
+  }
+
+  test("chunkDocs rejects invalid window/overlap combinations") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Curation.chunkDocs(df, 0, 0))
+    intercept[IllegalArgumentException](Curation.chunkDocs(df, 16, 16))
+    intercept[IllegalArgumentException](Curation.chunkDocs(df, 16, -1))
+  }
+
+  test("stratifiedSample rejects out-of-range rates") {
+    val df = Seq((1L, "s", 1L)).toDF("doc_id", "source", "n_chars")
+    intercept[IllegalArgumentException](
+      Curation.stratifiedSample(df, "source", "doc_id", Map("s" -> 101), 50, ":x"))
+    intercept[IllegalArgumentException](
+      Curation.stratifiedSample(df, "source", "doc_id", Map.empty, -1, ":x"))
+  }
+
   // ---- gate vs composed operators, randomized -------------------------
 
   test("gateKeep equals the composed batch gates on random corpora") {

@@ -74,6 +74,23 @@ class AsOfJoinExecSpec extends AnyFunSuite {
       plan.take(2000))
   }
 
+  test("missing join column errors with the available columns listed") {
+    val l = Seq((1L, 2L)).toDF("user_id", "ts")
+    val r = Seq((1L, 2L)).toDF("user_id", "ts")
+    val e = intercept[IllegalArgumentException](
+      PhysicalAsOf.asofJoin(l, r, "no_such_key", "ts"))
+    assert(e.getMessage.contains("no_such_key") && e.getMessage.contains("user_id"))
+  }
+
+  test("empty right side: every left row survives with null payload") {
+    val l = Seq((1L, 10L, 100L), (2L, 20L, 101L)).toDF("user_id", "ts", "pid")
+    val r = Seq.empty[(Long, Long, Long)].toDF("user_id", "ts", "cents")
+    val got = PhysicalAsOf.asofJoin(l, r, "user_id", "ts")
+      .select("pid", "cents").collect()
+      .map(row => (row.getLong(0), Option(row.get(1)))).toMap
+    assert(got == Map(100L -> None, 101L -> None))
+  }
+
   test("self-source branches: conflicting attribute ids are deduplicated") {
     // both sides derive from ONE frame, so child outputs share expr ids —
     // the analyzer's DeduplicateRelations must rewrite our node's key/time
