@@ -53,7 +53,7 @@ object Components {
     // monotone checksum: sum of labels strictly decreases until fixpoint
     // (sum over an EMPTY frame is null — Option it, or the compare NPEs)
     def checksum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0))
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
     var prev = checksum(labels)
     var it = 0
@@ -125,7 +125,7 @@ object Components {
     def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
       val r = e.agg(count(lit(1)),
         sum((col("src") * lit(4294967296L) + col("dst")).cast("decimal(38,0)")))
-        .head
+        .head()
       (r.getLong(0), Option(r.getDecimal(1))
         .getOrElse(java.math.BigDecimal.ZERO))
     }

@@ -120,7 +120,7 @@ object Curation {
     val qualOk = langOk && quality >= 6000
     val repOk = qualOk && distinctBp >= 2000 && topBp <= 2500 && dupTri <= 6000
     pushdownBarrier(staged.select(
-      docs.columns.map(col) ++ Seq(n.cast("long").as("n_toks"),
+      docs.columns.toIndexedSeq.map(col) ++ Seq(n.cast("long").as("n_toks"),
         langOk.as("lang_ok"), qualOk.as("qual_ok"), repOk.as("rep_ok")): _*))
   }
 
@@ -129,7 +129,7 @@ object Curation {
   def gateKeep(docs: DataFrame): DataFrame =
     funnelFlags(docs)
       .withColumn("curation_keep", col("rep_ok"))
-      .select(docs.columns.map(col) :+ col("curation_keep"): _*)
+      .select(docs.columns.toIndexedSeq.map(col) :+ col("curation_keep"): _*)
 
   /** PII patterns, applied in order (earlier redactions cannot create
     * later matches: replacement tokens contain no digits or '@'). Each
