@@ -33,7 +33,9 @@ def canon(df):
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return ""
         if isinstance(v, float):
-            return f"{v:.6g}"
+            # shortest round-trip repr: bit-exact float compare, matching
+            # the repo's integral-output discipline (no 6-sig-fig masking)
+            return repr(v)
         if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
             return "[" + ",".join(norm(x) for x in v) + "]"
         return str(v)

@@ -103,9 +103,11 @@ object Bench {
     *    output span sequences), which adds one shuffle (through tmpfs —
     *    on a real cluster each executor node brings its own shuffle disks,
     *    so that term scales with nodes; a single box's one disk does not).
-    * One warmup each + `reps` timed runs; best times. */
-  private def extractionBest(cores: Int, path: String, reps: Int,
-      warm: Boolean = true): Timing = {
+    * One warmup each + `reps` timed runs; every sample returned so the
+    * caller can report min AND median AND the raw rounds — a single-shot
+    * headline number swung 3.5x between rounds on this multi-tenant VM. */
+  private def extractionSamples(cores: Int, path: String, reps: Int,
+      warm: Boolean = true): Vector[Timing] = {
     val s = session(cores)
     import s.implicits._
     val docs = s.read.parquet(path).as[graft.layout.DocRow]
@@ -124,11 +126,15 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     if (warm) { mapOnly(); full() }
-    val best = Timing(
-      (1 to reps).map(_ => mapOnly()).min,
-      (1 to reps).map(_ => full()).min)
+    val out = (1 to reps).map(_ => Timing(mapOnly(), full())).toVector
     s.stop()
-    best
+    out
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
   }
 
   def main(args: Array[String]): Unit = {
@@ -168,11 +174,20 @@ object Bench {
     // the whole phase fits the driver's round window even on a loaded VM)
     if (!phase1Only) {
       val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "200000").toInt
+      val extrRounds = sys.env.getOrElse("SPARK_GRAFT_EXTR_ROUNDS", "4").toInt
       val path = materializeCorpus(scaleDocs)
-      val tFullCores = extractionBest(cpus, path, reps = 2)
+      // min-of-rounds like the query block, with all samples embedded: the
+      // r01->r02 headline docs/s swung 3.5x on external-tenant noise when
+      // this was single-shot
+      val extrSamples = extractionSamples(cpus, path, reps = extrRounds)
+      val fullTimes = extrSamples.map(_.full)
       extraction =
-        s"""{"docs":$scaleDocs,"seconds":${tFullCores.full},""" +
-          s""""docs_per_sec":${scaleDocs / tFullCores.full},"cores":$cpus}"""
+        s"""{"docs":$scaleDocs,"seconds":${fullTimes.min},""" +
+          s""""seconds_median":${median(fullTimes)},""" +
+          s""""docs_per_sec":${scaleDocs / fullTimes.min},""" +
+          s""""docs_per_sec_median":${scaleDocs / median(fullTimes)},""" +
+          s""""rounds":${fullTimes.map(t => f"$t%.2f").mkString("[", ",", "]")},""" +
+          s""""cores":$cpus}"""
       writeOut()
 
       // this host is a noisy multi-tenant VM: interleave the two configs and
@@ -187,8 +202,8 @@ object Bench {
       val samplesBig = Vector.newBuilder[Timing]
       val samplesSmall = Vector.newBuilder[Timing]
       (1 to scaleRounds).foreach { r =>
-        val b = extractionBest(nBig, path, reps = 1, warm = r == 1)
-        val s = extractionBest(nSmall, path, reps = 1, warm = r == 1)
+        val b = extractionSamples(nBig, path, reps = 1, warm = r == 1).head
+        val s = extractionSamples(nSmall, path, reps = 1, warm = r == 1).head
         samplesBig += b; samplesSmall += s
         tBig = minT(tBig, b); tSmall = minT(tSmall, s)
       }

@@ -231,6 +231,18 @@ object FixtureQueries {
         .write.format("graft-pdf").mode("append").save(out.toString)
       s.read.format("graft-pdf").load(out.toString)
     }),
+    // C15 driver-visible: the SAME pipeline with salted (chunked) extraction
+    // of oversized documents (saltPages=16 chunks the 200-page F14 into 13
+    // page-range chunks; SaltedExtractSpec proves bit-identity, this row
+    // makes the driver's oracle see it). Shares x05's golden span oracle —
+    // identical output IS the contract.
+    "x38_salted_extract" -> ((s, _) => {
+      import s.implicits._
+      val r = ExtractionPipeline.run(s, s.createDataset(FixtureCorpus.fixtureDocs),
+        saltPages = Some(16), persistIntermediate = false)
+      r.outSpans.toDF().select(
+        col("doc_id"), col("ord"), col("kind"), col("text"), col("media_ref"))
+    }),
     // M4+M5+M7+P7+P8 composed: the v1 TableFinder bbox-continuation flow
     // (find_tables_with_context, table_finder.py:23-90)
     "x14_fixture_tablefinder" -> ((s, _) => {
@@ -307,6 +319,8 @@ object FixtureQueries {
          |  $pdfSpanValues)
          |SELECT doc_id, ord, kind, text, media_ref FROM spans""".stripMargin,
     // WARC-container ingestion must reproduce x18's extraction exactly
-    "x36_warc_extract" -> FixtureGoldens.oracleSql("x18_main_spans")
+    "x36_warc_extract" -> FixtureGoldens.oracleSql("x18_main_spans"),
+    // salted extraction must be bit-identical to the unsalted pipeline
+    "x38_salted_extract" -> FixtureGoldens.oracleSql("x05_fixture_spans")
   ) ++ FixtureGoldens.oracleSql
 }

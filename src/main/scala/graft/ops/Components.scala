@@ -28,15 +28,41 @@ import org.apache.spark.storage.StorageLevel
   */
 object Components {
 
+  /** Lineage truncation per round. `localCheckpoint` (default) is the
+    * single-JVM fast path — materialized blocks live in executor storage,
+    * so an executor loss forfeits them and the job fails (acceptable on
+    * local[n], fatal on a 1000-executor run). Passing `checkpointDir`
+    * switches every round to a DURABLE `checkpoint()` into that
+    * (HDFS/object-store) directory: a lost executor recomputes from the
+    * last committed round instead of killing the job. Same O(1) plan per
+    * round either way. */
+  private def truncate(df: DataFrame, durable: Boolean): DataFrame =
+    if (durable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
+
+  private def setCheckpointDir(df: DataFrame, dir: Option[String]): Boolean =
+    dir match {
+      case Some(d) => df.sparkSession.sparkContext.setCheckpointDir(d); true
+      case None => false
+    }
+
   /** Component label per vertex. `edges` must have two numeric columns
     * `srcCol`/`dstCol`; direction is ignored. Output: (id, component)
     * where component = min vertex id reachable. Vertices appearing only
     * as dst are included; isolated vertices (no edges) are the caller's
-    * union if wanted. */
+    * union if wanted.
+    *
+    * Throws if the label fixpoint is not reached within `maxIter` rounds
+    * (one round per hop of graph diameter) — a partially-propagated
+    * result is silently WRONG, so non-convergence must surface. For
+    * graphs whose diameter can exceed `maxIter` use
+    * [[connectedComponentsStar]], whose round count is O(log^2 n)
+    * regardless of diameter. */
   def connectedComponents(edges: DataFrame, srcCol: String = "src",
-      dstCol: String = "dst", maxIter: Int = 25): DataFrame = {
+      dstCol: String = "dst", maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
     val sym0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+    val durable = setCheckpointDir(sym0, checkpointDir)
     val und = sym0.union(sym0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -47,9 +73,8 @@ object Components {
     // Truncating lineage keeps the plan O(1) per round; on a failure the
     // loop restarts from the last materialized labels. (A durable
     // checkpoint dir is the cluster-grade variant; same shape.)
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint(true)
+    var labels = truncate(und.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")), durable)
     // monotone checksum: sum of labels strictly decreases until fixpoint
     // (sum over an EMPTY frame is null — Option it, or the compare NPEs)
     def checksum(df: DataFrame): java.math.BigDecimal =
@@ -61,9 +86,8 @@ object Components {
     while (!done && it < maxIter) {
       val msgs = und.join(labels, und("src") === labels("id"))
         .select(col("dst").as("id"), col("lbl"))
-      val next = labels.select("id", "lbl").union(msgs)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
+      val next = truncate(labels.select("id", "lbl").union(msgs)
+        .groupBy("id").agg(min("lbl").as("lbl")), durable)
       val cur = checksum(next)
       labels.unpersist()
       labels = next
@@ -72,6 +96,9 @@ object Components {
       it += 1
     }
     und.unpersist()
+    require(done, s"connectedComponents did not converge in $maxIter rounds " +
+      "(graph diameter exceeds maxIter) — raise maxIter or use " +
+      "connectedComponentsStar, whose round count is O(log^2 n) on any graph")
     labels.select(col("id"), col("lbl").as("component"))
   }
 
@@ -90,12 +117,13 @@ object Components {
     * on random graphs); q37 runs THIS path, so the driver's recursive-CTE
     * oracle pins the contraction, not just the simple loop. */
   def connectedComponentsStar(edges: DataFrame, srcCol: String = "src",
-      dstCol: String = "dst", maxIter: Int = 40): DataFrame = {
+      dstCol: String = "dst", maxIter: Int = 40,
+      checkpointDir: Option[String] = None): DataFrame = {
     val raw = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val verts = raw.select(col("src").as("id"))
-      .union(raw.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true)
+    val durable = setCheckpointDir(raw, checkpointDir)
+    val verts = truncate(raw.select(col("src").as("id"))
+      .union(raw.select(col("dst").as("id"))).distinct(), durable)
     def neighbors(e: DataFrame): DataFrame =
       e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     // large-star: every neighbor v > u links to m(u) = min(N(u) ∪ {u})
@@ -129,12 +157,12 @@ object Components {
       (r.getLong(0), Option(r.getDecimal(1))
         .getOrElse(java.math.BigDecimal.ZERO))
     }
-    var e = raw.filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var e = truncate(raw.filter(col("src") =!= col("dst")).distinct(), durable)
     var prev = checksum(e)
     var it = 0
     var done = e.isEmpty
     while (!done && it < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = truncate(smallStar(largeStar(e)), durable)
       val cur = checksum(next)
       e.unpersist()
       e = next
@@ -146,6 +174,9 @@ object Components {
     // vertices label themselves
     val labeled = verts.join(e.select(col("src").as("id"), col("dst").as("lbl")),
       Seq("id"), "left")
+    require(done, s"connectedComponentsStar did not converge in $maxIter " +
+      "rounds — O(log^2 n) convergence means maxIter=40 covers any real " +
+      "graph, so this indicates corrupt input (e.g. NaN-cast ids)")
     val out = labeled.select(col("id"),
       coalesce(col("lbl"), col("id")).as("component"))
     e.unpersist()
@@ -154,12 +185,32 @@ object Components {
 
   /** Cluster summary for a near-dup pair set: one row per component with
     * its size. The component label IS the keeper (min doc id — the
-    * deterministic survivor a dedup pass retains). Only multi-doc
-    * components appear: a doc with no near-dup pair is its own keeper and
-    * needs no row. Runs the star-contraction path (the scale default). */
+    * deterministic survivor a dedup pass retains). By default only
+    * multi-doc components appear: a doc with no near-dup pair is its own
+    * keeper and needs no row. Pass `includeIsolatedFrom` (a one-column
+    * frame of ALL doc ids) to also emit `(id, 1)` singleton rows for docs
+    * with no pair — the full keeper manifest a curation pass writes out.
+    * Runs the star-contraction path (the scale default); `checkpointDir`
+    * upgrades per-round lineage truncation to durable checkpoints. */
   def dupClusters(pairs: DataFrame, aCol: String = "doc_a",
-      bCol: String = "doc_b"): DataFrame =
-    connectedComponentsStar(pairs, aCol, bCol)
+      bCol: String = "doc_b",
+      includeIsolatedFrom: Option[DataFrame] = None,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val clustered = connectedComponentsStar(pairs, aCol, bCol,
+      checkpointDir = checkpointDir)
       .groupBy("component")
       .agg(count(lit(1)).as("n_docs"))
+    includeIsolatedFrom match {
+      case None => clustered
+      case Some(all) =>
+        // isolated = ids never seen in any pair: one anti-join on the
+        // (small) paired-vertex set, then a constant-1 row each
+        val paired = pairs.select(col(aCol).cast("long").as("id"))
+          .union(pairs.select(col(bCol).cast("long").as("id"))).distinct()
+        val ids = all.select(col(all.columns.head).cast("long").as("id"))
+        val isolated = ids.join(paired, Seq("id"), "left_anti")
+          .select(col("id").as("component"), lit(1L).as("n_docs"))
+        clustered.unionByName(isolated)
+    }
+  }
 }

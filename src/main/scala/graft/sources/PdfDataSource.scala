@@ -61,21 +61,88 @@ final class PdfTable(path: String) extends Table
 }
 
 final class PdfScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = PdfDataSource.Schema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new PdfScan(path, required)
+  /** doc_id predicates are evaluated against the FILE NAME at planning
+    * time (doc_id == file name by construction), so a filtered scan skips
+    * whole files without opening them — the 100× story for a selective
+    * read over a byte corpus. The skip is exact, so accepted filters are
+    * fully handled (not re-evaluated post-scan). */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    val (ok, residual) = filters.partition(PdfScan.supportsFilter)
+    pushed = ok
+    residual
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+  override def build(): Scan = new PdfScan(path, required, pushed)
 }
 
-final class PdfScan(path: String, required: StructType) extends Scan with Batch {
+object PdfScan {
+  import org.apache.spark.sql.sources._
+  /** A filter is pushable iff it can be decided from doc_id alone. */
+  def supportsFilter(f: Filter): Boolean = f match {
+    case EqualTo("doc_id", _: String) => true
+    case EqualNullSafe("doc_id", _: String) => true
+    case In("doc_id", vs) => vs.forall(_.isInstanceOf[String])
+    case IsNotNull("doc_id") => true
+    case IsNull("doc_id") => true
+    case StringStartsWith("doc_id", _) => true
+    case StringEndsWith("doc_id", _) => true
+    case StringContains("doc_id", _) => true
+    case GreaterThan("doc_id", _: String) => true
+    case GreaterThanOrEqual("doc_id", _: String) => true
+    case LessThan("doc_id", _: String) => true
+    case LessThanOrEqual("doc_id", _: String) => true
+    case And(l, r) => supportsFilter(l) && supportsFilter(r)
+    case Or(l, r) => supportsFilter(l) && supportsFilter(r)
+    case Not(c) => supportsFilter(c)
+    case _ => false
+  }
+  def evalFilter(f: Filter, docId: String): Boolean = f match {
+    case EqualTo(_, v) => docId == v
+    case EqualNullSafe(_, v) => docId == v
+    case In(_, vs) => vs.contains(docId)
+    case IsNotNull(_) => true
+    case IsNull(_) => false
+    case StringStartsWith(_, p) => docId.startsWith(p)
+    case StringEndsWith(_, s) => docId.endsWith(s)
+    case StringContains(_, s) => docId.contains(s)
+    case GreaterThan(_, v: String) => docId > v
+    case GreaterThanOrEqual(_, v: String) => docId >= v
+    case LessThan(_, v: String) => docId < v
+    case LessThanOrEqual(_, v: String) => docId <= v
+    case And(l, r) => evalFilter(l, docId) && evalFilter(r, docId)
+    case Or(l, r) => evalFilter(l, docId) || evalFilter(r, docId)
+    case Not(c) => !evalFilter(c, docId)
+    case other => throw new IllegalStateException(s"unpushable filter $other")
+  }
+}
+
+final class PdfScan(path: String, required: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  // surfaced in explain() so pushed filters are plan-auditable
+  override def description(): String =
+    s"graft-pdf $path, PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.simpleString}"
   override def planInputPartitions(): Array[InputPartition] = {
+    // local-filesystem connector (driver lists, every executor reads the
+    // same paths — a shared mount on a real cluster). A missing path must
+    // FAIL, not act as an empty corpus: the common typo/misconfiguration
+    // would otherwise silently yield 0 rows.
     val dir = new java.io.File(path)
+    require(dir.isDirectory,
+      s"graft-pdf path is not a readable directory: $path")
     val files = Option(dir.listFiles())
-      .getOrElse(Array.empty)
+      .getOrElse(throw new java.io.IOException(s"cannot list graft-pdf dir: $path"))
       .filter(f => f.isFile && f.getName.endsWith(".pdf"))
+      .filter(f => pushed.forall(PdfScan.evalFilter(_, f.getName)))
       .sortBy(_.getName)
     files.map(f => PdfInputPartition(f.getAbsolutePath, f.getName): InputPartition)
   }
@@ -135,16 +202,25 @@ final class PdfWrite(path: String, schema: StructType)
   }
 
   override def commit(
-      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
-    messages.foreach {
-      case PdfCommitMessage(tmps) => tmps.foreach { t =>
-        val f = new java.io.File(t)
-        val target = new java.io.File(t.replaceFirst("\\.tmp-[^/]*$", ""))
-        if (!f.renameTo(target))
-          throw new java.io.IOException(s"commit rename failed: $t -> $target")
-      }
-      case _ =>
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val committed = messages.flatMap {
+      case PdfCommitMessage(tmps) => tmps
+      case _ => Nil
+    }.toSet
+    // garbage-collect .tmp- leftovers of CRASHED earlier runs (tasks whose
+    // JVM died before abort() could clean up) so they never accumulate;
+    // only files outside this job's own commit set are stale
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.contains(".tmp-") && !committed(f.getAbsolutePath))
+      .foreach(f => f.delete())
+    committed.toSeq.sorted.foreach { t =>
+      val target = new java.io.File(t.replaceFirst("\\.tmp-[^/]*$", ""))
+      // Files.move gives deterministic overwrite semantics across platforms
+      // (renameTo returns false on an existing target on some)
+      java.nio.file.Files.move(new java.io.File(t).toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
+  }
 
   override def abort(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =

@@ -17,7 +17,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("every query's schema has unique, non-empty, case-distinct column names") {
-    val sf = "/root/testdata/sf0.001"
+    val sf = TestSpark.sfDir
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val cols = fn(TestSpark.spark, sf).schema.fieldNames.toSeq
       assert(cols.nonEmpty, name)

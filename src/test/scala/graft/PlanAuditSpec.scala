@@ -11,7 +11,7 @@ import graft.pipeline.TestSpark
   * production, not as LocalTableScans. */
 class PlanAuditSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
-  private val sf = "/root/testdata/sf0.001"
+  private val sf = TestSpark.sfDir
 
   private def planOf(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)
@@ -117,6 +117,45 @@ class PlanAuditSpec extends AnyFunSuite {
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruningexpression"), plan.take(3000))
+  }
+
+  /** Every ShuffleExchange's output attributes in the FINALIZED (AQE) plan,
+    * including those buried inside query stages. */
+  private def shuffleOutputs(name: String)
+      : Seq[(String, org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val self = p match { case _: ShuffleExchangeLike => Seq(p); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      self ++ kids.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+      .flatMap(_.output.map(a => a.name -> a.dataType))
+  }
+
+  test("near-dup bucket joins: no shuffle carries an array or raw-text column") {
+    // the 100 TB contract for q14/q15/q19: candidate generation shuffles
+    // ONLY small fixed-width keys + ids; shingle sets / minhash signatures /
+    // embedding vectors and the document text stay columnar at the scan and
+    // re-join candidates by id — an Exchange carrying them would be the
+    // classic near-dup scale-killer
+    val rawText = Set("text", "body", "content", "html")
+    Seq("q14_ngram_jaccard_pairs", "q15_minhash_lsh_pairs",
+        "q19_embedding_neardup", "q16_simhash_pairs").foreach { q =>
+      val outs = shuffleOutputs(q)
+      val arrays = outs.filter(_._2.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrays.isEmpty, s"$q shuffles array columns: $arrays")
+      val texts = outs.filter(o => rawText(o._1.toLowerCase))
+      assert(texts.isEmpty, s"$q shuffles raw text columns: $texts")
+    }
   }
 
   test("q42 domain caps: k-bounded ObjectHashAggregate, no Window, one shuffle") {

@@ -65,6 +65,41 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Map(10L -> 3L, 20L -> 2L))
   }
 
+  test("dupClusters includeIsolatedFrom adds singleton rows for pair-less docs") {
+    val pairs = Seq((10L, 11L), (11L, 12L)).toDF("doc_a", "doc_b")
+    val all = (10L to 15L).toDF("doc_id")
+    val got = Components.dupClusters(pairs, includeIsolatedFrom = Some(all))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 3L, 13L -> 1L, 14L -> 1L, 15L -> 1L))
+  }
+
+  test("components: partial propagation FAILS loudly instead of returning wrong labels") {
+    // diameter 11 > maxIter 3: the result would be silently wrong — require fires
+    val chain = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Components.connectedComponents(chain, maxIter = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("durable checkpointing: star == min-label, lineage cut through the dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(40)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2)
+    val df = edges.toDF("src", "dst")
+    val prop = Components.connectedComponents(df, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    val star = Components.connectedComponentsStar(df, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(star == prop && prop.nonEmpty)
+    // the durable variant really wrote checkpoint data (executor-loss safety)
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .anyMatch(p => java.nio.file.Files.isRegularFile(p))
+    assert(wrote, "no checkpoint files written under the durable dir")
+  }
+
   // ---- repetition profile ---------------------------------------------
 
   private def profileOf(text: String): (Long, Long, Long, Long, Long, Boolean) = {

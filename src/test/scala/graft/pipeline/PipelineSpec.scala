@@ -6,6 +6,10 @@ import org.apache.spark.sql.functions.col
 import graft.layout._
 
 object TestSpark {
+  /** sf0.001 fixture-parquet dir; overridable so the suite runs on
+    * machines where the driver's testdata lives elsewhere. */
+  val sfDir: String = sys.env.getOrElse("GRAFT_TESTDATA",
+    sys.props.getOrElse("graft.testdata", "/root/testdata/sf0.001"))
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")

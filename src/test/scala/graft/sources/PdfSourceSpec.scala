@@ -42,6 +42,43 @@ class PdfSourceSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions == 3)
   }
 
+  test("a missing/typo'd path FAILS instead of acting as an empty corpus") {
+    val bad = "/no/such/graft-pdf-dir"
+    val e = intercept[Throwable] {
+      spark.read.format("graft-pdf").load(bad).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("not a readable directory")),
+      messages(e).mkString(" | "))
+  }
+
+  test("doc_id filter pushdown skips whole files at planning time") {
+    // a poison file that CANNOT parse: if the filtered scan still opened
+    // it, the query would throw — passing proves file-level skip, not
+    // post-scan filtering
+    val d = java.nio.file.Files.createTempDirectory("graft-pdfpush").toFile
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d.getAbsolutePath, FixtureCorpus.f01.doc_id),
+      graft.io.Pdf.write(FixtureCorpus.f01))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d.getAbsolutePath, "zz.poison.pdf"),
+      Array[Byte](1, 2, 3, 4))
+    val df = spark.read.format("graft-pdf").load(d.getAbsolutePath)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === FixtureCorpus.f01.doc_id)
+    val rows = df.collect()
+    assert(rows.length == FixtureCorpus.f01.spans.length)
+    assert(df.rdd.getNumPartitions == 1) // one file planned, not two
+    // the pushed filter is plan-auditable via the scan description
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("EqualTo"),
+      plan.take(2000))
+    // unfiltered, the poison file is read and must fail the scan
+    intercept[Throwable] {
+      spark.read.format("graft-pdf").load(d.getAbsolutePath).collect()
+    }
+  }
+
   test("V2 write path: span rows -> one pdf per doc -> read back identical") {
     val out = java.nio.file.Files.createTempDirectory("graft-pdfsink").toString
     val spans = spark.read.format("graft-pdf").load(dir)
