@@ -253,9 +253,10 @@ object Bench {
     // computed — count() lets Catalyst prune projection work and
     // undercounts.
     val spark = session(cpus)
-    val only = sys.env.get("SPARK_GRAFT_ONLY") // substring filter, iteration aid
+    // comma-separated substring filter, iteration aid
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(n.contains) }
+      .filter { case (n, _) => only.forall(_.split(',').exists(n.contains)) }
     (1 to queryRounds).foreach { round =>
       names.foreach { case (name, fn) =>
         // x* queries are fixture/correctness surfaces (x11 re-runs the

@@ -95,6 +95,23 @@ object FixtureQueries {
         }
       }.toDF("doc_id", "page", "confidence_bp", "text")
     }),
+    // P10 embedding seam DRIVER-VISIBLE: deterministic integer-count
+    // vectors (token/vowel/char counts) stand in for a real model; the
+    // flow is the production one (vector join + Similarity.cosine +
+    // single-aggregation argmax). The oracle replays join+cosine+argmax
+    // INDEPENDENTLY in DuckDB over a VALUES table derived from the input
+    // corpus — integer vector components make the doubles bit-identical.
+    "x40_semantic_embedded" -> ((s, _) => {
+      import s.implicits._
+      val docs = s.createDataset(FixtureCorpus.fixtureDocs)
+      val emb = semanticBlocks.map { case (_, _, t) =>
+        val (a, b, c) = blockVec(t)
+        (t, Seq(a.toDouble, b.toDouble, c.toDouble))
+      }.distinct.toDF("text", "vector")
+      val (ta, tb, tc) = blockVec(SemanticMatch.DefaultTarget)
+      SemanticMatch.findSummaryTextEmbedded(docs, emb,
+        Seq(ta.toDouble, tb.toDouble, tc.toDouble))
+    }),
     // multimodal metadata decode over the deterministic synthetic corpus
     // (batched mapPartitions plumbing; kinds/dims/frames are VALUES-oracle-able)
     "x10_multimodal_meta" -> ((s, _) =>
@@ -122,6 +139,26 @@ object FixtureQueries {
         ("pending_after_crash", nPending),
         ("pending_after_resume", after),
         ("distinct_committed", distinct)).toDF("metric", "n")
+    }),
+    // snapshot time travel: two commits, then read the table AS OF the
+    // first snapshot — only run1's 9 documents may be visible, even though
+    // the directory now holds all of them (the Iceberg-shaped read side of
+    // the north rule's lineage manifests)
+    "x39_time_travel" -> ((s, _) => {
+      import s.implicits._
+      val docs = s.createDataset(FixtureCorpus.fixtureDocs)
+      val dir = java.nio.file.Files.createTempDirectory("graft-x39").toString + "/stats"
+      val r1 = ExtractionPipeline.run(s,
+        docs.filter(d => SpanDoc.docOrd(d.doc_id) <= 9), persistIntermediate = false)
+      Checkpointing.commit(r1.stats.toDF(), dir, "run1")
+      val pending = Checkpointing.resumeFilter(s, docs, dir)
+      val r2 = ExtractionPipeline.run(s, pending, persistIntermediate = false)
+      Checkpointing.commit(r2.stats.toDF(), dir, "run2")
+      Checkpointing.readAt(s, dir, 1).select(
+        col("doc_id"), col("page_size"), col("criterion_tables_count"),
+        col("merged_tables_count"), col("merged_rows_count"),
+        col("merged_table_start_page"), col("merged_table_end_page"),
+        col("publish_month"))
     }),
     // C12: per-file status counts (main_parse_pdfs.py:520-532)
     "x12_status_counts" -> ((s, _) =>
@@ -274,6 +311,36 @@ object FixtureQueries {
     }.mkString(",\n  ")
   }
 
+  /** Deterministic 3-dim "embedding" for x40: integer count profile
+    * (tokens, vowels, chars). Integer components keep the cosine doubles
+    * bit-identical between Spark's fold and DuckDB's expression. */
+  private def blockVec(t: String): (Long, Long, Long) = {
+    val toks = t.trim.toLowerCase.split("\\W+").count(_.nonEmpty)
+    val vowels = t.count(ch => "aeiouAEIOU".indexOf(ch.toInt) >= 0)
+    (toks.toLong, vowels.toLong, t.length.toLong)
+  }
+
+  /** Every (doc_id, page, trimmed nonempty text-block) of the fixture
+    * corpus — the block universe the semantic flows score. */
+  private def semanticBlocks: Vector[(String, Int, String)] =
+    FixtureCorpus.fixtureDocs.toVector.flatMap { d =>
+      SpanDoc.pages(d.spans).flatMap { p =>
+        p.spans.filter(sp => sp.kind == "text" && sp.text.trim.nonEmpty)
+          .map(sp => (d.doc_id, p.number, sp.text.trim))
+      }
+    }
+
+  /** VALUES literal of (doc_id, page, text, v1, v2, v3) for x40's oracle —
+    * derived from the INPUT corpus + the pure count functions, so DuckDB
+    * replays the scoring flow on independent plumbing. */
+  private def semanticVecValues: String = {
+    def q(s: String): String = "'" + s.replace("'", "''") + "'"
+    semanticBlocks.map { case (id, page, t) =>
+      val (a, b, c) = blockVec(t)
+      s"(${q(id)}, $page, ${q(t)}, $a, $b, $c)"
+    }.mkString(",\n  ")
+  }
+
   /** VALUES literal of (doc_id, page-1 text) straight from the INPUT corpus
     * — independent of the pipeline, so x04 is a genuine logic oracle. */
   private def page1Values: String = {
@@ -321,6 +388,29 @@ object FixtureQueries {
     // WARC-container ingestion must reproduce x18's extraction exactly
     "x36_warc_extract" -> FixtureGoldens.oracleSql("x18_main_spans"),
     // salted extraction must be bit-identical to the unsalted pipeline
-    "x38_salted_extract" -> FixtureGoldens.oracleSql("x05_fixture_spans")
+    "x38_salted_extract" -> FixtureGoldens.oracleSql("x05_fixture_spans"),
+    // independent replay of the embedding-seam flow: join + cosine +
+    // per-doc argmax + threshold, in pure SQL over INPUT-derived VALUES
+    "x40_semantic_embedded" -> {
+      val (ta, tb, tc) = blockVec(SemanticMatch.DefaultTarget)
+      s"""WITH blocks(doc_id, page, text, v1, v2, v3) AS (VALUES
+         |  $semanticVecValues),
+         |scored AS (
+         |  SELECT doc_id, page, text,
+         |    (v1*$ta + v2*$tb + v3*$tc) /
+         |      (sqrt(v1*v1 + v2*v2 + v3*v3) * sqrt(${ta * ta} + ${tb * tb} + ${tc * tc})) AS score
+         |  FROM blocks),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, page ASC, text DESC) AS rn
+         |  FROM scored)
+         |SELECT doc_id, page, CAST(floor(score * 10000) AS BIGINT) AS confidence_bp, text
+         |FROM ranked WHERE rn = 1 AND score >= 0.5""".stripMargin
+    },
+    // version 1 = exactly the first commit's 9 documents (x01's golden,
+    // filtered by the doc_ord prefix run1 committed)
+    "x39_time_travel" ->
+      s"""SELECT * FROM (${FixtureGoldens.oracleSql("x01_fixture_stats")}) AS v
+         |WHERE CAST(split_part(doc_id, '.', 1) AS INTEGER) <= 9""".stripMargin
   ) ++ FixtureGoldens.oracleSql
 }

@@ -46,6 +46,49 @@ object SemanticMatch {
     }
   }
 
+  /** Embedding-backed variant of the P10/P11 flow — the seam for a REAL
+    * model. The reference embeds blocks with MiniLM and cosine-matches the
+    * target phrase (src/v1_plain/parse_text.py:47-103, model_loader.py);
+    * no model ships in this sandbox, so the caller supplies the vectors:
+    * `embeddings` is a (block_text, vector array<float/double>) frame
+    * produced by ANY offline embedding job, `targetVec` is the embedded
+    * target phrase. Blocks join their vectors by text (embedding frames
+    * are block-vocabulary-sized — broadcastable; a corpus-scale frame
+    * shuffles once on the text key) and the best cosine >= threshold wins
+    * per document, exactly the token-set flow's reduce. Output:
+    * (doc_id, page, confidence_bp, text) — x09's shape.
+    */
+  def findSummaryTextEmbedded(
+      docs: org.apache.spark.sql.Dataset[DocRow],
+      embeddings: org.apache.spark.sql.DataFrame,
+      targetVec: Seq[Double],
+      threshold: Double = DefaultThreshold): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val blocks = docs.flatMap { d =>
+      SpanDoc.pages(d.spans).flatMap { p =>
+        p.spans.filter(s => s.kind == "text" && s.text.trim.nonEmpty)
+          .map(s => (d.doc_id, p.number, s.text.trim))
+      }
+    }.toDF("doc_id", "page", "text")
+    val emb = embeddings.toDF("text", "vector")
+      .select(col("text"), col("vector").cast("array<double>").as("vector"))
+    val target = typedLit(targetVec)
+    val scored = blocks.join(emb, Seq("text"))
+      .select(col("doc_id"), col("page"), col("text"),
+        graft.ops.Similarity.cosine(col("vector"), target).as("score"))
+    // per-doc argmax as ONE partial-aggregable max over a (score, -page,
+    // text) struct — no window, no second shuffle
+    scored.groupBy("doc_id")
+      .agg(max(struct(col("score"), negate(col("page")).as("npage"),
+        col("text"))).as("best"))
+      .filter(col("best.score") >= threshold)
+      .select(col("doc_id"), negate(col("best.npage")).cast("int").as("page"),
+        floor(col("best.score") * 10000).as("confidence_bp"),
+        col("best.text").as("text"))
+  }
+
   /** v1's find_next_table (parse_table.py:267-300): run the cross-page
     * state machine and return the FIRST table by min page. */
   def findNextTable(pages: Seq[Page], startPage: Int = 0)

@@ -61,9 +61,10 @@ object Dedup {
 
   /** (id-named doc_id, shingle array) side for candidate-pair verification,
     * with the tokens materialized (two-step projection). */
-  private def shingleSide(docs: DataFrame, idName: String, shName: String): DataFrame =
+  private def shingleSide(docs: DataFrame, idName: String, shName: String,
+      n: Int = 3): DataFrame =
     docs.select(col("doc_id").as(idName), tokens(col("text")).as("toks"))
-      .select(col(idName), shinglesOf(col("toks")).as(shName))
+      .select(col(idName), shinglesOf(col("toks"), n).as(shName))
 
   /** Exact Jaccard similarity of two shingle-array columns, in 1/10000s
     * (integer — exact cross-engine compare). */
@@ -186,11 +187,21 @@ object Dedup {
     *
     * Plan shape mirrors [[minhashLshPairs]]: the blocking join and the
     * candidate distinct carry (doc_id, key) only; the shingle arrays are
-    * re-joined for the surviving candidates before the exact verify. */
-  def ngramJaccardPairs(docs: DataFrame, minJaccardBp: Long = 3000L): DataFrame = {
+    * re-joined for the surviving candidates before the exact verify.
+    *
+    * `shingleN` is the saturation escape hatch: block-cardinality growth
+    * assumes OPEN vocabulary. On a closed-vocabulary corpus the n-gram
+    * space is bounded (v^n) and once the corpus outgrows it, blocks
+    * densify and candidates go quadratic — measured on the synthetic
+    * 31-word corpus at 50k docs, 3-gram space 29,791 was saturated
+    * (27,634 blocks, max block 30, 303k candidates). Raising shingleN
+    * restores diversity (v^5 ~ 28M for the same corpus) at the cost of
+    * slightly lower recall for heavy edits. */
+  def ngramJaccardPairs(docs: DataFrame, minJaccardBp: Long = 3000L,
+      shingleN: Int = 3): DataFrame = {
     val keyed = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shinglesOf(col("toks")).as("sh"),
+      .select(col("doc_id"), shinglesOf(col("toks"), shingleN).as("sh"),
         floor(size(col("toks")) / 10).cast("long").as("len_bucket"))
     val keys = keyed.select(col("doc_id"), col("len_bucket"),
       explode(slice(array_sort(col("sh")), 1, 2)).as("blk"))
@@ -201,8 +212,8 @@ object Dedup {
       .select("doc_a", "doc_b")
       .distinct()
     cand
-      .join(shingleSide(docs, "doc_a", "sh_a"), Seq("doc_a"))
-      .join(shingleSide(docs, "doc_b", "sh_b"), Seq("doc_b"))
+      .join(shingleSide(docs, "doc_a", "sh_a", shingleN), Seq("doc_a"))
+      .join(shingleSide(docs, "doc_b", "sh_b", shingleN), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), jaccardBp(col("sh_a"), col("sh_b")).as("jaccard_bp"))
       .where(col("jaccard_bp") >= minJaccardBp)
   }

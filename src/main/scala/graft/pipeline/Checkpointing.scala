@@ -23,6 +23,79 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   */
 object Checkpointing {
 
+  // ------------------------------------------------------------ snapshots
+  /** Iceberg-shaped snapshot log: every commit() also writes
+    * `snapshot-<seq>-<runId>.json` into the manifest dir listing exactly
+    * the data files that commit ADDED. A table version is then the union
+    * of files across snapshots 1..v — [[readAt]] reconstructs any
+    * historical version without touching files written later (time
+    * travel). Compaction rewrites the data files and logs a fresh
+    * snapshot of the compacted state; older versions become EXPIRED (their
+    * files are gone) and readAt fails loudly for them, which is Iceberg's
+    * expire-snapshots contract. */
+  /** `full` = the file list is the COMPLETE table state (a compaction
+    * rebase), not a delta on top of earlier snapshots. */
+  final case class Snapshot(seq: Int, runId: String, files: Seq[String],
+      rows: Long, full: Boolean)
+
+  private def parquetNames(dir: String): Set[String] =
+    Option(new java.io.File(dir).listFiles())
+      .map(_.collect { case f if f.getName.endsWith(".parquet") => f.getName }.toSet)
+      .getOrElse(Set.empty)
+
+  private def writeSnapshot(dir: String, runId: String, added: Seq[String],
+      rows: Long, full: Boolean = false): Snapshot = {
+    val manifestDir = Paths.get(dir + "_manifest")
+    Files.createDirectories(manifestDir)
+    val seq = snapshots(dir).lastOption.map(_.seq).getOrElse(0) + 1
+    val json = s"""{"seq":$seq,"run":"$runId","rows":$rows,"full":$full,""" +
+      s""""files":[${added.sorted.map("\"" + _ + "\"").mkString(",")}]}"""
+    Files.writeString(manifestDir.resolve(f"snapshot-$seq%05d-$runId.json"), json)
+    Snapshot(seq, runId, added.sorted, rows, full)
+  }
+
+  /** The snapshot log, oldest first (empty when the dir has no commits). */
+  def snapshots(dir: String): Seq[Snapshot] = {
+    val manifestDir = new java.io.File(dir + "_manifest")
+    Option(manifestDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("snapshot-") && f.getName.endsWith(".json"))
+      .sortBy(_.getName)
+      .map { f =>
+        val s = Files.readString(f.toPath)
+        val seq = """"seq":(\d+)""".r.findFirstMatchIn(s).get.group(1).toInt
+        val run = """"run":"([^"]*)"""".r.findFirstMatchIn(s).get.group(1)
+        val rows = """"rows":(\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
+        val files = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(s).get.group(1)
+        val full = """"full":(true|false)""".r.findFirstMatchIn(s)
+          .exists(_.group(1) == "true")
+        val names = files.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty)
+        Snapshot(seq, run, names, rows, full)
+      }.toSeq
+  }
+
+  /** Read the table as of snapshot `version` (1-based commit sequence).
+    * Fails loudly when the version never existed or its files were
+    * rewritten away by a later compaction (expired), never returning a
+    * silently-partial frame. */
+  def readAt(spark: SparkSession, dir: String, version: Int): DataFrame = {
+    val snaps = snapshots(dir)
+    require(snaps.nonEmpty, s"no snapshots under ${dir}_manifest")
+    require(version >= 1 && version <= snaps.last.seq,
+      s"version $version out of range 1..${snaps.last.seq}")
+    val upTo = snaps.filter(_.seq <= version)
+    // a full (compaction) snapshot rebases the file list; deltas stack on
+    // top of the most recent one
+    val baseIdx = upTo.lastIndexWhere(_.full)
+    val effective = if (baseIdx >= 0) upTo.drop(baseIdx) else upTo
+    val files = effective.flatMap(_.files).distinct.map(n => s"$dir/$n")
+    val missing = files.filterNot(f => Files.exists(Paths.get(f)))
+    require(missing.isEmpty,
+      s"snapshot $version is expired (files rewritten by compaction): " +
+        missing.take(3).mkString(", "))
+    spark.read.parquet(files: _*)
+  }
+
   /** Docs not yet present in the committed output. */
   def resumeFilter(spark: SparkSession, docs: Dataset[DocRow],
       committedDir: String): Dataset[DocRow] = {
@@ -67,6 +140,10 @@ object Checkpointing {
     Files.createDirectories(manifestDir)
     Files.writeString(manifestDir.resolve(s"compaction-$runId.json"),
       s"""{"run":"$runId","files_before":$before,"files_after":${parquetFiles(old)},"rows":$rows}""")
+    // the compacted state is a NEW snapshot (full file listing); earlier
+    // versions are now expired — readAt tells the caller so
+    writeSnapshot(dir, s"compact-$runId", parquetNames(dir).toSeq, rows,
+      full = true)
     (before, parquetFiles(old), rows)
   }
 
@@ -80,6 +157,7 @@ object Checkpointing {
     * are deduped by partition id (retries re-produce the same rows). */
   def commit(df: DataFrame, dir: String, runId: String): Long = {
     val spark = df.sparkSession
+    val filesBefore = parquetNames(dir)
     val acc = spark.sparkContext
       .collectionAccumulator[(Int, Long, Long, Long)](s"graft-commit-$runId")
     val ordIdx = df.schema.fieldIndex("doc_ord")
@@ -124,6 +202,8 @@ object Checkpointing {
     Files.write(manifestDir.resolve(s"manifest-$runId.jsonl"),
       lines.mkString("\n").getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    metrics.map(_._2).sum
+    val rows = metrics.map(_._2).sum
+    writeSnapshot(dir, runId, (parquetNames(dir) -- filesBefore).toSeq, rows)
+    rows
   }
 }

@@ -86,4 +86,39 @@ class HeaderRegionSpec extends AnyFunSuite {
     assert(headers.distinct == headers)
     assert(!headers.exists(_.contains("Table")))
   }
+
+  test("embedding seam: an injected vector table changes best-match selection") {
+    val spark = graft.pipeline.TestSpark.spark
+    import spark.implicits._
+    val doc = FixtureCorpus.f01
+    // token-set default on f01 picks the summary-caption block
+    val tokenBest = SemanticMatch.findSummaryText(SpanDoc.pages(doc.spans)).get
+    // every text block of the doc, embedded ADVERSARIALLY: the block the
+    // token scorer picked gets a vector orthogonal to the target, some
+    // OTHER block gets the target vector itself — if the flow really
+    // routes through the injected vectors, the selection must flip
+    val blocks = SpanDoc.pages(doc.spans)
+      .flatMap(p => p.spans.filter(s => s.kind == "text" && s.text.trim.nonEmpty)
+        .map(_.text.trim)).distinct
+    val other = blocks.find(_ != tokenBest.text).get
+    val target = Seq(1.0, 0.0, 0.0)
+    val emb = blocks.map { t =>
+      if (t == other) (t, Seq(1.0, 0.0, 0.0))        // cosine 1 with target
+      else (t, Seq(0.0, 1.0, 0.0))                    // cosine 0
+    }.toDF("text", "vector")
+    val docs = spark.createDataset(Seq(doc))
+    val got = SemanticMatch.findSummaryTextEmbedded(docs, emb, target, 0.5)
+      .as[(String, Int, Long, String)].collect()
+    assert(got.length == 1)
+    assert(got.head._4 == other && got.head._4 != tokenBest.text)
+    assert(got.head._3 == 10000L) // cosine 1.0 in basis points
+    // and with vectors that MIRROR the token scorer, the default selection
+    // is reproduced through the embedded path
+    val agree = blocks.map(t =>
+      (t, if (t == tokenBest.text) Seq(1.0, 0.0, 0.0) else Seq(0.0, 1.0, 0.0)))
+      .toDF("text", "vector")
+    val got2 = SemanticMatch.findSummaryTextEmbedded(docs, agree, target, 0.5)
+      .as[(String, Int, Long, String)].collect()
+    assert(got2.length == 1 && got2.head._4 == tokenBest.text)
+  }
 }

@@ -276,4 +276,35 @@ class ResumeSpec extends AnyFunSuite {
     val manifests = new java.io.File(dir + "_manifest").listFiles().map(_.getName).sorted
     assert(manifests.exists(_.contains("run1")) && manifests.exists(_.contains("run2")))
   }
+
+  test("time travel: version 1 sees only the first commit; expired after compaction") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tt").toString + "/stats"
+    val docs = spark.createDataset(FixtureCorpus.fixtureDocs)
+    val r1 = ExtractionPipeline.run(spark,
+      docs.filter(d => SpanDoc.docOrd(d.doc_id) <= 6), persistIntermediate = false)
+    Checkpointing.commit(r1.stats.toDF(), dir, "run1")
+    val r2 = ExtractionPipeline.run(spark,
+      Checkpointing.resumeFilter(spark, docs, dir), persistIntermediate = false)
+    Checkpointing.commit(r2.stats.toDF(), dir, "run2")
+
+    val snaps = Checkpointing.snapshots(dir)
+    assert(snaps.map(_.seq) == Seq(1, 2))
+    assert(snaps.head.rows == 6 && snaps.map(_.rows).sum == FixtureCorpus.fixtureDocs.size)
+    val v1Ids = Checkpointing.readAt(spark, dir, 1)
+      .select("doc_id").as[String].collect().toSet
+    assert(v1Ids.size == 6 && v1Ids.forall(id => SpanDoc.docOrd(id) <= 6))
+    assert(Checkpointing.readAt(spark, dir, 2).count()
+      == FixtureCorpus.fixtureDocs.size)
+    intercept[IllegalArgumentException](Checkpointing.readAt(spark, dir, 3))
+
+    // compaction logs a new snapshot; old versions are expired, loudly
+    Checkpointing.compact(spark, dir, partitions = 1, runId = "c1")
+    val after = Checkpointing.snapshots(dir)
+    assert(after.last.seq == 3 && after.last.runId == "compact-c1")
+    assert(Checkpointing.readAt(spark, dir, 3).count()
+      == FixtureCorpus.fixtureDocs.size)
+    val e = intercept[IllegalArgumentException](Checkpointing.readAt(spark, dir, 1))
+    assert(e.getMessage.contains("expired"))
+  }
 }
