@@ -700,6 +700,14 @@ object SparkEntry {
       "q48_doc_chunks" -> ((s, d) =>
         graft.ops.Curation.chunkDocs(t(s, d, "documents"),
           window = 32, overlap = 8)),
+      // ---- the v2-LLM orchestration shape end to end: chunk (C15) ->
+      //      content-hash cache, one "model call" per unique chunk (S9) ->
+      //      rejoin by key -> position-sensitive per-doc merge (C14).
+      //      Deterministic model stand-in (no egress), whole chain
+      //      DuckDB-replayable.
+      "q52_chunk_cache_extract" -> ((s, d) =>
+        graft.ops.Curation.cachedChunkExtract(t(s, d, "documents"),
+          window = 32, overlap = 8)),
       // ---- ANALYZE-style column statistics: one scan for all columns
       //      (multiple exact DISTINCTs via a single Expand); the 100 TB
       //      variant swaps in approx_count_distinct, same plan shape
@@ -1297,6 +1305,41 @@ object SparkEntry {
     "q49_table_stats" ->
       graft.ops.Profiler.tableStatsSql("documents",
         Seq("doc_id", "text", "lang", "source", "n_chars")),
+    "q52_chunk_cache_extract" ->
+      // q48's chunk derivation + q20's fingerprint chain on each UNIQUE
+      // chunk + the position-weighted XOR merge, replayed independently
+      s"""WITH base AS (SELECT doc_id, $toks AS toks FROM documents),
+         |s AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, greatest(len(toks) - 1, 0) + 1, 24)) AS tok_start
+         |  FROM base),
+         |chunks AS (
+         |  SELECT doc_id, CAST(tok_start // 24 AS INT) AS chunk_idx,
+         |    CAST(len(list_slice(toks, tok_start + 1, tok_start + 32)) AS INT) AS n_tokens,
+         |    array_to_string(list_slice(toks, tok_start + 1, tok_start + 32), ' ') AS chunk_text
+         |  FROM s),
+         |keyed AS (
+         |  SELECT doc_id, chunk_idx, md5(chunk_text) AS ckey, chunk_text, n_tokens
+         |  FROM chunks),
+         |uniq AS (
+         |  SELECT ckey, n_tokens,
+         |    CAST(CASE WHEN hu >= (CAST(1 AS HUGEINT) << 63)
+         |         THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END AS BIGINT) AS fp64
+         |  FROM (
+         |    SELECT ckey, n_tokens,
+         |      list_reduce(
+         |        list_prepend(CAST(3421674724 AS HUGEINT),
+         |          list_transform(split(chunk_text, ''), c -> CAST(ord(c) AS HUGEINT))),
+         |        (h, c) -> (h * 1000003 + c) % (CAST(1 AS HUGEINT) << 64)) AS hu
+         |    FROM (SELECT DISTINCT ckey, chunk_text, n_tokens FROM keyed))),
+         |joined AS (
+         |  SELECT k.doc_id, k.chunk_idx, k.ckey, u.fp64, u.n_tokens
+         |  FROM keyed k JOIN uniq u USING (ckey))
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  count(DISTINCT ckey) AS n_unique_chunks,
+         |  CAST(sum(n_tokens) AS BIGINT) AS merged_tokens,
+         |  bit_xor(xor(fp64, CAST(chunk_idx + 1 AS BIGINT))) AS merged_fp
+         |FROM joined GROUP BY doc_id""".stripMargin,
     "x32_stream_curated_dedup" ->
       // the streaming funnel's final table == batch gates + md5 groups
       s"""WITH repq AS ($repetitionOracleSql),

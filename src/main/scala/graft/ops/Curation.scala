@@ -197,6 +197,46 @@ object Curation {
         array_join(col("ctoks"), " ").as("chunk_text"))
   }
 
+  /** The v2-LLM orchestration shape (reference:
+    * src/v2_llm/run_claude.py:29-57 content-hash cache, 59-82 chunk split,
+    * 115-200 per-chunk model call + merge) with the model swapped for a
+    * deterministic stand-in (fingerprint64 + token count — no egress in
+    * this environment): documents are chunked (C15), each UNIQUE chunk —
+    * md5 content-hash cache key (S9) — is "processed" exactly once, the
+    * results re-join every chunk instance by key (the cache hit), and the
+    * per-doc outputs merge across chunks in position-sensitive fashion
+    * (C14).
+    *
+    * Scale shape: the distinct carries (key, text) once per UNIQUE chunk —
+    * exactly the set the model must see — and the rejoin's build side is
+    * (key, two ints): chunk text never travels again after the cache
+    * probe. A real deployment swaps `fingerprint64 + size` for the model
+    * call inside mapPartitions on the unique side; everything else is the
+    * same plan.
+    *
+    * Output: (doc_id, n_chunks, n_unique_chunks, merged_tokens, merged_fp)
+    * — merged_fp is a position-weighted XOR fold of the per-chunk results
+    * (overflow-free, order-insensitive aggregate over position-tagged
+    * values, so it is exact at any parallelism and engine-replayable). */
+  def cachedChunkExtract(docs: DataFrame, window: Int, overlap: Int): DataFrame = {
+    val keyed = chunkDocs(docs, window, overlap)
+      .select(col("doc_id"), col("chunk_idx"),
+        md5(col("chunk_text")).as("ckey"), col("chunk_text"), col("n_tokens"))
+    // the "cache": one model call per distinct content hash
+    val uniqueResults = keyed.select(col("ckey"), col("chunk_text"), col("n_tokens"))
+      .distinct()
+      .select(col("ckey"),
+        TextAnalysis.fingerprint64(col("chunk_text")).as("fp64"),
+        col("n_tokens"))
+    keyed.select("doc_id", "chunk_idx", "ckey")
+      .join(uniqueResults, Seq("ckey"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("ckey")).as("n_unique_chunks"),
+        sum(col("n_tokens").cast("long")).as("merged_tokens"),
+        expr("bit_xor(fp64 ^ (CAST(chunk_idx AS BIGINT) + 1))").as("merged_fp"))
+  }
+
   /** Deterministic stratified sampling: keep a per-stratum percentage of
     * rows, chosen by a salted content-hash bucket of the row id — the same
     * no-rand() reproducibility contract as the train/val split (q35): the

@@ -208,6 +208,26 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Seq((0, 3)))
   }
 
+  test("cachedChunkExtract: duplicate chunks are processed once, results fan back out") {
+    // doc 1 and doc 2 share IDENTICAL text -> every chunk is a cache hit
+    // for the other doc; doc 3 is distinct. 8 tokens at window 4 / overlap
+    // 2 (stride 2) -> chunk starts 0,2,4,6 = 4 chunks/doc.
+    val text = "a b c d e f g h"
+    val df = Seq((1L, text), (2L, text), (3L, "x y z")).toDF("doc_id", "text")
+    val got = Curation.cachedChunkExtract(df, window = 4, overlap = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 4 && got(1L)._3 == 4) // 4 chunks, 4 unique
+    // identical docs merge identically — the cache returned the same results
+    assert(got(1L).copy(_1 = 0L) == got(2L).copy(_1 = 0L))
+    // "x y z": chunk starts 0 and 2 -> [x y z], [z]
+    assert(got(3L)._2 == 2 && got(3L)._3 == 2)
+    // the distinct side saw each unique chunk once: global uniques = 4 + 2
+    val keyed = Curation.chunkDocs(df, 4, 2)
+      .select(org.apache.spark.sql.functions.md5($"chunk_text")).distinct().count()
+    assert(keyed == 6)
+  }
+
   // ---- profiler -------------------------------------------------------
 
   test("tableStats: counts, nulls, distincts, typed min/max") {
