@@ -62,11 +62,18 @@ final class PdfTable(path: String) extends Table
 
 final class PdfScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   private var required: StructType = PdfDataSource.Schema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var limit: Int = Int.MaxValue
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+  /** PARTIAL limit pushdown (return false → Spark keeps its own Limit):
+    * each reader stops parsing after `limit` spans, so `df.limit(k)` over
+    * a huge corpus reads at most k spans per file instead of every span
+    * of every file. */
+  override def pushLimit(l: Int): Boolean = { limit = l; false }
   /** doc_id predicates are evaluated against the FILE NAME at planning
     * time (doc_id == file name by construction), so a filtered scan skips
     * whole files without opening them — the 100× story for a selective
@@ -79,7 +86,7 @@ final class PdfScanBuilder(path: String)
     residual
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
-  override def build(): Scan = new PdfScan(path, required, pushed)
+  override def build(): Scan = new PdfScan(path, required, pushed, limit)
 }
 
 object PdfScan {
@@ -124,13 +131,27 @@ object PdfScan {
 }
 
 final class PdfScan(path: String, required: StructType,
-    pushed: Array[org.apache.spark.sql.sources.Filter]) extends Scan with Batch {
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    limit: Int = Int.MaxValue) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   // surfaced in explain() so pushed filters are plan-auditable
   override def description(): String =
     s"graft-pdf $path, PushedFilters: [${pushed.mkString(", ")}], " +
+      (if (limit != Int.MaxValue) s"PushedLimit: $limit, " else "") +
       s"ReadSchema: ${required.simpleString}"
+  /** Byte-size statistics from the (pushdown-filtered) file listing, so
+    * Catalyst can judge broadcastability of a pdf-corpus scan the same
+    * way it does a parquet one. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val sizes = planInputPartitions().map(p =>
+        new java.io.File(p.asInstanceOf[PdfInputPartition].file).length())
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(sizes.sum)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
   override def planInputPartitions(): Array[InputPartition] = {
     // local-filesystem connector (driver lists, every executor reads the
     // same paths — a shared mount on a real cluster). A missing path must
@@ -147,7 +168,7 @@ final class PdfScan(path: String, required: StructType,
     files.map(f => PdfInputPartition(f.getAbsolutePath, f.getName): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new PdfReaderFactory(required.fieldNames)
+    new PdfReaderFactory(required.fieldNames, limit)
 }
 
 final case class PdfInputPartition(file: String, docId: String) extends InputPartition
@@ -265,13 +286,13 @@ final class PdfWriterFactory(path: String, di: Int, oi: Int, ki: Int,
     }
 }
 
-final class PdfReaderFactory(fields: Array[String])
+final class PdfReaderFactory(fields: Array[String], limit: Int = Int.MaxValue)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PdfInputPartition]
     new PartitionReader[InternalRow] {
       private val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p.file))
-      private val spans = graft.io.Pdf.parse(p.docId, bytes).spans.iterator
+      private val spans = graft.io.Pdf.parse(p.docId, bytes).spans.iterator.take(limit)
       private val docIdU = UTF8String.fromString(p.docId)
       // extractors resolved ONCE per reader — the per-row path is an
       // array walk, not a string match per field

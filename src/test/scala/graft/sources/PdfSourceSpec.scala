@@ -79,6 +79,30 @@ class PdfSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("scan statistics report the (filtered) byte size of the file listing") {
+    val all = new PdfScan(dir, graft.sources.PdfDataSource.Schema, Array.empty)
+      .estimateStatistics()
+    val want = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".pdf"))
+      .map(_.length()).sum
+    assert(all.sizeInBytes().getAsLong == want && want > 0)
+    // a pushed doc_id filter shrinks the estimate to the surviving file
+    import org.apache.spark.sql.sources.EqualTo
+    val one = new PdfScan(dir, graft.sources.PdfDataSource.Schema,
+      Array(EqualTo("doc_id", FixtureCorpus.f01.doc_id)))
+    val f01Size = new java.io.File(dir, FixtureCorpus.f01.doc_id).length()
+    assert(one.estimateStatistics().sizeInBytes().getAsLong == f01Size)
+  }
+
+  test("limit pushdown caps each reader; Spark's own Limit stays correct") {
+    val df = spark.read.format("graft-pdf").load(dir).limit(2)
+    assert(df.count() == 2)
+    assert(df.queryExecution.executedPlan.toString.contains("PushedLimit: 2"))
+    // no limit -> no PushedLimit marker
+    val plain = spark.read.format("graft-pdf").load(dir)
+    plain.collect()
+    assert(!plain.queryExecution.executedPlan.toString.contains("PushedLimit"))
+  }
+
   test("V2 write path: span rows -> one pdf per doc -> read back identical") {
     val out = java.nio.file.Files.createTempDirectory("graft-pdfsink").toString
     val spans = spark.read.format("graft-pdf").load(dir)
