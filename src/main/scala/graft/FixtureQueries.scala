@@ -160,6 +160,21 @@ object FixtureQueries {
         col("merged_table_start_page"), col("merged_table_end_page"),
         col("publish_month"))
     }),
+    // the streaming ingest wired to the committed sink: one snapshot per
+    // micro-batch via foreachBatch + Checkpointing.commit, then time
+    // travel to snapshot 1 = exactly the first micro-batch's 8 documents
+    // (oracle: x01's golden filtered to that doc_ord range)
+    "x41_stream_committed_sink" -> ((s, _) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-x41").toString + "/stats"
+      graft.streaming.StreamExtract.replayCommittedStats(s, FixtureCorpus.fixtureDocs, dir)
+      require(Checkpointing.snapshots(dir).map(_.seq) == Seq(1, 2),
+        "expected one snapshot per micro-batch")
+      Checkpointing.readAt(s, dir, 1).select(
+        col("doc_id"), col("page_size"), col("criterion_tables_count"),
+        col("merged_tables_count"), col("merged_rows_count"),
+        col("merged_table_start_page"), col("merged_table_end_page"),
+        col("publish_month"))
+    }),
     // C12: per-file status counts (main_parse_pdfs.py:520-532)
     "x12_status_counts" -> ((s, _) =>
       result(s).stats.toDF().groupBy("status").count()),
@@ -411,6 +426,11 @@ object FixtureQueries {
     // filtered by the doc_ord prefix run1 committed)
     "x39_time_travel" ->
       s"""SELECT * FROM (${FixtureGoldens.oracleSql("x01_fixture_stats")}) AS v
-         |WHERE CAST(split_part(doc_id, '.', 1) AS INTEGER) <= 9""".stripMargin
+         |WHERE CAST(split_part(doc_id, '.', 1) AS INTEGER) <= 9""".stripMargin,
+    // snapshot 1 of the streaming committed sink = micro-batch 1 = the
+    // first 8 fixture docs
+    "x41_stream_committed_sink" ->
+      s"""SELECT * FROM (${FixtureGoldens.oracleSql("x01_fixture_stats")}) AS v
+         |WHERE CAST(split_part(doc_id, '.', 1) AS INTEGER) <= 8""".stripMargin
   ) ++ FixtureGoldens.oracleSql
 }

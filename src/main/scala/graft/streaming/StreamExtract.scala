@@ -43,4 +43,37 @@ object StreamExtract {
       in.flatMap(d => Extract.extractDoc(d).candidates.map(candidateRow))
         .toDF(CandidateCols: _*))
   }
+
+  /** The streaming ingest wired to the RESUMABLE COMMITTED sink: each
+    * micro-batch runs the full batch pipeline via foreachBatch and lands
+    * through `Checkpointing.commit`, so the streaming path produces the
+    * SAME per-partition lineage manifests and snapshot log as a batch run
+    * — one snapshot per micro-batch, `readAt(v)` time travel included.
+    * This is the production bridge from a continuous source to an
+    * Iceberg-shaped table (the engine-side analog of a streaming Iceberg
+    * sink's per-epoch commits). Two-batch finite replay; returns the
+    * committed stats directory. */
+  def replayCommittedStats(spark: SparkSession, docs: Seq[DocRow],
+      dir: String): Unit = {
+    import spark.implicits._
+    Events.withReplayPartitions(spark) {
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocRow](spark)
+      val q = input.toDS().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[DocRow], id: Long) =>
+          val r = graft.pipeline.ExtractionPipeline
+            .run(spark, batch, persistIntermediate = false)
+          graft.pipeline.Checkpointing.commit(r.stats.toDF(), dir, s"batch-$id")
+          ()
+        }
+        .start()
+      try {
+        val (first, second) = docs.splitAt(docs.length / 2)
+        input.addData(first)
+        q.processAllAvailable()
+        input.addData(second)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+  }
 }

@@ -65,6 +65,30 @@ class SemanticMatchSpec extends AnyFunSuite {
   }
 }
 
+class VisualizeSpec extends AnyFunSuite {
+  test("f01 page 3: green table rect at the detected bbox, header names in caption") {
+    val page = SpanDoc.pages(FixtureCorpus.f01.spans).find(_.number == 3).get
+    val svg = Visualize.pageSvg(page)
+    val t = TableDetector.findTables(page).head
+    val (x0, y0, x1, y1) = t.bbox
+    assert(svg.contains(
+      s"""<rect x="${x0.toLong}" y="${y0.toLong}" width="${(x1 - x0).toLong}""""))
+    assert(svg.contains("stroke=\"green\""))
+    assert(svg.contains("stroke=\"red\""))
+    assert(svg.contains(t.names.head))
+    assert(svg.startsWith("<svg ") && svg.endsWith("</svg>\n"))
+  }
+
+  test("rendering is deterministic and page-complete for a whole doc") {
+    val a = Visualize.docSvgs(FixtureCorpus.f02)
+    val b = Visualize.docSvgs(FixtureCorpus.f02)
+    assert(a == b)
+    assert(a.map(_._1) == SpanDoc.pages(FixtureCorpus.f02.spans).map(_.number).toVector)
+    // XML-escape safety: no raw ampersands/angle brackets leak from text
+    assert(a.forall { case (_, s) => !s.replaceAll("&(amp|lt|gt|quot);", "").contains("&") })
+  }
+}
+
 class HeaderRegionSpec extends AnyFunSuite {
   test("header region: split on double space, drop 'Table' lines, keep-order dedupe (P8)") {
     val d = FixtureCorpus.doc("99.t.pdf") { b =>
