@@ -119,10 +119,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("dynamicpruningexpression"), plan.take(3000))
   }
 
-  /** Every ShuffleExchange's output attributes in the FINALIZED (AQE) plan,
-    * including those buried inside query stages. */
-  private def shuffleOutputs(name: String)
-      : Seq[(String, org.apache.spark.sql.types.DataType)] = {
+  /** Per-ShuffleExchange output attributes in the FINALIZED (AQE) plan,
+    * including exchanges buried inside query stages: one inner Seq per
+    * exchange. */
+  private def shuffleOutputSets(name: String)
+      : Seq[Seq[(String, org.apache.spark.sql.types.DataType)]] = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
@@ -138,8 +139,11 @@ class PlanAuditSpec extends AnyFunSuite {
       self ++ kids.flatMap(walk)
     }
     walk(df.queryExecution.executedPlan)
-      .flatMap(_.output.map(a => a.name -> a.dataType))
+      .map(_.output.map(a => a.name -> a.dataType))
   }
+  private def shuffleOutputs(name: String)
+      : Seq[(String, org.apache.spark.sql.types.DataType)] =
+    shuffleOutputSets(name).flatten
 
   test("near-dup bucket joins: no shuffle carries an array or raw-text column") {
     // the 100 TB contract for q14/q15/q19: candidate generation shuffles
@@ -156,6 +160,16 @@ class PlanAuditSpec extends AnyFunSuite {
       val texts = outs.filter(o => rawText(o._1.toLowerCase))
       assert(texts.isEmpty, s"$q shuffles raw text columns: $texts")
     }
+  }
+
+  test("q52 cache pipeline: only the cache's distinct shuffles chunk text") {
+    // the model-input materialization (distinct over unique chunks) is the
+    // ONE exchange allowed to carry chunk_text; the probe/rejoin and the
+    // per-doc merge must move hashes and ints only
+    val sets = shuffleOutputSets("q52_chunk_cache_extract")
+    val carryingText = sets.count(_.exists(_._1 == "chunk_text"))
+    assert(carryingText <= 1, sets.map(_.map(_._1)).mkString("; "))
+    assert(sets.nonEmpty)
   }
 
   test("q42 domain caps: k-bounded ObjectHashAggregate, no Window, one shuffle") {
