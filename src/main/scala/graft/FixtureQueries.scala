@@ -175,6 +175,25 @@ object FixtureQueries {
         col("merged_table_start_page"), col("merged_table_end_page"),
         col("publish_month"))
     }),
+    // Iceberg-style INCREMENTAL read: the delta of snapshot 2 over
+    // snapshot 1 = exactly run2's documents (a downstream consumer
+    // processes each commit without rescanning the table)
+    "x42_incremental_read" -> ((s, _) => {
+      import s.implicits._
+      val docs = s.createDataset(FixtureCorpus.fixtureDocs)
+      val dir = java.nio.file.Files.createTempDirectory("graft-x42").toString + "/stats"
+      val r1 = ExtractionPipeline.run(s,
+        docs.filter(d => SpanDoc.docOrd(d.doc_id) <= 9), persistIntermediate = false)
+      Checkpointing.commit(r1.stats.toDF(), dir, "run1")
+      val r2 = ExtractionPipeline.run(s,
+        Checkpointing.resumeFilter(s, docs, dir), persistIntermediate = false)
+      Checkpointing.commit(r2.stats.toDF(), dir, "run2")
+      Checkpointing.changesBetween(s, dir, 1, 2).select(
+        col("doc_id"), col("page_size"), col("criterion_tables_count"),
+        col("merged_tables_count"), col("merged_rows_count"),
+        col("merged_table_start_page"), col("merged_table_end_page"),
+        col("publish_month"))
+    }),
     // C12: per-file status counts (main_parse_pdfs.py:520-532)
     "x12_status_counts" -> ((s, _) =>
       result(s).stats.toDF().groupBy("status").count()),
@@ -431,6 +450,10 @@ object FixtureQueries {
     // first 8 fixture docs
     "x41_stream_committed_sink" ->
       s"""SELECT * FROM (${FixtureGoldens.oracleSql("x01_fixture_stats")}) AS v
-         |WHERE CAST(split_part(doc_id, '.', 1) AS INTEGER) <= 8""".stripMargin
+         |WHERE CAST(split_part(doc_id, '.', 1) AS INTEGER) <= 8""".stripMargin,
+    // the (1,2] delta = run2's docs: ord 10..16
+    "x42_incremental_read" ->
+      s"""SELECT * FROM (${FixtureGoldens.oracleSql("x01_fixture_stats")}) AS v
+         |WHERE CAST(split_part(doc_id, '.', 1) AS INTEGER) > 9""".stripMargin
   ) ++ FixtureGoldens.oracleSql
 }

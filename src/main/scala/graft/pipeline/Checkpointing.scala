@@ -96,6 +96,31 @@ object Checkpointing {
     spark.read.parquet(files: _*)
   }
 
+  /** Incremental read: the rows ADDED by snapshots `fromExclusive+1 ..
+    * toInclusive` — Iceberg's incremental-scan contract for an append-only
+    * table. A downstream consumer processes each commit's delta without
+    * ever rescanning the table: the file set IS the change set, so the
+    * scan reads exactly the new files and nothing else. Fails loudly if
+    * the range crosses a compaction rebase (the per-commit file identity
+    * is gone there — resume from the rebase instead). */
+  def changesBetween(spark: SparkSession, dir: String,
+      fromExclusive: Int, toInclusive: Int): DataFrame = {
+    val snaps = snapshots(dir)
+    require(snaps.nonEmpty, s"no snapshots under ${dir}_manifest")
+    require(fromExclusive >= 0 && toInclusive > fromExclusive &&
+      toInclusive <= snaps.last.seq,
+      s"bad range ($fromExclusive, $toInclusive] over 1..${snaps.last.seq}")
+    val range = snaps.filter(s => s.seq > fromExclusive && s.seq <= toInclusive)
+    require(!range.exists(_.full),
+      s"range ($fromExclusive, $toInclusive] crosses a compaction rebase — " +
+        "per-commit deltas are gone; resume from the rebase snapshot")
+    val files = range.flatMap(_.files).distinct.map(n => s"$dir/$n")
+    val missing = files.filterNot(f => Files.exists(Paths.get(f)))
+    require(missing.isEmpty, s"delta files rewritten by a later compaction: " +
+      missing.take(3).mkString(", "))
+    spark.read.parquet(files: _*)
+  }
+
   /** Docs not yet present in the committed output. */
   def resumeFilter(spark: SparkSession, docs: Dataset[DocRow],
       committedDir: String): Dataset[DocRow] = {

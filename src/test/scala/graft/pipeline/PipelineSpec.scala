@@ -298,6 +298,12 @@ class ResumeSpec extends AnyFunSuite {
       == FixtureCorpus.fixtureDocs.size)
     intercept[IllegalArgumentException](Checkpointing.readAt(spark, dir, 3))
 
+    // incremental read: the (1,2] delta is exactly run2's rows
+    val delta = Checkpointing.changesBetween(spark, dir, 1, 2)
+      .select("doc_id").as[String].collect().toSet
+    assert(delta.size == FixtureCorpus.fixtureDocs.size - 6)
+    assert(delta.forall(id => SpanDoc.docOrd(id) > 6))
+
     // compaction logs a new snapshot; old versions are expired, loudly
     Checkpointing.compact(spark, dir, partitions = 1, runId = "c1")
     val after = Checkpointing.snapshots(dir)
@@ -306,5 +312,9 @@ class ResumeSpec extends AnyFunSuite {
       == FixtureCorpus.fixtureDocs.size)
     val e = intercept[IllegalArgumentException](Checkpointing.readAt(spark, dir, 1))
     assert(e.getMessage.contains("expired"))
+    // a delta range crossing the rebase must refuse, not silently rescan
+    val e2 = intercept[IllegalArgumentException](
+      Checkpointing.changesBetween(spark, dir, 1, 3))
+    assert(e2.getMessage.contains("rebase"))
   }
 }
