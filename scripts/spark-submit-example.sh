@@ -14,7 +14,7 @@ N=${N:-100}
 
 spark-submit \
   --master yarn --deploy-mode cluster \
-  --class graft.Verify \
+  --class graft.ExtractMain \
   --num-executors "$N" \
   --executor-cores 4 \
   --executor-memory 16g \
@@ -27,7 +27,7 @@ spark-submit \
   --conf spark.task.reaper.enabled=true \
   --conf spark.task.reaper.killTimeout=300s \
   "$JAR" \
-  s3://bucket/docs-table/ s3://bucket/out/
+  s3://bucket/docs-table/ s3://bucket/out/ 64   # saltPages; resumable — rerun after any failure
 
 # The scaling criterion (efficiency >= 0.8 between N and 4N executors):
 # run the same job twice with N and 4N, same input, and compare

@@ -1632,19 +1632,27 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, rank, sim_micro FROM ranked WHERE rank <= 5""".stripMargin
     },
     "q19_embedding_neardup" -> {
-      // same hyperplane family as cosineNearDupPairsLsh; nBits hard-codes
-      // the sf0.01 adaptive width: adaptiveBits(500) == 6
+      // same hyperplane family as cosineNearDupPairsLsh, SCALE-ROBUST:
+      // hyperplanes() generates planes sequentially from one seeded RNG,
+      // so plane i is identical for every nBits (prefix property) — the
+      // oracle computes a full 20-bit signature and truncates to the
+      // corpus-adaptive width with % (1<<nBits), where nBits replays
+      // adaptiveBits(count) in SQL. Exact at ANY scale factor — the gate's
+      // sf0.01 AND the 4x-larger sf0.1 corpus (re-checked there) — with
+      // the prefix/truncation identity pinned in OpsSpec.
       val sigs = (0 until 4).map { tbl =>
-        s"${Similarity.signatureSql("emb", Similarity.hyperplanes(64, 6, 7L + tbl))} AS sig$tbl"
+        s"${Similarity.signatureSql("emb", Similarity.hyperplanes(64, 20, 7L + tbl))} % (1::BIGINT << nbits) AS sig$tbl"
       }.mkString(",\n    ")
       val anySig = (0 until 4).map(tbl => s"a.sig$tbl = b.sig$tbl").mkString(" OR ")
       val dot = "list_reduce(list_transform(list_zip(a.emb, b.emb), p -> p[1]*p[2]), (x,y) -> x+y)"
       val na = "list_reduce(list_transform(a.emb, x -> x*x), (x,y) -> x+y)"
       val nb = "list_reduce(list_transform(b.emb, x -> x*x), (x,y) -> x+y)"
       s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |nb AS (SELECT least(24, greatest(4,
+         |    CAST(ceil(log2(count(*) / 8.0)) AS INT))) AS nbits FROM emb),
          |sig AS (SELECT vec_id,
          |    $sigs
-         |  FROM emb),
+         |  FROM emb, nb),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ($anySig))

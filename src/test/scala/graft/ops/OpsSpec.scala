@@ -276,6 +276,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.adaptiveBits(10) == 4)    // floor
     assert(Similarity.adaptiveBits(1L << 40) == 24) // cap
   }
+
+  test("hyperplane prefix property: nBits-signature == 20-bit signature % 2^nBits") {
+    // q19's scale-robust oracle depends on BOTH identities: (a) the first
+    // n planes of a wider family are the same planes (sequential seeded
+    // generation), (b) truncating the signature is a modulus
+    for (n <- Seq(4, 6, 8)) {
+      assert(Similarity.hyperplanes(64, 20, 7L).take(n).map(_.toSeq)
+        == Similarity.hyperplanes(64, n, 7L).map(_.toSeq), s"prefix broke at $n")
+    }
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val vecs = Seq.tabulate(50)(i => (i.toLong,
+      Array.fill(64)(rnd.nextGaussian())))
+    val df = vecs.toDF("vec_id", "emb").selectExpr("vec_id",
+      "cast(emb as array<double>) as emb_d")
+    for (n <- Seq(6, 8)) {
+      val narrow = df.select(Similarity.signature(
+        org.apache.spark.sql.functions.col("emb_d"),
+        Similarity.hyperplanes(64, n, 7L)).as("s")).as[Long].collect()
+      val truncated = df.select(Similarity.signature(
+        org.apache.spark.sql.functions.col("emb_d"),
+        Similarity.hyperplanes(64, 20, 7L)).as("s")).as[Long].collect()
+        .map(_ % (1L << n))
+      assert(narrow.toSeq == truncated.toSeq, s"truncation broke at $n")
+    }
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
