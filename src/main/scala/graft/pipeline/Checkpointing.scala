@@ -121,6 +121,26 @@ object Checkpointing {
     spark.read.parquet(files: _*)
   }
 
+  /** Orphan-file cleanup (Iceberg's remove_orphan_files): delete parquet
+    * files in the data dir that NO live snapshot references — the debris
+    * of a run that crashed after writing data files but before logging
+    * its snapshot. Committed data is untouched (the live file set is the
+    * union of every snapshot's files from the latest full rebase onward,
+    * i.e. exactly what readAt(latest) would read). Returns the deleted
+    * file names. Single-writer maintenance op, like compact(). */
+  def vacuum(dir: String): Seq[String] = {
+    val snaps = snapshots(dir)
+    // a table with data but NO snapshot log is not ours to clean — without
+    // the log every file would look orphaned and vacuum would empty it
+    require(snaps.nonEmpty, s"vacuum needs a snapshot log under ${dir}_manifest")
+    val baseIdx = snaps.lastIndexWhere(_.full)
+    val live = (if (baseIdx >= 0) snaps.drop(baseIdx) else snaps)
+      .flatMap(_.files).toSet
+    val orphans = (parquetNames(dir) -- live).toSeq.sorted
+    orphans.foreach(n => Files.deleteIfExists(Paths.get(s"$dir/$n")))
+    orphans
+  }
+
   /** Docs not yet present in the committed output. */
   def resumeFilter(spark: SparkSession, docs: Dataset[DocRow],
       committedDir: String): Dataset[DocRow] = {

@@ -316,5 +316,15 @@ class ResumeSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](
       Checkpointing.changesBetween(spark, dir, 1, 3))
     assert(e2.getMessage.contains("rebase"))
+
+    // vacuum: crash debris (a data file no snapshot references) is removed,
+    // committed data and time travel stay intact
+    val orphan = new java.io.File(dir, "part-99999-crashed.snappy.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    val removed = Checkpointing.vacuum(dir)
+    assert(removed == Seq(orphan.getName) && !orphan.exists())
+    assert(Checkpointing.readAt(spark, dir, 3).count()
+      == FixtureCorpus.fixtureDocs.size)
+    assert(Checkpointing.vacuum(dir).isEmpty) // idempotent
   }
 }
