@@ -141,14 +141,26 @@ object Checkpointing {
     orphans
   }
 
-  /** Docs not yet present in the committed output. */
+  /** Docs not yet present in the committed output. "Committed" is defined
+    * by the SNAPSHOT LOG when one exists (readAt(latest)) — a run that
+    * crashed after writing data files but before logging its snapshot did
+    * NOT commit, and its docs must be reprocessed, not silently skipped
+    * because debris parquet happens to contain their ids (vacuum() removes
+    * that debris). Falls back to the raw directory for pre-snapshot dirs. */
   def resumeFilter(spark: SparkSession, docs: Dataset[DocRow],
       committedDir: String): Dataset[DocRow] = {
     import spark.implicits._
-    if (!Files.exists(Paths.get(committedDir))) docs
-    else {
-      val done = spark.read.parquet(committedDir).select("doc_id").distinct()
-      docs.join(broadcast(done), Seq("doc_id"), "left_anti").as[DocRow]
+    val snaps = snapshots(committedDir)
+    val committed =
+      if (snaps.nonEmpty) Some(readAt(spark, committedDir, snaps.last.seq))
+      else if (Files.exists(Paths.get(committedDir)))
+        Some(spark.read.parquet(committedDir))
+      else None
+    committed match {
+      case None => docs
+      case Some(df) =>
+        val done = df.select("doc_id").distinct()
+        docs.join(broadcast(done), Seq("doc_id"), "left_anti").as[DocRow]
     }
   }
 

@@ -327,4 +327,27 @@ class ResumeSpec extends AnyFunSuite {
       == FixtureCorpus.fixtureDocs.size)
     assert(Checkpointing.vacuum(dir).isEmpty) // idempotent
   }
+
+  test("crash debris does not count as committed: resume reprocesses it") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = java.nio.file.Files.createTempDirectory("graft-debris").toString + "/stats"
+    val docs = spark.createDataset(FixtureCorpus.fixtureDocs)
+    val r1 = ExtractionPipeline.run(spark,
+      docs.filter(d => SpanDoc.docOrd(d.doc_id) <= 6), persistIntermediate = false)
+    Checkpointing.commit(r1.stats.toDF(), dir, "run1")
+    // a second run "crashes" AFTER its parquet write but BEFORE logging
+    // its snapshot: data files exist, the log says they never committed
+    val r2 = ExtractionPipeline.run(spark,
+      docs.filter(d => SpanDoc.docOrd(d.doc_id) == 7), persistIntermediate = false)
+    r2.stats.toDF().write.mode("append").parquet(dir)
+    assert(spark.read.parquet(dir).count() == 7) // debris IS in the dir...
+    val pending = Checkpointing.resumeFilter(spark, docs, dir)
+      .map(_.doc_id).collect().toSet
+    // ...but doc 7 is still pending — the snapshot log is the commit truth
+    assert(pending.exists(id => SpanDoc.docOrd(id) == 7L))
+    assert(pending.size == FixtureCorpus.fixtureDocs.size - 6)
+    // vacuum reconciles the directory with the log
+    assert(Checkpointing.vacuum(dir).nonEmpty)
+    assert(spark.read.parquet(dir).count() == 6)
+  }
 }
