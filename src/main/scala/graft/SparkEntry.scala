@@ -554,6 +554,19 @@ object SparkEntry {
         graft.ops.Components.dupClusters(
           graft.ops.Dedup.ngramJaccardPairs(t(s, d, "documents"),
             minJaccardBp = 2000L))),
+      // ---- the FULL keeper manifest: q37's clustering plus singleton
+      //      rows for every pair-less doc (includeIsolatedFrom), running
+      //      with DURABLE per-round checkpoints (executor-loss-safe star
+      //      contraction) — the cluster-grade configuration driver-checked
+      "q53_dup_keepers" -> ((s, d) => {
+        val ckpt = java.nio.file.Files
+          .createTempDirectory(s"graft-q53-${s.sparkContext.applicationId}")
+        graft.ops.Components.dupClusters(
+          graft.ops.Dedup.ngramJaccardPairs(t(s, d, "documents"),
+            minJaccardBp = 2000L),
+          includeIsolatedFrom = Some(t(s, d, "documents").select(col("doc_id"))),
+          checkpointDir = Some(ckpt.toString))
+      }),
       // ---- Gopher-style word-repetition quality metrics, expression-only
       //      (map-side inside the scan stage; integral basis points)
       "q38_repetition_profile" -> ((s, d) =>
@@ -1186,6 +1199,24 @@ object SparkEntry {
          |  FROM reach r JOIN edges e ON e.src = r.id),
          |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
          |SELECT component, count(*) AS n_docs FROM comp GROUP BY 1""".stripMargin,
+    "q53_dup_keepers" ->
+      // q37's closure + a singleton row for every doc with no near-dup pair
+      s"""WITH RECURSIVE pairs AS ($ngramPairsOracleSql),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |verts AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM verts
+         |  UNION
+         |  SELECT e.dst AS id, r.lbl AS lbl
+         |  FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+         |SELECT component, count(*) AS n_docs FROM comp GROUP BY 1
+         |UNION ALL
+         |SELECT d.doc_id AS component, 1 AS n_docs
+         |FROM documents d WHERE d.doc_id NOT IN (SELECT id FROM verts)""".stripMargin,
     "q38_repetition_profile" -> repetitionOracleSql,
     "q39_pii_scrub" -> {
       val payload = "'reach me at user' || CAST(doc_id AS VARCHAR) || " +
