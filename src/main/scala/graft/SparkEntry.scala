@@ -840,6 +840,34 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_docs"),
             sum("n_chars").as("total_chars"),
             sum(length(col("text"))).as("total_text_len"))
+      }),
+      // ---- ORC round trip: the second columnar format (same aggregate
+      //      contract as x29's JSONL — the container must not perturb a
+      //      byte). ORC scans get the same pushdown/pruning machinery as
+      //      parquet; sorting within files by doc_id gives ORC row-group
+      //      min/max indexes their selectivity at scale.
+      "x43_orc_roundtrip" -> ((s, d) => {
+        val path = s"/tmp/graft-orc-${s.sparkContext.applicationId}"
+        val docs = t(s, d, "documents")
+        docs.sortWithinPartitions("doc_id").write.mode("overwrite").orc(path)
+        s.read.orc(path)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("total_chars"),
+            sum(length(col("text"))).as("total_text_len"))
+      }),
+      // ---- CSV round trip with explicit schema + quote/escape handling
+      //      (documents text contains no newlines in the test tables, but
+      //      quoting is exercised via the header-on read contract)
+      "x44_csv_roundtrip" -> ((s, d) => {
+        val path = s"/tmp/graft-csv-${s.sparkContext.applicationId}"
+        val docs = t(s, d, "documents")
+        docs.write.mode("overwrite").option("header", "true").csv(path)
+        s.read.schema(docs.schema).option("header", "true").csv(path)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("total_chars"),
+            sum(length(col("text"))).as("total_text_len"))
       }))
 
     relational ++ text ++ curation ++ FixtureQueries.queries
@@ -1471,6 +1499,17 @@ object SparkEntry {
          |c AS (SELECT term, count(*) AS cnt FROM w GROUP BY 1)
          |SELECT term, cnt FROM c, tot WHERE cnt * 400 > n""".stripMargin,
     "x29_jsonl_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_text_len
+        |FROM documents GROUP BY 1""".stripMargin,
+    // the format layer must not perturb a byte: same truth table as x29
+    "x43_orc_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_text_len
+        |FROM documents GROUP BY 1""".stripMargin,
+    "x44_csv_roundtrip" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  CAST(sum(length(text)) AS BIGINT) AS total_text_len
