@@ -194,6 +194,26 @@ object FixtureQueries {
         col("merged_table_start_page"), col("merged_table_end_page"),
         col("publish_month"))
     }),
+    // copy-on-write UPSERT — the "re-extract after a parser fix" path:
+    // docs 1..3 get rewritten rows (publish_month uppercased as the
+    // deterministic stand-in for changed extraction output); the final
+    // table must show exactly the replaced rows and nothing else changed
+    "x45_upsert" -> ((s, _) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-x45").toString + "/stats"
+      val r = ExtractionPipeline.run(s, s.createDataset(FixtureCorpus.fixtureDocs),
+        persistIntermediate = false)
+      Checkpointing.commit(r.stats.toDF(), dir, "run1")
+      val fixed = Checkpointing.readAt(s, dir, 1)
+        .filter(expr("CAST(split_part(doc_id, '.', 1) AS INT) <= 3"))
+        .withColumn("publish_month", upper(col("publish_month")))
+      Checkpointing.upsert(fixed, dir, "refix")
+      Checkpointing.readAt(s, dir, 2).select(
+        col("doc_id"), col("page_size"), col("criterion_tables_count"),
+        col("merged_tables_count"), col("merged_rows_count"),
+        col("merged_table_start_page"), col("merged_table_end_page"),
+        col("publish_month"))
+    }),
     // C12: per-file status counts (main_parse_pdfs.py:520-532)
     "x12_status_counts" -> ((s, _) =>
       result(s).stats.toDF().groupBy("status").count()),
@@ -454,6 +474,13 @@ object FixtureQueries {
     // the (1,2] delta = run2's docs: ord 10..16
     "x42_incremental_read" ->
       s"""SELECT * FROM (${FixtureGoldens.oracleSql("x01_fixture_stats")}) AS v
-         |WHERE CAST(split_part(doc_id, '.', 1) AS INTEGER) > 9""".stripMargin
+         |WHERE CAST(split_part(doc_id, '.', 1) AS INTEGER) > 9""".stripMargin,
+    // x01's golden with docs 1..3 carrying the rewritten (uppercased) month
+    "x45_upsert" ->
+      s"""SELECT doc_id, page_size, criterion_tables_count, merged_tables_count,
+         |  merged_rows_count, merged_table_start_page, merged_table_end_page,
+         |  CASE WHEN CAST(split_part(doc_id, '.', 1) AS INTEGER) <= 3
+         |       THEN upper(publish_month) ELSE publish_month END AS publish_month
+         |FROM (${FixtureGoldens.oracleSql("x01_fixture_stats")}) AS v""".stripMargin
   ) ++ FixtureGoldens.oracleSql
 }

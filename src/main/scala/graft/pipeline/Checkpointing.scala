@@ -121,6 +121,31 @@ object Checkpointing {
     spark.read.parquet(files: _*)
   }
 
+  /** Copy-on-write upsert — the "re-extract after a parser fix" path:
+    * incoming rows REPLACE committed rows with the same doc_id, all other
+    * rows carry over, and the result is logged as a FULL (rebase)
+    * snapshot listing only the rewritten files. Old data files are left
+    * on disk so earlier versions stay time-travelable until a vacuum (or
+    * the next compaction) expires them — whereas compact() deletes them
+    * immediately; upsert is the gentler rebase. One shuffle-free plan:
+    * current-state scan anti-joined against the (broadcast) incoming ids,
+    * unioned with the incoming rows. Returns rows in the new state. */
+  def upsert(df: DataFrame, dir: String, runId: String): Long = {
+    val spark = df.sparkSession
+    val snaps = snapshots(dir)
+    require(snaps.nonEmpty, s"upsert needs an existing committed table at $dir")
+    val cur = readAt(spark, dir, snaps.last.seq)
+    val kept = cur.join(broadcast(df.select("doc_id").distinct()),
+      Seq("doc_id"), "left_anti")
+    val before = parquetNames(dir)
+    kept.unionByName(df.select(cur.columns.map(col): _*))
+      .write.mode(SaveMode.Append).parquet(dir)
+    val added = (parquetNames(dir) -- before).toSeq
+    val rows = spark.read.parquet(added.map(n => s"$dir/$n"): _*).count()
+    writeSnapshot(dir, runId, added, rows, full = true)
+    rows
+  }
+
   /** Orphan-file cleanup (Iceberg's remove_orphan_files): delete parquet
     * files in the data dir that NO live snapshot references — the debris
     * of a run that crashed after writing data files but before logging

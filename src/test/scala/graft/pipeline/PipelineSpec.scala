@@ -328,6 +328,34 @@ class ResumeSpec extends AnyFunSuite {
     assert(Checkpointing.vacuum(dir).isEmpty) // idempotent
   }
 
+  test("upsert replaces matching rows, preserves history until vacuum") {
+    import org.apache.spark.sql.functions.{col, upper}
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString + "/stats"
+    val docs = spark.createDataset(FixtureCorpus.fixtureDocs)
+    val r = ExtractionPipeline.run(spark, docs, persistIntermediate = false)
+    Checkpointing.commit(r.stats.toDF(), dir, "run1")
+    val fixed = Checkpointing.readAt(spark, dir, 1)
+      .filter(col("doc_id") === "1.f01_clean.pdf")
+      .withColumn("publish_month", upper(col("publish_month")))
+    val n = Checkpointing.upsert(fixed, dir, "refix")
+    assert(n == FixtureCorpus.fixtureDocs.size) // new state, same cardinality
+    // latest: the row is replaced, everything else untouched
+    val v2 = Checkpointing.readAt(spark, dir, 2)
+      .select("doc_id", "publish_month").as[(String, String)].collect().toMap
+    assert(v2("1.f01_clean.pdf") == "DECEMBER 2024")
+    assert(v2("2.f02_crosspage.pdf") == "March, 2021")
+    // history: version 1 still shows the original (gentler than compact)
+    val v1 = Checkpointing.readAt(spark, dir, 1)
+      .select("doc_id", "publish_month").as[(String, String)].collect().toMap
+    assert(v1("1.f01_clean.pdf") == "December 2024")
+    // vacuum expires the pre-upsert files; v2 survives
+    assert(Checkpointing.vacuum(dir).nonEmpty)
+    intercept[IllegalArgumentException](Checkpointing.readAt(spark, dir, 1))
+    assert(Checkpointing.readAt(spark, dir, 2).count()
+      == FixtureCorpus.fixtureDocs.size)
+  }
+
   test("crash debris does not count as committed: resume reprocesses it") {
     spark.sparkContext.setLogLevel("WARN")
     val dir = java.nio.file.Files.createTempDirectory("graft-debris").toString + "/stats"

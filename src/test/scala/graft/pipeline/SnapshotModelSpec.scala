@@ -35,6 +35,10 @@ class SnapshotModelSpec extends AnyFunSuite {
       // rebaseAt = seq of the latest full snapshot (0 = none)
       var batches = Vector.empty[Set[Long]]
       var rebaseAt = 0
+      // compact deletes pre-rebase files immediately; upsert leaves them
+      // until a vacuum — so "is rebaseAt-1 expired?" depends on which
+      var rebaseKind = ""
+      var vacuumedSinceRebase = false
       var nextId = 0L
 
       commitBatch(dir, 0L to 2L, "seed") // non-empty start
@@ -42,7 +46,7 @@ class SnapshotModelSpec extends AnyFunSuite {
       nextId = 3
 
       for (step <- 1 to 7) {
-        rnd.nextInt(4) match {
+        rnd.nextInt(5) match {
           case 0 | 1 => // commit a fresh batch
             val n = 1 + rnd.nextInt(4)
             val ids = (nextId until nextId + n)
@@ -53,11 +57,28 @@ class SnapshotModelSpec extends AnyFunSuite {
             Checkpointing.compact(spark, dir, partitions = 1, s"s$seed-c$step")
             batches :+= Set.empty // the rebase snapshot adds no NEW ids
             rebaseAt = batches.length
-          case 3 => // crash debris, then vacuum it away
+            rebaseKind = "compact"
+            vacuumedSinceRebase = false
+          case 3 => // upsert: replace a committed id + add a fresh one
+            val existing = batches.flatten.toSet.min
+            val fresh = nextId
+            nextId += 1
+            val df = Seq(existing, fresh).toDF("doc_ord")
+              .selectExpr("CAST(doc_ord AS STRING) AS doc_id", "doc_ord")
+              .coalesce(1)
+            Checkpointing.upsert(df, dir, s"s$seed-u$step")
+            // id-set model: a full rebase whose only NEW ids are the fresh
+            // ones (replaced ids were already in the union)
+            batches :+= Set(fresh)
+            rebaseAt = batches.length
+            rebaseKind = "upsert"
+            vacuumedSinceRebase = false
+          case 4 => // crash debris, then vacuum it away
             val orphan = new java.io.File(dir, s"part-orphan-$step.snappy.parquet")
             java.nio.file.Files.write(orphan.toPath, Array[Byte](9, 9))
             val removed = Checkpointing.vacuum(dir)
             assert(removed.contains(orphan.getName) && !orphan.exists())
+            vacuumedSinceRebase = true
         }
 
         // invariant 1: latest version = union of every committed batch
@@ -73,10 +94,17 @@ class SnapshotModelSpec extends AnyFunSuite {
           assert(idsOf(Checkpointing.readAt(spark, dir, v)) == want,
             s"seed=$seed step=$step version=$v")
         }
-        // expired versions refuse (only exist after a rebase past them)
-        if (rebaseAt > 1)
-          intercept[IllegalArgumentException](
-            Checkpointing.readAt(spark, dir, rebaseAt - 1))
+        // history below the rebase: compact (or a vacuum after an upsert)
+        // expires it — readAt refuses; an un-vacuumed upsert preserves it
+        if (rebaseAt > 1) {
+          if (rebaseKind == "compact" || vacuumedSinceRebase)
+            intercept[IllegalArgumentException](
+              Checkpointing.readAt(spark, dir, rebaseAt - 1))
+          else
+            assert(idsOf(Checkpointing.readAt(spark, dir, rebaseAt - 1))
+              == batches.take(rebaseAt - 1).flatten.toSet,
+              s"seed=$seed step=$step pre-upsert history")
+        }
 
         // invariant 3: deltas reproduce the batches when not crossing
         // the rebase
