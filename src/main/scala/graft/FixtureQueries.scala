@@ -214,6 +214,30 @@ object FixtureQueries {
         col("merged_table_start_page"), col("merged_table_end_page"),
         col("publish_month"))
     }),
+    // merge-on-read delete — the takedown path: two docs deleted WITHOUT
+    // rewriting any data file (scan-time broadcast anti-join), then doc 2
+    // re-extracted (uppercased month) AFTER the delete; the fresh commit
+    // must survive the older delete set (Iceberg sequence rule), doc 5
+    // stays gone
+    "x46_mor_delete" -> ((s, _) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-x46").toString + "/stats"
+      val r = ExtractionPipeline.run(s, s.createDataset(FixtureCorpus.fixtureDocs),
+        persistIntermediate = false)
+      Checkpointing.commit(r.stats.toDF(), dir, "run1")
+      Checkpointing.deleteWhere(
+        Seq("2.f02_crosspage.pdf", "5.f05_firstcol.pdf").toDF("doc_id"),
+        dir, "takedown")
+      val redo = Checkpointing.readAt(s, dir, 1)
+        .filter(col("doc_id") === "2.f02_crosspage.pdf")
+        .withColumn("publish_month", upper(col("publish_month")))
+      Checkpointing.commit(redo, dir, "re2")
+      Checkpointing.readAt(s, dir, 3).select(
+        col("doc_id"), col("page_size"), col("criterion_tables_count"),
+        col("merged_tables_count"), col("merged_rows_count"),
+        col("merged_table_start_page"), col("merged_table_end_page"),
+        col("publish_month"))
+    }),
     // C12: per-file status counts (main_parse_pdfs.py:520-532)
     "x12_status_counts" -> ((s, _) =>
       result(s).stats.toDF().groupBy("status").count()),
@@ -481,6 +505,15 @@ object FixtureQueries {
          |  merged_rows_count, merged_table_start_page, merged_table_end_page,
          |  CASE WHEN CAST(split_part(doc_id, '.', 1) AS INTEGER) <= 3
          |       THEN upper(publish_month) ELSE publish_month END AS publish_month
-         |FROM (${FixtureGoldens.oracleSql("x01_fixture_stats")}) AS v""".stripMargin
+         |FROM (${FixtureGoldens.oracleSql("x01_fixture_stats")}) AS v""".stripMargin,
+    // x01's golden minus the deleted doc 5, with re-extracted doc 2
+    // carrying the rewritten (uppercased) month
+    "x46_mor_delete" ->
+      s"""SELECT doc_id, page_size, criterion_tables_count, merged_tables_count,
+         |  merged_rows_count, merged_table_start_page, merged_table_end_page,
+         |  CASE WHEN CAST(split_part(doc_id, '.', 1) AS INTEGER) = 2
+         |       THEN upper(publish_month) ELSE publish_month END AS publish_month
+         |FROM (${FixtureGoldens.oracleSql("x01_fixture_stats")}) AS v
+         |WHERE CAST(split_part(doc_id, '.', 1) AS INTEGER) <> 5""".stripMargin
   ) ++ FixtureGoldens.oracleSql
 }

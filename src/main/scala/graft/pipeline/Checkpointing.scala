@@ -34,9 +34,13 @@ object Checkpointing {
     * files are gone) and readAt fails loudly for them, which is Iceberg's
     * expire-snapshots contract. */
   /** `full` = the file list is the COMPLETE table state (a compaction
-    * rebase), not a delta on top of earlier snapshots. */
+    * rebase), not a delta on top of earlier snapshots. `deletes` = names
+    * of equality-delete sets (under `<dir>_deletes/<name>`) this snapshot
+    * ADDED — merge-on-read row-level deletes, applied at scan time to rows
+    * committed by EARLIER snapshots only (Iceberg's sequence-number rule),
+    * so a doc re-extracted after its takedown is visible again. */
   final case class Snapshot(seq: Int, runId: String, files: Seq[String],
-      rows: Long, full: Boolean)
+      rows: Long, full: Boolean, deletes: Seq[String] = Nil)
 
   private def parquetNames(dir: String): Set[String] =
     Option(new java.io.File(dir).listFiles())
@@ -44,14 +48,15 @@ object Checkpointing {
       .getOrElse(Set.empty)
 
   private def writeSnapshot(dir: String, runId: String, added: Seq[String],
-      rows: Long, full: Boolean = false): Snapshot = {
+      rows: Long, full: Boolean = false, deletes: Seq[String] = Nil): Snapshot = {
     val manifestDir = Paths.get(dir + "_manifest")
     Files.createDirectories(manifestDir)
     val seq = snapshots(dir).lastOption.map(_.seq).getOrElse(0) + 1
     val json = s"""{"seq":$seq,"run":"$runId","rows":$rows,"full":$full,""" +
+      s""""deletes":[${deletes.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""files":[${added.sorted.map("\"" + _ + "\"").mkString(",")}]}"""
     Files.writeString(manifestDir.resolve(f"snapshot-$seq%05d-$runId.json"), json)
-    Snapshot(seq, runId, added.sorted, rows, full)
+    Snapshot(seq, runId, added.sorted, rows, full, deletes.sorted)
   }
 
   /** The snapshot log, oldest first (empty when the dir has no commits). */
@@ -68,16 +73,29 @@ object Checkpointing {
         val files = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(s).get.group(1)
         val full = """"full":(true|false)""".r.findFirstMatchIn(s)
           .exists(_.group(1) == "true")
-        val names = files.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-          .filter(_.nonEmpty)
-        Snapshot(seq, run, names, rows, full)
+        def list(raw: String): Seq[String] = raw.split(",").toSeq
+          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+        // pre-delete snapshots have no "deletes" key — parse as empty
+        val dels = """"deletes":\[([^\]]*)\]""".r.findFirstMatchIn(s)
+          .map(m => list(m.group(1))).getOrElse(Nil)
+        Snapshot(seq, run, list(files), rows, full, dels)
       }.toSeq
   }
 
   /** Read the table as of snapshot `version` (1-based commit sequence).
     * Fails loudly when the version never existed or its files were
     * rewritten away by a later compaction (expired), never returning a
-    * silently-partial frame. */
+    * silently-partial frame.
+    *
+    * Merge-on-read: when the effective snapshot range carries equality
+    * delete sets, each commit's files are tagged with their commit seq and
+    * anti-joined against the (broadcast) delete keys with `del_seq >
+    * commit_seq` — a delete removes only rows committed BEFORE it, so a
+    * doc re-committed after its takedown is visible again (Iceberg's
+    * sequence-number rule). Delete sets are doc_id lists, tiny next to the
+    * data, so the apply is a broadcast hash anti-join: the 100 TB of data
+    * files are never rewritten or shuffled. With no live deletes the plan
+    * collapses to the plain multi-file parquet scan. */
   def readAt(spark: SparkSession, dir: String, version: Int): DataFrame = {
     val snaps = snapshots(dir)
     require(snaps.nonEmpty, s"no snapshots under ${dir}_manifest")
@@ -93,7 +111,26 @@ object Checkpointing {
     require(missing.isEmpty,
       s"snapshot $version is expired (files rewritten by compaction): " +
         missing.take(3).mkString(", "))
-    spark.read.parquet(files: _*)
+    val delSets = effective.flatMap(s => s.deletes.map(d => (s.seq, d)))
+    if (delSets.isEmpty) spark.read.parquet(files: _*)
+    else {
+      val missingDels = delSets.map(_._2)
+        .filterNot(d => Files.exists(Paths.get(s"${dir}_deletes/$d")))
+      require(missingDels.isEmpty, s"snapshot $version is expired (delete " +
+        s"sets removed by vacuum/compaction): ${missingDels.mkString(", ")}")
+      val data = effective.filter(_.files.nonEmpty)
+        .map(s => spark.read.parquet(s.files.map(n => s"$dir/$n"): _*)
+          .withColumn("_commit_seq", lit(s.seq)))
+        .reduce(_ unionByName _)
+      val dels = delSets
+        .map { case (seq, d) => spark.read.parquet(s"${dir}_deletes/$d")
+          .select(col("doc_id").as("_del_id"), lit(seq).as("_del_seq")) }
+        .reduce(_ unionByName _)
+      data.join(broadcast(dels),
+          data("doc_id") === dels("_del_id") &&
+            dels("_del_seq") > data("_commit_seq"), "left_anti")
+        .drop("_commit_seq")
+    }
   }
 
   /** Incremental read: the rows ADDED by snapshots `fromExclusive+1 ..
@@ -114,6 +151,13 @@ object Checkpointing {
     require(!range.exists(_.full),
       s"range ($fromExclusive, $toInclusive] crosses a compaction rebase — " +
         "per-commit deltas are gone; resume from the rebase snapshot")
+    // a delete snapshot is a retraction, not an append — an append-only
+    // delta consumer would silently keep rows the table no longer has;
+    // consume `<dir>_deletes/<runId>` explicitly instead
+    require(!range.exists(_.deletes.nonEmpty),
+      s"range ($fromExclusive, $toInclusive] contains row-level deletes " +
+        s"(${range.filter(_.deletes.nonEmpty).map(_.runId).mkString(", ")}) " +
+        "— incremental read is append-only; consume the delete sets explicitly")
     val files = range.flatMap(_.files).distinct.map(n => s"$dir/$n")
     val missing = files.filterNot(f => Files.exists(Paths.get(f)))
     require(missing.isEmpty, s"delta files rewritten by a later compaction: " +
@@ -146,6 +190,35 @@ object Checkpointing {
     rows
   }
 
+  /** Merge-on-read equality delete — the takedown / right-to-be-forgotten
+    * path. At 100 TB a handful of removals must not rewrite data files
+    * (that is what upsert/compact cost); instead the distinct doc_ids land
+    * as a tiny delete set under `<dir>_deletes/<runId>` and a DELTA
+    * snapshot records it. Every subsequent [[readAt]] applies the set as a
+    * broadcast anti-join against rows committed before it; [[compact]]
+    * materializes the deletes into rewritten files and drops the sets;
+    * [[vacuum]] removes sets no live snapshot references. A doc_id
+    * re-committed AFTER the delete is visible again (sequence rule), which
+    * is exactly the delete-then-re-extract flow. Snapshot.rows for a
+    * delete snapshot = number of delete keys. Returns that count.
+    *
+    * Note [[resumeFilter]] reads the latest version, so a deleted doc
+    * still present in the input is treated as uncommitted and will be
+    * re-extracted by the next run — for a permanent takedown, remove the
+    * doc from the input corpus too. */
+  def deleteWhere(ids: DataFrame, dir: String, runId: String): Long = {
+    val spark = ids.sparkSession
+    val snaps = snapshots(dir)
+    require(snaps.nonEmpty, s"deleteWhere needs a committed table at $dir")
+    val delDir = s"${dir}_deletes/$runId"
+    require(!Files.exists(Paths.get(delDir)),
+      s"delete set $runId already exists at $delDir")
+    ids.select("doc_id").distinct().coalesce(1).write.parquet(delDir)
+    val n = spark.read.parquet(delDir).count()
+    writeSnapshot(dir, runId, Nil, n, deletes = Seq(runId))
+    n
+  }
+
   /** Orphan-file cleanup (Iceberg's remove_orphan_files): delete parquet
     * files in the data dir that NO live snapshot references — the debris
     * of a run that crashed after writing data files but before logging
@@ -159,11 +232,24 @@ object Checkpointing {
     // the log every file would look orphaned and vacuum would empty it
     require(snaps.nonEmpty, s"vacuum needs a snapshot log under ${dir}_manifest")
     val baseIdx = snaps.lastIndexWhere(_.full)
-    val live = (if (baseIdx >= 0) snaps.drop(baseIdx) else snaps)
-      .flatMap(_.files).toSet
+    val liveSnaps = if (baseIdx >= 0) snaps.drop(baseIdx) else snaps
+    val live = liveSnaps.flatMap(_.files).toSet
     val orphans = (parquetNames(dir) -- live).toSeq.sorted
     orphans.foreach(n => Files.deleteIfExists(Paths.get(s"$dir/$n")))
-    orphans
+    // delete sets referenced by no live snapshot (expired by a rebase, or
+    // debris of a crashed deleteWhere) go the same way
+    val liveDels = liveSnaps.flatMap(_.deletes).toSet
+    val delRoot = new java.io.File(s"${dir}_deletes")
+    val delOrphans = Option(delRoot.listFiles()).getOrElse(Array.empty)
+      .collect { case f if !liveDels.contains(f.getName) => f.getName }
+      .toSeq.sorted
+    delOrphans.foreach { n =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(delRoot, n))
+    }
+    orphans ++ delOrphans.map(n => s"_deletes/$n")
   }
 
   /** Docs not yet present in the committed output. "Committed" is defined
@@ -205,7 +291,13 @@ object Checkpointing {
     def parquetFiles(d: java.io.File): Int =
       Option(d.listFiles()).map(_.count(f => f.getName.endsWith(".parquet"))).getOrElse(0)
     val before = parquetFiles(new java.io.File(dir))
-    val df = spark.read.parquet(dir)
+    // compact the COMMITTED state, not the raw directory: after an
+    // un-vacuumed upsert the dir still holds pre-rebase files (raw scan
+    // would duplicate rows), and live delete sets must be materialized
+    // into the rewrite — readAt(latest) is both, by definition
+    val curSnaps = snapshots(dir)
+    val df = if (curSnaps.nonEmpty) readAt(spark, dir, curSnaps.last.seq)
+             else spark.read.parquet(dir)
     val tmp = s"${dir}_compact-$runId"
     df.coalesce(partitions).write.mode(SaveMode.Overwrite).parquet(tmp)
     val rows = spark.read.parquet(tmp).count()
@@ -226,6 +318,9 @@ object Checkpointing {
     // versions are now expired — readAt tells the caller so
     writeSnapshot(dir, s"compact-$runId", parquetNames(dir).toSeq, rows,
       full = true)
+    // the rewrite materialized every live delete; no snapshot references
+    // the sets any more (compact expires aggressively, unlike upsert)
+    rm(new java.io.File(s"${dir}_deletes"))
     (before, parquetFiles(old), rows)
   }
 

@@ -356,6 +356,65 @@ class ResumeSpec extends AnyFunSuite {
       == FixtureCorpus.fixtureDocs.size)
   }
 
+  test("merge-on-read delete: scan-time removal, re-add survives, compact materializes") {
+    import org.apache.spark.sql.functions.{col, upper}
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mor").toString + "/stats"
+    val docs = spark.createDataset(FixtureCorpus.fixtureDocs)
+    val r = ExtractionPipeline.run(spark, docs, persistIntermediate = false)
+    Checkpointing.commit(r.stats.toDF(), dir, "run1")
+    val total = FixtureCorpus.fixtureDocs.size
+
+    // delete two docs: no data file rewritten, rows gone at scan time
+    val filesBefore = new java.io.File(dir).listFiles().map(_.getName).toSet
+    val n = Checkpointing.deleteWhere(
+      Seq("2.f02_crosspage.pdf", "5.f05_firstcol.pdf").toDF("doc_id"),
+      dir, "takedown")
+    assert(n == 2)
+    assert(new java.io.File(dir).listFiles().map(_.getName).toSet == filesBefore)
+    val v2 = Checkpointing.readAt(spark, dir, 2)
+    assert(v2.count() == total - 2)
+    assert(v2.filter(col("doc_id").startsWith("2.") ||
+      col("doc_id").startsWith("5.")).count() == 0)
+    // time travel: version 1 still shows all rows
+    assert(Checkpointing.readAt(spark, dir, 1).count() == total)
+
+    // guard rails: duplicate delete-set name, delete on an uncommitted dir
+    intercept[IllegalArgumentException](Checkpointing.deleteWhere(
+      Seq("9.f09_headervariants.pdf").toDF("doc_id"), dir, "takedown"))
+    intercept[IllegalArgumentException](Checkpointing.deleteWhere(
+      Seq("x").toDF("doc_id"), dir + "-nope", "t"))
+
+    // re-extract doc 2 AFTER the delete: the new row must survive the
+    // older delete set (sequence rule), doc 5 stays gone
+    val redo = Checkpointing.readAt(spark, dir, 1)
+      .filter(col("doc_id") === "2.f02_crosspage.pdf")
+      .withColumn("publish_month", upper(col("publish_month")))
+    Checkpointing.commit(redo, dir, "re2")
+    val v3 = Checkpointing.readAt(spark, dir, 3)
+    assert(v3.count() == total - 1)
+    assert(v3.filter(col("doc_id") === "2.f02_crosspage.pdf")
+      .select("publish_month").as[String].head() == "MARCH, 2021")
+
+    // incremental read refuses the delete snapshot, accepts the re-add
+    intercept[IllegalArgumentException](
+      Checkpointing.changesBetween(spark, dir, 1, 2))
+    assert(Checkpointing.changesBetween(spark, dir, 2, 3).count() == 1)
+
+    // vacuum must NOT touch a live delete set
+    assert(!Checkpointing.vacuum(dir).exists(_.startsWith("_deletes/")))
+    assert(Checkpointing.readAt(spark, dir, 3).count() == total - 1)
+
+    // compact materializes the deletes and drops the sets
+    Checkpointing.compact(spark, dir, partitions = 1, "c1")
+    assert(!new java.io.File(s"${dir}_deletes").exists())
+    val v4 = Checkpointing.readAt(spark, dir, 4)
+    assert(v4.count() == total - 1)
+    assert(v4.filter(col("doc_id") === "5.f05_firstcol.pdf").count() == 0)
+    assert(v4.filter(col("doc_id") === "2.f02_crosspage.pdf")
+      .select("publish_month").as[String].head() == "MARCH, 2021")
+  }
+
   test("crash debris does not count as committed: resume reprocesses it") {
     spark.sparkContext.setLogLevel("WARN")
     val dir = java.nio.file.Files.createTempDirectory("graft-debris").toString + "/stats"

@@ -3,77 +3,87 @@ package graft.pipeline
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Model-based randomized exercise of the snapshot machinery: a seeded
-  * sequence of commit / compact / vacuum / orphan-plant operations runs
-  * against both the real Checkpointing table and a trivial in-memory
-  * model (a list of committed batches). After every step the real table
-  * must agree with the model on: latest content, every live version's
-  * content, incremental deltas, and expiry/refusal behavior. This is the
+  * sequence of commit / compact / upsert / delete / re-add / vacuum
+  * operations runs against both the real Checkpointing table and a
+  * trivial in-memory model (per-snapshot add/delete id sets folded in
+  * sequence order — the fold IS Iceberg's sequence-number rule). After
+  * every step the real table must agree with the model on: latest
+  * content, every live version's content AND row count (the count check
+  * is what catches row duplication, which an id-set compare cannot see),
+  * incremental deltas, and expiry/refusal behavior. This is the
   * adversarial companion to ResumeSpec's scripted scenarios.
   */
 class SnapshotModelSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def commitBatch(dir: String, ids: Seq[Long], run: String): Unit = {
-    val df = ids.toDF("doc_ord")
-      .selectExpr("CAST(doc_ord AS STRING) AS doc_id", "doc_ord")
-      .coalesce(1)
-    Checkpointing.commit(df, dir, run)
-    ()
-  }
+  private def df(ids: Seq[Long]) = ids.toDF("doc_ord")
+    .selectExpr("CAST(doc_ord AS STRING) AS doc_id", "doc_ord")
+    .coalesce(1)
 
-  private def idsOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
-    df.select("doc_ord").as[Long].collect().toSet
+  private def idsOf(d: org.apache.spark.sql.DataFrame): Set[Long] =
+    d.select("doc_ord").as[Long].collect().toSet
 
-  test("random commit/compact/vacuum sequences agree with the in-memory model") {
+  test("random commit/compact/upsert/delete/vacuum sequences agree with the in-memory model") {
     spark.sparkContext.setLogLevel("WARN")
     for (seed <- Seq(1, 2, 3)) {
       val rnd = new scala.util.Random(seed)
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft-snapmodel$seed").toString + "/t"
-      // model: batches(i) = ids committed by snapshot seq i+1;
-      // rebaseAt = seq of the latest full snapshot (0 = none)
-      var batches = Vector.empty[Set[Long]]
+      // model: snapshot seq i+1 ADDS adds(i) and DELETES dels(i);
+      // visible state at version v = fold of (s ++ adds) -- dels over 1..v
+      var adds = Vector.empty[Set[Long]]
+      var dels = Vector.empty[Set[Long]]
+      def visible(v: Int): Set[Long] =
+        (0 until v).foldLeft(Set.empty[Long])((s, i) => (s ++ adds(i)) -- dels(i))
+      // rebaseAt = seq of the latest full snapshot (0 = none); compact
+      // deletes pre-rebase files immediately, upsert leaves them until a
+      // vacuum — so "is rebaseAt-1 expired?" depends on which
       var rebaseAt = 0
-      // compact deletes pre-rebase files immediately; upsert leaves them
-      // until a vacuum — so "is rebaseAt-1 expired?" depends on which
       var rebaseKind = ""
       var vacuumedSinceRebase = false
       var nextId = 0L
 
-      commitBatch(dir, 0L to 2L, "seed") // non-empty start
-      batches :+= (0L to 2L).toSet
+      Checkpointing.commit(df(0L to 2L), dir, "seed") // non-empty start
+      adds :+= (0L to 2L).toSet; dels :+= Set.empty
       nextId = 3
 
-      for (step <- 1 to 7) {
-        rnd.nextInt(5) match {
-          case 0 | 1 => // commit a fresh batch
+      for (step <- 1 to 8) {
+        val nLive = visible(adds.length).size
+        rnd.nextInt(6) match {
+          case 0 => // commit a fresh batch
             val n = 1 + rnd.nextInt(4)
             val ids = (nextId until nextId + n)
             nextId += n
-            commitBatch(dir, ids, s"s$seed-r$step")
-            batches :+= ids.toSet
-          case 2 => // compact: content unchanged, history rebased
+            Checkpointing.commit(df(ids), dir, s"s$seed-r$step")
+            adds :+= ids.toSet; dels :+= Set.empty
+          case 1 => // compact: content unchanged, history rebased
             Checkpointing.compact(spark, dir, partitions = 1, s"s$seed-c$step")
-            batches :+= Set.empty // the rebase snapshot adds no NEW ids
-            rebaseAt = batches.length
-            rebaseKind = "compact"
-            vacuumedSinceRebase = false
-          case 3 => // upsert: replace a committed id + add a fresh one
-            val existing = batches.flatten.toSet.min
+            adds :+= Set.empty; dels :+= Set.empty
+            rebaseAt = adds.length
+            rebaseKind = "compact"; vacuumedSinceRebase = false
+          case 2 => // upsert: replace/revive an arbitrary past id + add a fresh one
+            val existing = (0L until nextId)(rnd.nextInt(nextId.toInt))
             val fresh = nextId
             nextId += 1
-            val df = Seq(existing, fresh).toDF("doc_ord")
-              .selectExpr("CAST(doc_ord AS STRING) AS doc_id", "doc_ord")
-              .coalesce(1)
-            Checkpointing.upsert(df, dir, s"s$seed-u$step")
-            // id-set model: a full rebase whose only NEW ids are the fresh
-            // ones (replaced ids were already in the union)
-            batches :+= Set(fresh)
-            rebaseAt = batches.length
-            rebaseKind = "upsert"
-            vacuumedSinceRebase = false
-          case 4 => // crash debris, then vacuum it away
+            Checkpointing.upsert(df(Seq(existing, fresh)), dir, s"s$seed-u$step")
+            adds :+= Set(existing, fresh); dels :+= Set.empty
+            rebaseAt = adds.length
+            rebaseKind = "upsert"; vacuumedSinceRebase = false
+          case 3 if nLive > 0 => // merge-on-read delete of a live id
+            val victim = visible(adds.length).toSeq.sorted.apply(rnd.nextInt(nLive))
+            val n = Checkpointing.deleteWhere(df(Seq(victim)), dir, s"s$seed-d$step")
+            assert(n == 1)
+            adds :+= Set.empty; dels :+= Set(victim)
+          case 4 if (adds.length > visible(adds.length).size) &&
+              dels.flatten.exists(d => !visible(adds.length).contains(d)) =>
+            // re-add a currently-deleted id via a plain commit: the fresh
+            // row must survive the older delete set (sequence rule)
+            val gone = dels.flatten.toSet -- visible(adds.length)
+            val back = gone.toSeq.sorted.apply(rnd.nextInt(gone.size))
+            Checkpointing.commit(df(Seq(back)), dir, s"s$seed-b$step")
+            adds :+= Set(back); dels :+= Set.empty
+          case _ => // crash debris, then vacuum it away
             val orphan = new java.io.File(dir, s"part-orphan-$step.snappy.parquet")
             java.nio.file.Files.write(orphan.toPath, Array[Byte](9, 9))
             val removed = Checkpointing.vacuum(dir)
@@ -81,18 +91,20 @@ class SnapshotModelSpec extends AnyFunSuite {
             vacuumedSinceRebase = true
         }
 
-        // invariant 1: latest version = union of every committed batch
+        // invariant 1: latest version = the model fold, in ids AND count
         val snaps = Checkpointing.snapshots(dir)
-        assert(snaps.length == batches.length, s"seed=$seed step=$step")
-        val all = batches.flatten.toSet
-        assert(idsOf(Checkpointing.readAt(spark, dir, snaps.last.seq)) == all)
+        assert(snaps.length == adds.length, s"seed=$seed step=$step")
 
-        // invariant 2: every LIVE version v = union of batches 1..v
+        // invariant 2: every LIVE version v = fold over 1..v; count check
+        // catches duplication (e.g. compacting an un-vacuumed upsert's raw
+        // dir would double rows while leaving the id set intact)
         val firstLive = math.max(rebaseAt, 1)
-        for (v <- firstLive to batches.length) {
-          val want = batches.take(v).flatten.toSet
-          assert(idsOf(Checkpointing.readAt(spark, dir, v)) == want,
-            s"seed=$seed step=$step version=$v")
+        for (v <- firstLive to adds.length) {
+          val want = visible(v)
+          val got = Checkpointing.readAt(spark, dir, v)
+          assert(idsOf(got) == want, s"seed=$seed step=$step version=$v")
+          assert(got.count() == want.size,
+            s"seed=$seed step=$step version=$v duplicated rows")
         }
         // history below the rebase: compact (or a vacuum after an upsert)
         // expires it — readAt refuses; an un-vacuumed upsert preserves it
@@ -102,16 +114,19 @@ class SnapshotModelSpec extends AnyFunSuite {
               Checkpointing.readAt(spark, dir, rebaseAt - 1))
           else
             assert(idsOf(Checkpointing.readAt(spark, dir, rebaseAt - 1))
-              == batches.take(rebaseAt - 1).flatten.toSet,
+              == visible(rebaseAt - 1),
               s"seed=$seed step=$step pre-upsert history")
         }
 
-        // invariant 3: deltas reproduce the batches when not crossing
-        // the rebase
-        for (v <- firstLive until batches.length) {
-          val want = batches(v) // batch committed as seq v+1
-          assert(idsOf(Checkpointing.changesBetween(spark, dir, v, v + 1))
-            == want, s"seed=$seed step=$step delta=($v,${v + 1}]")
+        // invariant 3: deltas reproduce the adds when not crossing the
+        // rebase; a delete snapshot refuses (append-only contract)
+        for (v <- firstLive until adds.length) {
+          if (dels(v).nonEmpty)
+            intercept[IllegalArgumentException](
+              Checkpointing.changesBetween(spark, dir, v, v + 1))
+          else
+            assert(idsOf(Checkpointing.changesBetween(spark, dir, v, v + 1))
+              == adds(v), s"seed=$seed step=$step delta=($v,${v + 1}]")
         }
         if (rebaseAt > 1)
           intercept[IllegalArgumentException](
