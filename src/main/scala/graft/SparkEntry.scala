@@ -820,6 +820,46 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_events"),
             sum(floor(col("value") * 100).cast("long")).as("cents"))
       }),
+      // ---- runtime bloom-filter join pruning (InjectRuntimeFilter): the
+      //      selective dim filter plants bloom_filter_might_contain on the
+      //      fact side of a shuffle join, discarding non-joining fact rows
+      //      BEFORE the exchange — at 100 TB that is the difference between
+      //      shuffling the whole fact table and shuffling the ~1% that can
+      //      join (DPP's x30 needs a partition column; the bloom filter
+      //      prunes on ANY join key). Thresholds tuned down because the
+      //      test facts are tiny; injection is proven in the oracle-compared
+      //      output, like x20's exchange count.
+      "x47_bloom_join" -> ((s, d) => {
+        import s.implicits._
+        val keys = Seq(
+          "spark.sql.autoBroadcastJoinThreshold", // force the shuffle join
+          "spark.sql.optimizer.runtime.bloomFilter.enabled",
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+        val prev = keys.map(k => k -> s.conf.getOption(k))
+        s.conf.set(keys(0), "-1")
+        s.conf.set(keys(1), "true")
+        s.conf.set(keys(2), "0")
+        try {
+          val facts = t(s, d, "lineitem")
+            .select(col("l_partkey"), col("l_extendedprice"))
+          val dim = t(s, d, "part").filter(col("p_size") === 1)
+          val joined = facts
+            .join(dim, facts("l_partkey") === dim("p_partkey"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"))
+          val row = joined.collect()(0)
+          // BloomFilterMightContain prints as might_contain(...) probing a
+          // bloom_filter_agg subquery; require both so a plain IN-subquery
+          // rewrite can't satisfy the pin
+          val plan = joined.queryExecution.executedPlan.toString()
+          val injected = if (plan.contains("might_contain(") &&
+            plan.contains("bloom_filter_agg(")) 1L else 0L
+          Seq(("n_rows", row.getLong(0)), ("cents", row.getLong(1)),
+            ("bloom_filters_injected", injected)).toDF("metric", "n")
+        } finally prev.foreach { case (k, v) =>
+          v.fold(s.conf.unset(k))(s.conf.set(k, _))
+        }
+      }),
       // ---- exact heavy hitters via Misra-Gries sketch + recount: pass 1
       //      finds candidates with k bounded counters per task (no-miss
       //      superset guarantee), pass 2 recounts only candidates — the
@@ -1736,6 +1776,18 @@ object SparkEntry {
         nProbe = 4, iters = 2, dim = 64),
     "x20_bucketed_join" ->
       """SELECT 'joined_rows' AS metric, count(*) AS n FROM documents
-        |UNION ALL SELECT 'shuffle_exchanges_join', 0""".stripMargin) ++
+        |UNION ALL SELECT 'shuffle_exchanges_join', 0""".stripMargin,
+    // the join aggregate replayed plainly; injected=1 is the pinned plan
+    // fact (a Spark run that fails to plant the runtime filter emits 0
+    // and the row-hash mismatches)
+    "x47_bloom_join" ->
+      """SELECT 'n_rows' AS metric, count(*) AS n
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size = 1
+        |UNION ALL
+        |SELECT 'cents', CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size = 1
+        |UNION ALL SELECT 'bloom_filters_injected', 1""".stripMargin) ++
     FixtureQueries.oracleSql
 }
