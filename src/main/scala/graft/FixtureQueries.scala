@@ -238,6 +238,28 @@ object FixtureQueries {
         col("merged_table_start_page"), col("merged_table_end_page"),
         col("publish_month"))
     }),
+    // bounded backfill: the landed fixture corpus (8 parquet files)
+    // consumed by a file-source stream at maxFilesPerTrigger=3 under
+    // Trigger.AvailableNow — >=3 bounded micro-batches, each committing
+    // through the snapshot log, then the query STOPS; the final table
+    // must equal the batch pipeline's x01 golden row-for-row
+    "x48_backfill" -> ((s, _) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-x48").toString
+      val dir = s"$base/stats"
+      s.createDataset(FixtureCorpus.fixtureDocs)
+        .repartitionByRange(8, col("doc_id"))
+        .write.parquet(s"$base/landing")
+      val batches = graft.streaming.StreamExtract.backfillCommittedStats(
+        s, s"$base/landing", s"$base/ckpt", dir, maxFilesPerTrigger = 3)
+      require(batches >= 3,
+        s"rate limit ignored: 8 files at 3/trigger gave $batches batches")
+      Checkpointing.readAt(s, dir, batches).select(
+        col("doc_id"), col("page_size"), col("criterion_tables_count"),
+        col("merged_tables_count"), col("merged_rows_count"),
+        col("merged_table_start_page"), col("merged_table_end_page"),
+        col("publish_month"))
+    }),
     // C12: per-file status counts (main_parse_pdfs.py:520-532)
     "x12_status_counts" -> ((s, _) =>
       result(s).stats.toDF().groupBy("status").count()),
@@ -514,6 +536,8 @@ object FixtureQueries {
          |  CASE WHEN CAST(split_part(doc_id, '.', 1) AS INTEGER) = 2
          |       THEN upper(publish_month) ELSE publish_month END AS publish_month
          |FROM (${FixtureGoldens.oracleSql("x01_fixture_stats")}) AS v
-         |WHERE CAST(split_part(doc_id, '.', 1) AS INTEGER) <> 5""".stripMargin
+         |WHERE CAST(split_part(doc_id, '.', 1) AS INTEGER) <> 5""".stripMargin,
+    // bounded backfill must land exactly the batch pipeline's output
+    "x48_backfill" -> FixtureGoldens.oracleSql("x01_fixture_stats")
   ) ++ FixtureGoldens.oracleSql
 }

@@ -44,6 +44,45 @@ object StreamExtract {
         .toDF(CandidateCols: _*))
   }
 
+  /** Bounded backfill: a FILE-SOURCE streaming read over an already-landed
+    * corpus directory, rate-limited by `maxFilesPerTrigger` and driven by
+    * `Trigger.AvailableNow` — process everything that exists, in bounded
+    * micro-batches, then STOP. This is how a year of landed files catches
+    * up without one unbounded batch (bounded task memory, bounded sink
+    * commits, a resumable offset log at every step — kill it mid-backfill
+    * and it continues from the last batch). Each micro-batch runs the
+    * batch pipeline and commits through Checkpointing, so the backfill
+    * leaves the same snapshot log a live stream (x41) or batch run (x11)
+    * would. Returns the number of committed micro-batches.
+    *
+    * AvailableNow (vs the legacy Trigger.Once) is the piece that makes
+    * rate limits effective: Once ignores them and crams the backlog into
+    * a single batch — exactly the unbounded bite this path exists to
+    * avoid. */
+  def backfillCommittedStats(spark: SparkSession, landing: String,
+      checkpoint: String, dir: String, maxFilesPerTrigger: Int): Int = {
+    import spark.implicits._
+    Events.withReplayPartitions(spark) {
+      val q = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[DocRow]].schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(landing)
+        .as[DocRow]
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[DocRow], id: Long) =>
+          val r = graft.pipeline.ExtractionPipeline
+            .run(spark, batch, persistIntermediate = false)
+          graft.pipeline.Checkpointing.commit(r.stats.toDF(), dir, f"backfill-$id%03d")
+          ()
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    graft.pipeline.Checkpointing.snapshots(dir).size
+  }
+
   /** The streaming ingest wired to the RESUMABLE COMMITTED sink: each
     * micro-batch runs the full batch pipeline via foreachBatch and lands
     * through `Checkpointing.commit`, so the streaming path produces the
