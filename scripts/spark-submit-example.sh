@@ -35,3 +35,13 @@ spark-submit \
 # graft.Bench implements exactly this protocol in-process (interleaved
 # min-of-rounds + paired-median estimators); on a cluster, substitute
 # the two spark-submit wall clocks.
+
+# Table maintenance on the committed output (same jar, same class):
+#   compaction cadence bounds file counts AND the merge-on-read union
+#   depth; delete is the takedown path (tombstones, no rewrite);
+#   vacuum reclaims files/delete-sets no live snapshot references.
+#
+#   spark-submit --class graft.ExtractMain ... "$JAR" maintain s3://bucket/out/ compact 800
+#   spark-submit --class graft.ExtractMain ... "$JAR" maintain s3://bucket/out/ delete doc123,doc456
+#   spark-submit --class graft.ExtractMain ... "$JAR" maintain s3://bucket/out/ vacuum
+#   spark-submit --class graft.ExtractMain ... "$JAR" maintain s3://bucket/out/ snapshots

@@ -45,5 +45,26 @@ class ExtractMainSpec extends AnyFunSuite {
       .outSpans.map(o => (o.doc_id, o.ord, o.kind, o.text, o.media_ref))
       .collect().sorted.toSeq
     assert(got == want && want.nonEmpty)
+
+    // maintenance cycle on the same committed table: takedown -> the doc
+    // is gone at scan time; compact -> tombstone materialized, files
+    // bounded; a re-launch after the takedown re-extracts the doc (it is
+    // back in the committed set afterwards — documented resumeFilter
+    // semantics; for a permanent takedown remove it from the input too)
+    ExtractMain.maintain(spark, out, Array("delete", docs.head.doc_id))
+    val statsDir = s"$out/stats"
+    def latest() = {
+      val s = graft.pipeline.Checkpointing.snapshots(statsDir)
+      graft.pipeline.Checkpointing.readAt(spark, statsDir, s.last.seq)
+    }
+    assert(latest().count() == 15)
+    ExtractMain.maintain(spark, out, Array("compact", "1"))
+    assert(latest().count() == 15)
+    assert(!new java.io.File(s"${statsDir}_deletes").exists())
+    val (c4, t4) = ExtractMain.run(spark, input, out, saltPages = 16)
+    assert(c4 == 1 && t4 == 16)
+    assert(ExtractMain.maintain(spark, out, Array("vacuum")) == ())
+    intercept[IllegalArgumentException](
+      ExtractMain.maintain(spark, out, Array("defrag")))
   }
 }
