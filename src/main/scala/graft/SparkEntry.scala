@@ -432,6 +432,31 @@ object SparkEntry {
             (abs(col("n_approx") - col("n_exact")) * 50 <= col("n_exact"))
               .cast("int").as("approx_within_2pct"))
       }),
+      // ---- HLL sketch PERSISTENCE + MERGE (q36's sketch as a mergeable
+      //      artifact): per-day DataSketches HLL sketches of user_id,
+      //      union-aggregated to the corpus total WITHOUT rescanning —
+      //      the incremental-cardinality shape (sketch each day/shard
+      //      once, store bytes, merge on demand). Register-wise max
+      //      merge is exact: the merged estimate must EQUAL the
+      //      single-pass estimate bit-for-bit (merge_consistent=1, part
+      //      of the compared output), and land within 3% of exact.
+      "q54_hll_union" -> ((s, d) => {
+        import s.implicits._
+        val ev = t(s, d, "events")
+        val perDay = ev.groupBy(to_date(col("ts")).as("day"))
+          .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+        val merged = perDay
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))"))
+          .head.getLong(0)
+        val single = ev
+          .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))"))
+          .head.getLong(0)
+        val exact = ev.agg(countDistinct(col("user_id"))).head.getLong(0)
+        Seq((exact,
+          if ((merged - exact).abs * 100 <= 3 * exact) 1L else 0L,
+          if (merged == single) 1L else 0L))
+          .toDF("exact_users", "sketch_within_3pct", "merge_consistent")
+      }),
       // ---- describe() stats incl. exact median (C11)
       "q21_event_value_stats" -> ((s, d) =>
         t(s, d, "events")
@@ -1651,6 +1676,10 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  1 AS approx_within_2pct
         |FROM events GROUP BY 1""".stripMargin,
+    "q54_hll_union" ->
+      """SELECT count(DISTINCT user_id) AS exact_users,
+        |  1 AS sketch_within_3pct, 1 AS merge_consistent
+        |FROM events""".stripMargin,
     "x27_observed_metrics" ->
       """SELECT * FROM (VALUES
         |  ('rows_seen', (SELECT count(*) FROM documents)),
