@@ -14,7 +14,9 @@ import org.apache.spark.sql.SparkSession
   *   <out>/stats          one row per document (lineage manifests + snapshot
   *                        log beside it — resume, time travel, incremental
   *                        reads all work against this table)
-  *   <out>/spans          the output span sequences (plain parquet append)
+  *   <out>/spans          the output span sequences (committed the same
+  *                        way — takedown/compact/vacuum/time travel apply
+  *                        to the extracted text, not just the stats)
   *
   * RESUMABLE BY CONSTRUCTION: every launch anti-joins the input against the
   * committed doc_ids and processes only the remainder, so re-running after
@@ -42,35 +44,52 @@ object ExtractMain {
     } finally spark.stop()
   }
 
-  /** Table maintenance on the committed stats table — the ops half of the
-    * production story (compaction cadence bounds file counts AND the
-    * merge-on-read union depth; vacuum reclaims expired files; delete is
-    * the takedown path). Prints one JSON line, mirroring run(). */
+  /** Table maintenance on BOTH committed tables (stats + spans) — the ops
+    * half of the production story (compaction cadence bounds file counts
+    * AND the merge-on-read union depth; vacuum reclaims expired files;
+    * delete is the takedown path, and a takedown that left the extracted
+    * TEXT in the spans table would not be a takedown at all). Prints one
+    * JSON line per table, mirroring run(). */
   def maintain(spark: SparkSession, out: String, cmd: Array[String]): Unit = {
     import graft.pipeline.Checkpointing
-    val dir = s"$out/stats"
+    // spans may not exist (a run that committed no docs yet)
+    val tables = Seq(s"$out/stats", s"$out/spans")
+      .filter(d => Checkpointing.snapshots(d).nonEmpty)
+    require(tables.nonEmpty, s"no committed tables under $out")
+    def name(dir: String) = dir.split('/').last
     cmd.toList match {
       case "compact" :: rest =>
         val parts = rest.headOption.map(_.toInt).getOrElse(
           spark.sparkContext.defaultParallelism)
-        val (before, after, rows) = Checkpointing.compact(spark, dir, parts,
-          java.util.UUID.randomUUID().toString.take(8))
-        println(s"""{"op":"compact","files_before":$before,""" +
-          s""""files_after":$after,"rows":$rows}""")
+        tables.foreach { dir =>
+          val (before, after, rows) = Checkpointing.compact(spark, dir, parts,
+            java.util.UUID.randomUUID().toString.take(8))
+          println(s"""{"op":"compact","table":"${name(dir)}",""" +
+            s""""files_before":$before,"files_after":$after,"rows":$rows}""")
+        }
       case "vacuum" :: Nil =>
-        val removed = Checkpointing.vacuum(dir)
-        println(s"""{"op":"vacuum","removed":${removed.size}}""")
+        tables.foreach { dir =>
+          val removed = Checkpointing.vacuum(dir)
+          println(s"""{"op":"vacuum","table":"${name(dir)}",""" +
+            s""""removed":${removed.size}}""")
+        }
       case "delete" :: ids :: Nil =>
         import spark.implicits._
-        val n = Checkpointing.deleteWhere(
-          ids.split(",").toSeq.toDF("doc_id"), dir,
-          "takedown-" + java.util.UUID.randomUUID().toString.take(8))
-        println(s"""{"op":"delete","tombstones":$n}""")
+        val keys = ids.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        require(keys.nonEmpty, "delete needs a non-empty doc_id list")
+        val run = java.util.UUID.randomUUID().toString.take(8)
+        tables.foreach { dir =>
+          val n = Checkpointing.deleteWhere(keys.toDF("doc_id"), dir,
+            s"takedown-$run")
+          println(s"""{"op":"delete","table":"${name(dir)}","tombstones":$n}""")
+        }
       case "snapshots" :: Nil =>
-        Checkpointing.snapshots(dir).foreach { s =>
-          println(s"""{"seq":${s.seq},"run":"${s.runId}","rows":${s.rows},""" +
-            s""""full":${s.full},"files":${s.files.size},""" +
-            s""""delete_sets":${s.deletes.size}}""")
+        tables.foreach { dir =>
+          Checkpointing.snapshots(dir).foreach { s =>
+            println(s"""{"table":"${name(dir)}","seq":${s.seq},""" +
+              s""""run":"${s.runId}","rows":${s.rows},"full":${s.full},""" +
+              s""""files":${s.files.size},"delete_sets":${s.deletes.size}}""")
+          }
         }
       case other =>
         throw new IllegalArgumentException(s"unknown maintenance op: $other")
@@ -90,7 +109,11 @@ object ExtractMain {
       else {
         val r = graft.pipeline.ExtractionPipeline.run(spark, pending,
           saltPages = Some(saltPages), persistIntermediate = false)
-        r.outSpans.toDF().write.mode("append").parquet(s"$out/spans")
+        // spans are a COMMITTED table too (snapshot log + manifests), so
+        // takedown/compact/vacuum cover the extracted text, not just the
+        // per-doc stats — and time travel works on the content itself
+        graft.pipeline.Checkpointing.commit(r.outSpans.toDF(),
+          s"$out/spans", runId)
         graft.pipeline.Checkpointing.commit(r.stats.toDF(), statsDir, runId)
       }
     // committed truth, not the raw dir: after an upsert/delete the raw

@@ -47,6 +47,12 @@ object Checkpointing {
       .map(_.collect { case f if f.getName.endsWith(".parquet") => f.getName }.toSet)
       .getOrElse(Set.empty)
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+    ()
+  }
+
   private def writeSnapshot(dir: String, runId: String, added: Seq[String],
       rows: Long, full: Boolean = false, deletes: Seq[String] = Nil): Snapshot = {
     val manifestDir = Paths.get(dir + "_manifest")
@@ -118,10 +124,12 @@ object Checkpointing {
         .filterNot(d => Files.exists(Paths.get(s"${dir}_deletes/$d")))
       require(missingDels.isEmpty, s"snapshot $version is expired (delete " +
         s"sets removed by vacuum/compaction): ${missingDels.mkString(", ")}")
-      val data = effective.filter(_.files.nonEmpty)
+      val dataLegs = effective.filter(_.files.nonEmpty)
         .map(s => spark.read.parquet(s.files.map(n => s"$dir/$n"): _*)
           .withColumn("_commit_seq", lit(s.seq)))
-        .reduce(_ unionByName _)
+      require(dataLegs.nonEmpty, s"snapshot $version has delete sets but no " +
+        "data files — nothing to apply them to (table schema unknown)")
+      val data = dataLegs.reduce(_ unionByName _)
       val dels = delSets
         .map { case (seq, d) => spark.read.parquet(s"${dir}_deletes/$d")
           .select(col("doc_id").as("_del_id"), lit(seq).as("_del_seq")) }
@@ -178,6 +186,13 @@ object Checkpointing {
     val spark = df.sparkSession
     val snaps = snapshots(dir)
     require(snaps.nonEmpty, s"upsert needs an existing committed table at $dir")
+    // incoming must be one row per doc: only the anti-join side is
+    // distinct'd, so a duplicated incoming id would otherwise land twice
+    // in the rebase and silently break the one-row-per-doc invariant
+    val nDups = df.groupBy("doc_id").count()
+      .filter(col("count") > 1).count()
+    require(nDups == 0,
+      s"upsert input has $nDups doc_ids with multiple rows — dedupe first")
     val cur = readAt(spark, dir, snaps.last.seq)
     val kept = cur.join(broadcast(df.select("doc_id").distinct()),
       Seq("doc_id"), "left_anti")
@@ -213,8 +228,14 @@ object Checkpointing {
     val delDir = s"${dir}_deletes/$runId"
     require(!Files.exists(Paths.get(delDir)),
       s"delete set $runId already exists at $delDir")
-    ids.select("doc_id").distinct().coalesce(1).write.parquet(delDir)
-    val n = spark.read.parquet(delDir).count()
+    val keys = ids.select("doc_id").distinct()
+    // refuse an empty tombstone set: it would remove nothing yet flip
+    // every later readAt into the merge-on-read join and make every
+    // incremental range crossing it refuse — a permanent no-op tax
+    val n = keys.count()
+    require(n > 0, s"deleteWhere matched no doc_ids — refusing to log " +
+      "an empty delete snapshot")
+    keys.coalesce(1).write.parquet(delDir)
     writeSnapshot(dir, runId, Nil, n, deletes = Seq(runId))
     n
   }
@@ -243,12 +264,7 @@ object Checkpointing {
     val delOrphans = Option(delRoot.listFiles()).getOrElse(Array.empty)
       .collect { case f if !liveDels.contains(f.getName) => f.getName }
       .toSeq.sorted
-    delOrphans.foreach { n =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(delRoot, n))
-    }
+    delOrphans.foreach(n => deleteRecursively(new java.io.File(delRoot, n)))
     orphans ++ delOrphans.map(n => s"_deletes/$n")
   }
 
@@ -306,10 +322,7 @@ object Checkpointing {
     val aside = new java.io.File(s"${dir}_pre-$runId")
     require(old.renameTo(aside), s"rename $dir -> $aside failed")
     require(new java.io.File(tmp).renameTo(old), s"rename $tmp -> $dir failed")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(aside)
+    deleteRecursively(aside)
     val manifestDir = Paths.get(dir + "_manifest")
     Files.createDirectories(manifestDir)
     Files.writeString(manifestDir.resolve(s"compaction-$runId.json"),
@@ -320,7 +333,7 @@ object Checkpointing {
       full = true)
     // the rewrite materialized every live delete; no snapshot references
     // the sets any more (compact expires aggressively, unlike upsert)
-    rm(new java.io.File(s"${dir}_deletes"))
+    deleteRecursively(new java.io.File(s"${dir}_deletes"))
     (before, parquetFiles(old), rows)
   }
 
@@ -331,13 +344,28 @@ object Checkpointing {
     * were committed — a separate metrics action would execute the plan
     * twice, and AQE or non-deterministic partitioning could make the two
     * runs disagree. Task retries can report a partition twice; the metrics
-    * are deduped by partition id (retries re-produce the same rows). */
+    * are deduped by partition id (retries re-produce the same rows).
+    *
+    * Frames without a `doc_ord` column (e.g. span tables keyed only by
+    * doc_id) commit fine — their manifests carry null ord ranges.
+    *
+    * Legacy adoption: the FIRST commit into a directory that already holds
+    * parquet files but no snapshot log (a pre-snapshot-era table, which
+    * resumeFilter's raw-dir fallback treats as committed) adopts those
+    * files as a baseline snapshot first — otherwise readAt(latest) would
+    * under-report the table and vacuum would destroy the legacy files as
+    * orphans. */
   def commit(df: DataFrame, dir: String, runId: String): Long = {
     val spark = df.sparkSession
     val filesBefore = parquetNames(dir)
+    if (snapshots(dir).isEmpty && filesBefore.nonEmpty) {
+      val legacyRows = spark.read
+        .parquet(filesBefore.toSeq.map(n => s"$dir/$n"): _*).count()
+      writeSnapshot(dir, "legacy-adopt", filesBefore.toSeq, legacyRows)
+    }
     val acc = spark.sparkContext
       .collectionAccumulator[(Int, Long, Long, Long)](s"graft-commit-$runId")
-    val ordIdx = df.schema.fieldIndex("doc_ord")
+    val ordIdx = df.schema.fieldNames.indexOf("doc_ord") // -1 when absent
     val instrumented = df.mapPartitions { it =>
       new Iterator[org.apache.spark.sql.Row] {
         private var n = 0L
@@ -355,7 +383,7 @@ object Checkpointing {
         def next(): org.apache.spark.sql.Row = {
           val r = it.next()
           n += 1
-          if (!r.isNullAt(ordIdx)) {
+          if (ordIdx >= 0 && !r.isNullAt(ordIdx)) {
             val o = r.getLong(ordIdx)
             if (o < minOrd) minOrd = o
             if (o > maxOrd) maxOrd = o

@@ -72,9 +72,17 @@ object StreamExtract {
         .option("checkpointLocation", checkpoint)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[DocRow], id: Long) =>
-          val r = graft.pipeline.ExtractionPipeline
-            .run(spark, batch, persistIntermediate = false)
-          graft.pipeline.Checkpointing.commit(r.stats.toDF(), dir, f"backfill-$id%03d")
+          // foreachBatch is at-least-once: a crash between our commit()
+          // and the engine's own commit log replays this id on restart —
+          // the snapshot log (keyed by batch id) makes the replay a no-op
+          // instead of a duplicated micro-batch
+          val runId = f"backfill-$id%03d"
+          if (!graft.pipeline.Checkpointing.snapshots(dir)
+              .exists(_.runId == runId)) {
+            val r = graft.pipeline.ExtractionPipeline
+              .run(spark, batch, persistIntermediate = false)
+            graft.pipeline.Checkpointing.commit(r.stats.toDF(), dir, runId)
+          }
           ()
         }
         .start()
@@ -100,9 +108,13 @@ object StreamExtract {
         org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocRow](spark)
       val q = input.toDS().writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[DocRow], id: Long) =>
-          val r = graft.pipeline.ExtractionPipeline
-            .run(spark, batch, persistIntermediate = false)
-          graft.pipeline.Checkpointing.commit(r.stats.toDF(), dir, s"batch-$id")
+          // idempotent per batch id (foreachBatch is at-least-once)
+          if (!graft.pipeline.Checkpointing.snapshots(dir)
+              .exists(_.runId == s"batch-$id")) {
+            val r = graft.pipeline.ExtractionPipeline
+              .run(spark, batch, persistIntermediate = false)
+            graft.pipeline.Checkpointing.commit(r.stats.toDF(), dir, s"batch-$id")
+          }
           ()
         }
         .start()

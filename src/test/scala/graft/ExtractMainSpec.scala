@@ -46,24 +46,38 @@ class ExtractMainSpec extends AnyFunSuite {
       .collect().sorted.toSeq
     assert(got == want && want.nonEmpty)
 
-    // maintenance cycle on the same committed table: takedown -> the doc
-    // is gone at scan time; compact -> tombstone materialized, files
-    // bounded; a re-launch after the takedown re-extracts the doc (it is
-    // back in the committed set afterwards — documented resumeFilter
+    // maintenance cycle on BOTH committed tables: takedown -> the doc's
+    // stats AND extracted text are gone at scan time; compact ->
+    // tombstones materialized, files bounded; a re-launch after the
+    // takedown re-extracts the doc exactly once (documented resumeFilter
     // semantics; for a permanent takedown remove it from the input too)
-    ExtractMain.maintain(spark, out, Array("delete", docs.head.doc_id))
-    val statsDir = s"$out/stats"
-    def latest() = {
-      val s = graft.pipeline.Checkpointing.snapshots(statsDir)
-      graft.pipeline.Checkpointing.readAt(spark, statsDir, s.last.seq)
+    import org.apache.spark.sql.functions.col
+    val victim = docs.head.doc_id
+    def latestOf(t: String) = {
+      val d = s"$out/$t"
+      val s = graft.pipeline.Checkpointing.snapshots(d)
+      graft.pipeline.Checkpointing.readAt(spark, d, s.last.seq)
     }
-    assert(latest().count() == 15)
+    ExtractMain.maintain(spark, out, Array("delete", victim))
+    assert(latestOf("stats").count() == 15)
+    assert(latestOf("spans").filter(col("doc_id") === victim).count() == 0)
     ExtractMain.maintain(spark, out, Array("compact", "1"))
-    assert(latest().count() == 15)
-    assert(!new java.io.File(s"${statsDir}_deletes").exists())
+    assert(latestOf("stats").count() == 15)
+    assert(!new java.io.File(s"$out/stats_deletes").exists())
+    assert(!new java.io.File(s"$out/spans_deletes").exists())
+    // re-extraction: the doc's spans come back, exactly once
     val (c4, t4) = ExtractMain.run(spark, input, out, saltPages = 16)
     assert(c4 == 1 && t4 == 16)
-    assert(ExtractMain.maintain(spark, out, Array("vacuum")) == ())
+    val wantVictim = want.count(_._1 == victim)
+    assert(wantVictim > 0)
+    assert(latestOf("spans").filter(col("doc_id") === victim).count()
+      == wantVictim)
+    // vacuum is observable: a clean table loses nothing
+    val liveStats = latestOf("stats").count()
+    val liveSpans = latestOf("spans").count()
+    ExtractMain.maintain(spark, out, Array("vacuum"))
+    assert(latestOf("stats").count() == liveStats)
+    assert(latestOf("spans").count() == liveSpans)
     intercept[IllegalArgumentException](
       ExtractMain.maintain(spark, out, Array("defrag")))
   }

@@ -415,6 +415,30 @@ class ResumeSpec extends AnyFunSuite {
       .select("publish_month").as[String].head() == "MARCH, 2021")
   }
 
+  test("first commit into a pre-snapshot-era dir adopts the legacy files") {
+    import org.apache.spark.sql.functions.col
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-legacy").toString + "/t"
+    // a table written before the snapshot log existed: raw parquet only
+    Seq(("a", 1L), ("b", 2L)).toDF("doc_id", "doc_ord")
+      .coalesce(1).write.parquet(dir)
+    assert(Checkpointing.snapshots(dir).isEmpty)
+    // vacuum refuses it (would see every file as an orphan)
+    intercept[IllegalArgumentException](Checkpointing.vacuum(dir))
+
+    Checkpointing.commit(
+      Seq(("c", 3L)).toDF("doc_id", "doc_ord").coalesce(1), dir, "new1")
+    val snaps = Checkpointing.snapshots(dir)
+    assert(snaps.map(_.runId) == Seq("legacy-adopt", "new1"))
+    assert(snaps.head.rows == 2)
+    // the committed truth now includes the legacy rows; vacuum keeps them
+    assert(Checkpointing.readAt(spark, dir, 2).count() == 3)
+    assert(Checkpointing.vacuum(dir).isEmpty)
+    assert(Checkpointing.readAt(spark, dir, 2)
+      .filter(col("doc_id") === "a").count() == 1)
+  }
+
   test("crash debris does not count as committed: resume reprocesses it") {
     spark.sparkContext.setLogLevel("WARN")
     val dir = java.nio.file.Files.createTempDirectory("graft-debris").toString + "/stats"

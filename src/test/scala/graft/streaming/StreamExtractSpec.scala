@@ -47,6 +47,38 @@ class StreamExtractSpec extends AnyFunSuite {
     assert(finalIds.size == FixtureCorpus.fixtureDocs.size)
   }
 
+  test("backfill batch replay after a simulated crash commits nothing twice") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-bfcrash").toString
+    val landing = s"$base/landing"; val ckpt = s"$base/ckpt"; val dir = s"$base/stats"
+    spark.createDataset(FixtureCorpus.fixtureDocs)
+      .repartitionByRange(4, col("doc_id")).write.parquet(landing)
+    val b1 = StreamExtract.backfillCommittedStats(spark, landing, ckpt, dir, 2)
+    val snapsBefore = graft.pipeline.Checkpointing.snapshots(dir)
+
+    // simulate the at-least-once window: our commit() succeeded but the
+    // engine died before writing its OWN commit log for the last batch —
+    // drop that commit-log entry, so a restart replays the batch
+    val commits = new java.io.File(s"$ckpt/commits")
+    val last = commits.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toInt)
+    assert(last.delete())
+    // the checksum sidecar must go with it, or the replay's rename fails
+    val crc = new java.io.File(commits, s".${last.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    val b2 = StreamExtract.backfillCommittedStats(spark, landing, ckpt, dir, 2)
+
+    // the replayed batch was skipped by the snapshot-log guard: same
+    // snapshots, same rows, no doc committed twice
+    assert(b2 == b1)
+    assert(graft.pipeline.Checkpointing.snapshots(dir).map(_.runId)
+      == snapsBefore.map(_.runId))
+    val ids = graft.pipeline.Checkpointing.readAt(spark, dir, b2)
+      .select("doc_id").as[String].collect().toSeq
+    assert(ids.sorted == FixtureCorpus.fixtureDocs.map(_.doc_id).sorted)
+  }
+
   test("batch boundaries do not change the result (1-batch vs 2-batch split)") {
     // replayCandidates always splits in two; a single-doc corpus makes the
     // first batch empty — the degenerate boundary must still work
