@@ -260,6 +260,39 @@ object FixtureQueries {
         col("merged_table_start_page"), col("merged_table_end_page"),
         col("publish_month"))
     }),
+    // Iceberg-style data skipping over the committed table: three commits
+    // with disjoint doc_ord ranges, then a range scan of ords 6..9 that
+    // must PLAN only the middle commit's files. The skip is pinned the
+    // hard way: every file the stats prune is overwritten with garbage
+    // BEFORE the scan, so a plan that opened one of them would throw —
+    // at 100 TB this is the difference between reading the matching files
+    // and a table scan with a residual filter
+    "x49_file_skipping" -> ((s, _) => {
+      import s.implicits._
+      val docs = s.createDataset(FixtureCorpus.fixtureDocs)
+      val dir = java.nio.file.Files.createTempDirectory("graft-x49").toString + "/stats"
+      def runCommit(lo: Long, hi: Long, run: String): Unit = {
+        val r = ExtractionPipeline.run(s,
+          docs.filter(d => {
+            val o = SpanDoc.docOrd(d.doc_id); o >= lo && o <= hi
+          }), persistIntermediate = false)
+        Checkpointing.commit(
+          r.stats.toDF().repartitionByRange(2, col("doc_ord")), dir, run)
+      }
+      runCommit(1, 5, "r1"); runCommit(6, 10, "r2"); runCommit(11, 16, "r3")
+      val (kept, skipped) = Checkpointing.pruneInfo(dir, 3, 6, 9)
+      val r2Files = Checkpointing.snapshots(dir)
+        .find(_.runId == "r2").get.files.toSet
+      require(skipped.nonEmpty && kept.toSet.subsetOf(r2Files),
+        s"stats pruning regressed: kept=$kept skipped=$skipped")
+      skipped.foreach(n => java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/$n"), "poison".getBytes("UTF-8")))
+      Checkpointing.readRange(s, dir, 3, 6, 9).select(
+        col("doc_id"), col("page_size"), col("criterion_tables_count"),
+        col("merged_tables_count"), col("merged_rows_count"),
+        col("merged_table_start_page"), col("merged_table_end_page"),
+        col("publish_month"))
+    }),
     // C12: per-file status counts (main_parse_pdfs.py:520-532)
     "x12_status_counts" -> ((s, _) =>
       result(s).stats.toDF().groupBy("status").count()),
@@ -538,6 +571,10 @@ object FixtureQueries {
          |FROM (${FixtureGoldens.oracleSql("x01_fixture_stats")}) AS v
          |WHERE CAST(split_part(doc_id, '.', 1) AS INTEGER) <> 5""".stripMargin,
     // bounded backfill must land exactly the batch pipeline's output
-    "x48_backfill" -> FixtureGoldens.oracleSql("x01_fixture_stats")
+    "x48_backfill" -> FixtureGoldens.oracleSql("x01_fixture_stats"),
+    // the pruned range scan = x01's golden restricted to ords 6..9
+    "x49_file_skipping" ->
+      s"""SELECT * FROM (${FixtureGoldens.oracleSql("x01_fixture_stats")}) AS v
+         |WHERE CAST(split_part(doc_id, '.', 1) AS INTEGER) BETWEEN 6 AND 9""".stripMargin
   ) ++ FixtureGoldens.oracleSql
 }

@@ -39,8 +39,13 @@ object Checkpointing {
     * ADDED — merge-on-read row-level deletes, applied at scan time to rows
     * committed by EARLIER snapshots only (Iceberg's sequence-number rule),
     * so a doc re-extracted after its takedown is visible again. */
+  /** `stats` = per-FILE doc_ord (min, max) ranges for the files this
+    * snapshot added, when known — the Iceberg manifest column-stats analog
+    * that [[readRange]] prunes with. Files without an entry (no doc_ord
+    * column, legacy adoption) are conservatively never pruned. */
   final case class Snapshot(seq: Int, runId: String, files: Seq[String],
-      rows: Long, full: Boolean, deletes: Seq[String] = Nil)
+      rows: Long, full: Boolean, deletes: Seq[String] = Nil,
+      stats: Map[String, (Long, Long)] = Map.empty)
 
   private def parquetNames(dir: String): Set[String] =
     Option(new java.io.File(dir).listFiles())
@@ -54,15 +59,19 @@ object Checkpointing {
   }
 
   private def writeSnapshot(dir: String, runId: String, added: Seq[String],
-      rows: Long, full: Boolean = false, deletes: Seq[String] = Nil): Snapshot = {
+      rows: Long, full: Boolean = false, deletes: Seq[String] = Nil,
+      stats: Map[String, (Long, Long)] = Map.empty): Snapshot = {
     val manifestDir = Paths.get(dir + "_manifest")
     Files.createDirectories(manifestDir)
     val seq = snapshots(dir).lastOption.map(_.seq).getOrElse(0) + 1
+    val statsJson = stats.toSeq.sortBy(_._1)
+      .map { case (f, (mn, mx)) => s""""$f":[$mn,$mx]""" }.mkString(",")
     val json = s"""{"seq":$seq,"run":"$runId","rows":$rows,"full":$full,""" +
       s""""deletes":[${deletes.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
-      s""""files":[${added.sorted.map("\"" + _ + "\"").mkString(",")}]}"""
+      s""""files":[${added.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""stats":{$statsJson}}"""
     Files.writeString(manifestDir.resolve(f"snapshot-$seq%05d-$runId.json"), json)
-    Snapshot(seq, runId, added.sorted, rows, full, deletes.sorted)
+    Snapshot(seq, runId, added.sorted, rows, full, deletes.sorted, stats)
   }
 
   /** The snapshot log, oldest first (empty when the dir has no commits). */
@@ -84,7 +93,14 @@ object Checkpointing {
         // pre-delete snapshots have no "deletes" key — parse as empty
         val dels = """"deletes":\[([^\]]*)\]""".r.findFirstMatchIn(s)
           .map(m => list(m.group(1))).getOrElse(Nil)
-        Snapshot(seq, run, list(files), rows, full, dels)
+        // pre-stats snapshots have no "stats" key — parse as empty (the
+        // entries are arrays, never objects, so [^}]* is safe)
+        val stats = """"stats":\{([^}]*)\}""".r.findFirstMatchIn(s)
+          .map(m => """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r.findAllMatchIn(m.group(1))
+            .map(e => e.group(1) -> (e.group(2).toLong, e.group(3).toLong))
+            .toMap)
+          .getOrElse(Map.empty[String, (Long, Long)])
+        Snapshot(seq, run, list(files), rows, full, dels, stats)
       }.toSeq
   }
 
@@ -102,7 +118,13 @@ object Checkpointing {
     * data, so the apply is a broadcast hash anti-join: the 100 TB of data
     * files are never rewritten or shuffled. With no live deletes the plan
     * collapses to the plain multi-file parquet scan. */
-  def readAt(spark: SparkSession, dir: String, version: Int): DataFrame = {
+  def readAt(spark: SparkSession, dir: String, version: Int): DataFrame =
+    assemble(spark, dir, version, effectiveSnaps(dir, version))
+
+  /** The snapshot stack that defines table state at `version`: everything
+    * from the most recent full (compaction/upsert) rebase at or before it,
+    * plus the deltas on top. */
+  private def effectiveSnaps(dir: String, version: Int): Seq[Snapshot] = {
     val snaps = snapshots(dir)
     require(snaps.nonEmpty, s"no snapshots under ${dir}_manifest")
     require(version >= 1 && version <= snaps.last.seq,
@@ -111,7 +133,16 @@ object Checkpointing {
     // a full (compaction) snapshot rebases the file list; deltas stack on
     // top of the most recent one
     val baseIdx = upTo.lastIndexWhere(_.full)
-    val effective = if (baseIdx >= 0) upTo.drop(baseIdx) else upTo
+    if (baseIdx >= 0) upTo.drop(baseIdx) else upTo
+  }
+
+  /** Build the DataFrame for an effective snapshot stack whose per-snapshot
+    * file lists may have been pruned (merge-on-read deletes still applied;
+    * pruning a data file only ever removes rows the caller's own residual
+    * filter would drop, so the anti-join result for surviving rows is
+    * unchanged). */
+  private def assemble(spark: SparkSession, dir: String, version: Int,
+      effective: Seq[Snapshot]): DataFrame = {
     val files = effective.flatMap(_.files).distinct.map(n => s"$dir/$n")
     val missing = files.filterNot(f => Files.exists(Paths.get(f)))
     require(missing.isEmpty,
@@ -139,6 +170,47 @@ object Checkpointing {
             dels("_del_seq") > data("_commit_seq"), "left_anti")
         .drop("_commit_seq")
     }
+  }
+
+  /** The manifest-stats file-skipping decision for a doc_ord range scan of
+    * version `version`: (kept, skipped) file names. A file is skipped ONLY
+    * when its snapshot recorded a doc_ord range for it and that range
+    * cannot intersect [loOrd, hiOrd] — files without stats (no doc_ord
+    * column, legacy adoption) are conservatively kept. Exposed separately
+    * so specs and queries can pin that planning-time skipping actually
+    * happened (the poison-file proof: a skipped file can be garbage on
+    * disk and the range read must still succeed). */
+  def pruneInfo(dir: String, version: Int, loOrd: Long, hiOrd: Long)
+      : (Seq[String], Seq[String]) = {
+    require(loOrd <= hiOrd, s"empty ord range [$loOrd, $hiOrd]")
+    val effective = effectiveSnaps(dir, version)
+    val stats = effective.map(s => s.stats).reduceOption(_ ++ _)
+      .getOrElse(Map.empty)
+    val all = effective.flatMap(_.files).distinct
+    val (kept, skipped) = all.partition { f =>
+      stats.get(f) match {
+        case Some((mn, mx)) => mx >= loOrd && mn <= hiOrd
+        case None => true
+      }
+    }
+    (kept, skipped)
+  }
+
+  /** Range scan with Iceberg-style manifest pruning: read version `version`
+    * restricted to `doc_ord BETWEEN loOrd AND hiOrd`, planning the scan
+    * over ONLY the files whose recorded ord range intersects — at 100 TB
+    * the driver skips whole files from the listing, so a narrow range
+    * costs the matching files, not a table scan + filter. The residual
+    * exact filter still applies (file ranges are coarse); merge-on-read
+    * deletes still apply (see [[assemble]]). */
+  def readRange(spark: SparkSession, dir: String, version: Int,
+      loOrd: Long, hiOrd: Long): DataFrame = {
+    val (kept, _) = pruneInfo(dir, version, loOrd, hiOrd)
+    val keptSet = kept.toSet
+    val pruned = effectiveSnaps(dir, version)
+      .map(s => s.copy(files = s.files.filter(keptSet)))
+    assemble(spark, dir, version, pruned)
+      .filter(col("doc_ord").between(loOrd, hiOrd))
   }
 
   /** Incremental read: the rows ADDED by snapshots `fromExclusive+1 ..
@@ -200,9 +272,31 @@ object Checkpointing {
     kept.unionByName(df.select(cur.columns.map(col): _*))
       .write.mode(SaveMode.Append).parquet(dir)
     val added = (parquetNames(dir) -- before).toSeq
-    val rows = spark.read.parquet(added.map(n => s"$dir/$n"): _*).count()
-    writeSnapshot(dir, runId, added, rows, full = true)
+    val (rows, stats) = scanFileStats(spark, dir, added)
+    writeSnapshot(dir, runId, added, rows, full = true, stats = stats)
     rows
+  }
+
+  /** One scan of freshly-written files returning (totalRows, per-file ord
+    * stats) — used where the write job itself didn't gather them. Empty
+    * stats when the frame has no doc_ord column. */
+  private def scanFileStats(spark: SparkSession, dir: String,
+      names: Seq[String]): (Long, Map[String, (Long, Long)]) = {
+    if (names.isEmpty) return (0L, Map.empty)
+    val df = spark.read.parquet(names.map(n => s"$dir/$n"): _*)
+    if (!df.columns.contains("doc_ord"))
+      return (df.count(), Map.empty)
+    val perFile = df.groupBy(input_file_name().as("_f"))
+      .agg(count(lit(1)).as("_n"), min("doc_ord").as("_mn"), max("doc_ord").as("_mx"))
+      .collect()
+    val rows = perFile.map(_.getAs[Long]("_n")).sum
+    val stats = perFile.flatMap { r =>
+      val name = r.getAs[String]("_f").split('/').last
+      for (mn <- Option(r.get(r.fieldIndex("_mn")));
+           mx <- Option(r.get(r.fieldIndex("_mx"))))
+        yield name -> (mn.asInstanceOf[Long], mx.asInstanceOf[Long])
+    }.toMap
+    (rows, stats)
   }
 
   /** Merge-on-read equality delete — the takedown / right-to-be-forgotten
@@ -315,8 +409,19 @@ object Checkpointing {
     val df = if (curSnaps.nonEmpty) readAt(spark, dir, curSnaps.last.seq)
              else spark.read.parquet(dir)
     val tmp = s"${dir}_compact-$runId"
-    df.coalesce(partitions).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val rows = spark.read.parquet(tmp).count()
+    // the rewrite CLUSTERS by doc_ord when the column exists (Iceberg's
+    // rewrite_data_files with a sort order): range partitioning gives the
+    // compacted files disjoint ord ranges, so readRange over a compacted
+    // table prunes to exactly the overlapping files — without it a rewrite
+    // would mix ords and degrade every stats range to the full span
+    val clustered =
+      if (df.columns.contains("doc_ord"))
+        df.repartitionByRange(partitions, col("doc_ord"))
+          .sortWithinPartitions("doc_ord")
+      else df.coalesce(partitions)
+    clustered.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val (rows, tmpStats) = scanFileStats(spark, tmp,
+      parquetNames(tmp).toSeq)
     // swap: old dir aside, compacted in, old removed
     val old = new java.io.File(dir)
     val aside = new java.io.File(s"${dir}_pre-$runId")
@@ -328,9 +433,10 @@ object Checkpointing {
     Files.writeString(manifestDir.resolve(s"compaction-$runId.json"),
       s"""{"run":"$runId","files_before":$before,"files_after":${parquetFiles(old)},"rows":$rows}""")
     // the compacted state is a NEW snapshot (full file listing); earlier
-    // versions are now expired — readAt tells the caller so
+    // versions are now expired — readAt tells the caller so. File names
+    // survive the directory rename, so the tmp-scan stats carry over.
     writeSnapshot(dir, s"compact-$runId", parquetNames(dir).toSeq, rows,
-      full = true)
+      full = true, stats = tmpStats)
     // the rewrite materialized every live delete; no snapshot references
     // the sets any more (compact expires aggressively, unlike upsert)
     deleteRecursively(new java.io.File(s"${dir}_deletes"))
@@ -408,7 +514,19 @@ object Checkpointing {
       lines.mkString("\n").getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     val rows = metrics.map(_._2).sum
-    writeSnapshot(dir, runId, (parquetNames(dir) -- filesBefore).toSeq, rows)
+    val added = (parquetNames(dir) -- filesBefore).toSeq
+    // per-FILE ord stats for readRange's manifest pruning: the write task's
+    // partition id is the part-NNNNN prefix of the file it wrote (one file
+    // per non-empty partition in a plain parquet append). Any ambiguity —
+    // unparseable name, two files for one id — drops the stat, never the
+    // file: pruning stays conservative.
+    val byPart = added.groupBy(n => """part-(\d+)-""".r.findFirstMatchIn(n)
+      .map(_.group(1).toInt))
+    val stats = metrics.collect {
+      case (part, _, mn, mx) if mn != Long.MaxValue =>
+        byPart.get(Some(part)).collect { case Seq(one) => one -> (mn, mx) }
+    }.flatten.toMap
+    writeSnapshot(dir, runId, added, rows, stats = stats)
     rows
   }
 }

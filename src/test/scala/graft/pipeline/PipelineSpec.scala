@@ -462,3 +462,116 @@ class ResumeSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 6)
   }
 }
+
+/** Manifest-stats file skipping (readRange/pruneInfo): the Iceberg
+  * data-skipping analog — per-file doc_ord ranges recorded at commit time,
+  * range scans planned over only the intersecting files. */
+class FileSkippingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString + "/t"
+
+  private def batch(ords: Range, parts: Int = 2) =
+    spark.createDataset(ords.map(o => (s"doc-$o", o.toLong, s"payload-$o")))
+      .toDF("doc_id", "doc_ord", "payload")
+      .repartitionByRange(parts, col("doc_ord"))
+
+  test("commit records per-file ord stats; narrow range skips disjoint files") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = freshDir("skip")
+    Checkpointing.commit(batch(0 until 100), dir, "b1")
+    Checkpointing.commit(batch(100 until 200), dir, "b2")
+    Checkpointing.commit(batch(200 until 300), dir, "b3")
+    val snaps = Checkpointing.snapshots(dir)
+    assert(snaps.size == 3)
+    // every committed file carries a stat (2 range partitions per commit)
+    assert(snaps.forall(s => s.stats.keySet == s.files.toSet))
+    // a range inside b2 must not plan b1/b3 files
+    val (kept, skipped) = Checkpointing.pruneInfo(dir, 3, 120, 130)
+    assert(skipped.nonEmpty && kept.nonEmpty)
+    assert((kept ++ skipped).toSet == snaps.flatMap(_.files).toSet)
+    val b2Files = snaps.find(_.runId == "b2").get.files.toSet
+    assert(kept.toSet.subsetOf(b2Files))
+    val got = Checkpointing.readRange(spark, dir, 3, 120, 130)
+      .select("doc_id").as[String].collect().toSet
+    assert(got == (120 to 130).map(o => s"doc-$o").toSet)
+  }
+
+  test("poison proof: a skipped file can be garbage on disk — the range " +
+      "read never opens it") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = freshDir("skip-poison")
+    Checkpointing.commit(batch(0 until 50), dir, "b1")
+    Checkpointing.commit(batch(50 until 100), dir, "b2")
+    val (kept, skipped) = Checkpointing.pruneInfo(dir, 2, 10, 20)
+    assert(skipped.nonEmpty)
+    skipped.foreach { n =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$n"),
+        "not parquet at all".getBytes("UTF-8"))
+    }
+    // the pruned scan still works and is exact
+    val got = Checkpointing.readRange(spark, dir, 2, 10, 20)
+      .agg(org.apache.spark.sql.functions.count(col("doc_id")),
+        org.apache.spark.sql.functions.sum(col("doc_ord")))
+      .as[(Long, Long)].head()
+    assert(got == ((11L, (10 to 20).sum.toLong)))
+    // ...whereas a full readAt (which must open every file) fails
+    intercept[Exception] {
+      Checkpointing.readAt(spark, dir, 2).count()
+    }
+  }
+
+  test("compaction clusters by doc_ord: rewritten files keep disjoint " +
+      "ranges and stay prunable") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = freshDir("skip-compact")
+    // interleaved commits: each covers the WHOLE ord space, so pre-compact
+    // stats can prune nothing for a mid-range scan
+    Checkpointing.commit(
+      batch(0 until 300, parts = 1).filter(col("doc_ord") % 2 === 0), dir, "ev")
+    Checkpointing.commit(
+      batch(0 until 300, parts = 1).filter(col("doc_ord") % 2 === 1), dir, "od")
+    val (k0, s0) = Checkpointing.pruneInfo(dir, 2, 150, 160)
+    assert(s0.isEmpty, "interleaved commits cannot be pruned")
+    val (_, after, rows) = Checkpointing.compact(spark, dir, 3, "c1")
+    assert(after == 3 && rows == 300)
+    val last = Checkpointing.snapshots(dir).last
+    assert(last.full && last.stats.size == 3)
+    // clustered rewrite => disjoint per-file ranges => the same scan now
+    // skips files
+    val (k1, s1) = Checkpointing.pruneInfo(dir, last.seq, 150, 160)
+    assert(s1.nonEmpty && k1.size < 3)
+    val got = Checkpointing.readRange(spark, dir, last.seq, 150, 160)
+      .count()
+    assert(got == 11)
+  }
+
+  test("readRange still applies merge-on-read deletes") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = freshDir("skip-mor")
+    Checkpointing.commit(batch(0 until 100), dir, "b1")
+    Checkpointing.deleteWhere(Seq("doc-42").toDF("doc_id"), dir, "td")
+    val got = Checkpointing.readRange(spark, dir, 2, 40, 45)
+      .select("doc_id").as[String].collect().toSet
+    assert(got == Set("doc-40", "doc-41", "doc-43", "doc-44", "doc-45"))
+  }
+
+  test("upsert rebase carries fresh stats; stale pre-rebase stats do not " +
+      "leak into pruning") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = freshDir("skip-upsert")
+    Checkpointing.commit(batch(0 until 100), dir, "b1")
+    Checkpointing.upsert(
+      Seq(("doc-7", 7L, "fixed")).toDF("doc_id", "doc_ord", "payload"),
+      dir, "fix")
+    val last = Checkpointing.snapshots(dir).last
+    assert(last.full && last.stats.nonEmpty)
+    assert(last.stats.keySet == last.files.toSet)
+    val got = Checkpointing.readRange(spark, dir, last.seq, 5, 9)
+      .select("doc_id", "payload").as[(String, String)].collect().toMap
+    assert(got == Map("doc-5" -> "payload-5", "doc-6" -> "payload-6",
+      "doc-7" -> "fixed", "doc-8" -> "payload-8", "doc-9" -> "payload-9"))
+  }
+}
