@@ -293,6 +293,43 @@ object FixtureQueries {
         col("merged_table_start_page"), col("merged_table_end_page"),
         col("publish_month"))
     }),
+    // write-audit-publish — the risky-backfill flow: docs 10..16 are
+    // STAGED (data files on disk, invisible to every reader — pinned),
+    // audited on the would-be table, then published as a metadata-only
+    // promote; a second batch re-extracting docs 1..3 FAILS the
+    // duplicate-id audit and is abandoned without the table ever seeing
+    // it. Final table must equal x01's golden exactly.
+    "x50_write_audit_publish" -> ((s, _) => {
+      import s.implicits._
+      val docs = s.createDataset(FixtureCorpus.fixtureDocs)
+      val dir = java.nio.file.Files.createTempDirectory("graft-x50").toString + "/stats"
+      val r1 = ExtractionPipeline.run(s,
+        docs.filter(d => SpanDoc.docOrd(d.doc_id) <= 9), persistIntermediate = false)
+      Checkpointing.commit(r1.stats.toDF(), dir, "run1")
+      val r2 = ExtractionPipeline.run(s,
+        docs.filter(d => SpanDoc.docOrd(d.doc_id) > 9), persistIntermediate = false)
+      Checkpointing.stage(r2.stats.toDF(), dir, "backfill")
+      require(Checkpointing.readAt(s, dir,
+        Checkpointing.snapshots(dir).last.seq).count() == 9,
+        "staged rows leaked into the committed table")
+      val clean = Checkpointing.readStaged(s, dir, "backfill")
+        .groupBy("doc_id").count().filter(col("count") > 1).count() == 0
+      require(clean, "backfill audit failed")
+      Checkpointing.publish(dir, "backfill")
+      val bad = ExtractionPipeline.run(s,
+        docs.filter(d => SpanDoc.docOrd(d.doc_id) <= 3), persistIntermediate = false)
+      Checkpointing.stage(bad.stats.toDF(), dir, "redo")
+      val dupes = Checkpointing.readStaged(s, dir, "redo")
+        .groupBy("doc_id").count().filter(col("count") > 1).count()
+      require(dupes == 3, s"audit should catch 3 duplicate ids, got $dupes")
+      Checkpointing.abandon(dir, "redo")
+      require(Checkpointing.vacuum(dir).isEmpty, "abandon left debris")
+      Checkpointing.readAt(s, dir, 2).select(
+        col("doc_id"), col("page_size"), col("criterion_tables_count"),
+        col("merged_tables_count"), col("merged_rows_count"),
+        col("merged_table_start_page"), col("merged_table_end_page"),
+        col("publish_month"))
+    }),
     // C12: per-file status counts (main_parse_pdfs.py:520-532)
     "x12_status_counts" -> ((s, _) =>
       result(s).stats.toDF().groupBy("status").count()),
@@ -572,6 +609,8 @@ object FixtureQueries {
          |WHERE CAST(split_part(doc_id, '.', 1) AS INTEGER) <> 5""".stripMargin,
     // bounded backfill must land exactly the batch pipeline's output
     "x48_backfill" -> FixtureGoldens.oracleSql("x01_fixture_stats"),
+    // publish(10..16) + abandoned redo(1..3) must leave exactly the golden
+    "x50_write_audit_publish" -> FixtureGoldens.oracleSql("x01_fixture_stats"),
     // the pruned range scan = x01's golden restricted to ords 6..9
     "x49_file_skipping" ->
       s"""SELECT * FROM (${FixtureGoldens.oracleSql("x01_fixture_stats")}) AS v

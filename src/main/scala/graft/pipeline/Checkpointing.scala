@@ -348,7 +348,13 @@ object Checkpointing {
     require(snaps.nonEmpty, s"vacuum needs a snapshot log under ${dir}_manifest")
     val baseIdx = snaps.lastIndexWhere(_.full)
     val liveSnaps = if (baseIdx >= 0) snaps.drop(baseIdx) else snaps
-    val live = liveSnaps.flatMap(_.files).toSet
+    // staged (write-audit-publish) batches are live-until-decided: their
+    // files are referenced by staged markers, not snapshots — vacuum must
+    // not destroy a batch an auditor is still looking at. (staged() also
+    // self-heals here: a stale marker left by a crashed publish is dropped
+    // from the listing, so ITS files are protected via the snapshot.)
+    val stagedLive = staged(dir).flatMap(_.files).toSet
+    val live = liveSnaps.flatMap(_.files).toSet ++ stagedLive
     val orphans = (parquetNames(dir) -- live).toSeq.sorted
     orphans.foreach(n => Files.deleteIfExists(Paths.get(s"$dir/$n")))
     // delete sets referenced by no live snapshot (expired by a rebase, or
@@ -359,7 +365,21 @@ object Checkpointing {
       .collect { case f if !liveDels.contains(f.getName) => f.getName }
       .toSeq.sorted
     delOrphans.foreach(n => deleteRecursively(new java.io.File(delRoot, n)))
-    orphans ++ delOrphans.map(n => s"_deletes/$n")
+    // stale staged markers (publish crashed after its snapshot write)
+    // are metadata debris — the snapshot owns the files now
+    val publishedRuns = snaps.map(_.runId).toSet
+    val staleMarkers = Option(new java.io.File(dir + "_manifest").listFiles())
+      .getOrElse(Array.empty)
+      .collect { case f if f.getName.startsWith("staged-") &&
+          f.getName.endsWith(".json") &&
+          publishedRuns.contains(
+            f.getName.stripPrefix("staged-").stripSuffix(".json")) =>
+        f.getName
+      }.toSeq.sorted
+    staleMarkers.foreach(n =>
+      Files.deleteIfExists(Paths.get(s"${dir}_manifest/$n")))
+    orphans ++ delOrphans.map(n => s"_deletes/$n") ++
+      staleMarkers.map(n => s"_manifest/$n")
   }
 
   /** Docs not yet present in the committed output. "Committed" is defined
@@ -374,6 +394,9 @@ object Checkpointing {
     val snaps = snapshots(committedDir)
     val committed =
       if (snaps.nonEmpty) Some(readAt(spark, committedDir, snaps.last.seq))
+      // a dir whose ONLY content is staged (unpublished) batches has no
+      // committed rows — the raw-dir legacy fallback must not count them
+      else if (staged(committedDir).nonEmpty) None
       else if (Files.exists(Paths.get(committedDir)))
         Some(spark.read.parquet(committedDir))
       else None
@@ -398,6 +421,12 @@ object Checkpointing {
   def compact(spark: SparkSession, dir: String, partitions: Int,
       runId: String): (Int, Int, Long) = {
     require(partitions > 0)
+    // the rewrite swaps the whole data dir — an undecided staged batch
+    // (write-audit-publish) lives in that dir outside any snapshot and
+    // would be silently destroyed; decide the audit first
+    val pending = staged(dir)
+    require(pending.isEmpty, "compact with undecided staged batches " +
+      s"(${pending.map(_.runId).mkString(", ")}) — publish or abandon first")
     def parquetFiles(d: java.io.File): Int =
       Option(d.listFiles()).map(_.count(f => f.getName.endsWith(".parquet"))).getOrElse(0)
     val before = parquetFiles(new java.io.File(dir))
@@ -462,6 +491,16 @@ object Checkpointing {
     * under-report the table and vacuum would destroy the legacy files as
     * orphans. */
   def commit(df: DataFrame, dir: String, runId: String): Long = {
+    val (rows, added, stats) = writeInstrumented(df, dir, runId)
+    writeSnapshot(dir, runId, added, rows, stats = stats)
+    rows
+  }
+
+  /** The shared write half of [[commit]] and [[stage]]: instrumented append
+    * + lineage manifest + legacy adoption. Returns (rows, addedFiles,
+    * perFileStats) for the caller to log as a snapshot or a staged batch. */
+  private def writeInstrumented(df: DataFrame, dir: String, runId: String)
+      : (Long, Seq[String], Map[String, (Long, Long)]) = {
     val spark = df.sparkSession
     val filesBefore = parquetNames(dir)
     if (snapshots(dir).isEmpty && filesBefore.nonEmpty) {
@@ -526,7 +565,109 @@ object Checkpointing {
       case (part, _, mn, mx) if mn != Long.MaxValue =>
         byPart.get(Some(part)).collect { case Seq(one) => one -> (mn, mx) }
     }.flatten.toMap
-    writeSnapshot(dir, runId, added, rows, stats = stats)
+    (rows, added, stats)
+  }
+
+  // --------------------------------------------------- write-audit-publish
+  /** A staged (unpublished) batch: data files on disk, no snapshot — the
+    * Iceberg WAP pattern's audit branch. Invisible to every reader
+    * ([[readAt]], [[resumeFilter]], [[snapshots]]) until [[publish]]. */
+  final case class Staged(runId: String, files: Seq[String], rows: Long,
+      stats: Map[String, (Long, Long)])
+
+  private def stagedPath(dir: String, runId: String) =
+    Paths.get(s"${dir}_manifest/staged-$runId.json")
+
+  /** Write-audit-publish, step 1: land the batch's data files and a
+    * `staged-<runId>.json` marker instead of a snapshot. The table's
+    * readers cannot see the rows; [[readStaged]] gives the auditor the
+    * would-be table; [[publish]] promotes, [[abandon]] discards. At 100 TB
+    * this is how a risky backfill is validated without exposing partial or
+    * wrong data to consumers — the data is written exactly once either
+    * way. */
+  def stage(df: DataFrame, dir: String, runId: String): Long = {
+    require(!Files.exists(stagedPath(dir, runId)) &&
+      !snapshots(dir).exists(_.runId == runId),
+      s"run $runId already staged or published at $dir")
+    val (rows, added, stats) = writeInstrumented(df, dir, runId)
+    val statsJson = stats.toSeq.sortBy(_._1)
+      .map { case (f, (mn, mx)) => s""""$f":[$mn,$mx]""" }.mkString(",")
+    Files.writeString(stagedPath(dir, runId),
+      s"""{"run":"$runId","rows":$rows,""" +
+        s""""files":[${added.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""stats":{$statsJson}}""")
     rows
+  }
+
+  /** Staged batches awaiting audit. A staged marker whose runId already
+    * has a snapshot is the debris of a publish that crashed between
+    * snapshot write and marker cleanup — filtered out here (the publish
+    * DID happen; the next publish/abandon call or vacuum clears it). */
+  def staged(dir: String): Seq[Staged] = {
+    val published = snapshots(dir).map(_.runId).toSet
+    Option(new java.io.File(dir + "_manifest").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("staged-") && f.getName.endsWith(".json"))
+      .sortBy(_.getName)
+      .map { f =>
+        val s = Files.readString(f.toPath)
+        val run = """"run":"([^"]*)"""".r.findFirstMatchIn(s).get.group(1)
+        val rows = """"rows":(\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
+        val files = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(s).get.group(1)
+          .split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty)
+        val stats = """"stats":\{([^}]*)\}""".r.findFirstMatchIn(s)
+          .map(m => """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r
+            .findAllMatchIn(m.group(1))
+            .map(e => e.group(1) -> (e.group(2).toLong, e.group(3).toLong))
+            .toMap)
+          .getOrElse(Map.empty[String, (Long, Long)])
+        Staged(run, files.sorted, rows, stats)
+      }.toSeq
+      .filterNot(s => published.contains(s.runId))
+  }
+
+  /** The auditor's view: the current committed table PLUS the staged
+    * batch — what the table WOULD be after publish. Audit invariants
+    * (row counts, no duplicate doc_ids, quality gates) run here before
+    * any reader can see the rows. */
+  def readStaged(spark: SparkSession, dir: String, runId: String): DataFrame = {
+    val st = staged(dir).find(_.runId == runId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no staged batch $runId at $dir"))
+    val batch = spark.read.parquet(st.files.map(n => s"$dir/$n"): _*)
+    val snaps = snapshots(dir)
+    if (snaps.isEmpty) batch
+    else readAt(spark, dir, snaps.last.seq).unionByName(batch)
+  }
+
+  /** Write-audit-publish, step 3a: promote the staged batch to a real
+    * snapshot — one metadata write; the data files don't move. Idempotent
+    * against the crash window: if the runId is already published, only the
+    * stale marker is cleaned up. */
+  def publish(dir: String, runId: String): Long = {
+    val already = snapshots(dir).find(_.runId == runId)
+    if (already.isDefined) {
+      Files.deleteIfExists(stagedPath(dir, runId))
+      return already.get.rows
+    }
+    val st = staged(dir).find(_.runId == runId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no staged batch $runId at $dir"))
+    writeSnapshot(dir, runId, st.files, st.rows, stats = st.stats)
+    Files.deleteIfExists(stagedPath(dir, runId))
+    st.rows
+  }
+
+  /** Write-audit-publish, step 3b: the audit failed — drop the marker and
+    * the batch's data files. The committed table never saw the rows.
+    * Returns the removed file names. */
+  def abandon(dir: String, runId: String): Seq[String] = {
+    val st = staged(dir).find(_.runId == runId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no staged batch $runId at $dir"))
+    Files.deleteIfExists(stagedPath(dir, runId))
+    st.files.foreach(n => Files.deleteIfExists(Paths.get(s"$dir/$n")))
+    st.files
   }
 }

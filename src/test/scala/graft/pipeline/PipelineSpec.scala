@@ -575,3 +575,114 @@ class FileSkippingSpec extends AnyFunSuite {
       "doc-7" -> "fixed", "doc-8" -> "payload-8", "doc-9" -> "payload-9"))
   }
 }
+
+/** Write-audit-publish (Iceberg WAP): stage a batch invisibly, audit the
+  * would-be table, then publish (metadata-only promote) or abandon. */
+class WapSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString + "/t"
+
+  private def rows(ords: Range, tag: String = "payload") =
+    spark.createDataset(ords.map(o => (s"doc-$o", o.toLong, s"$tag-$o")))
+      .toDF("doc_id", "doc_ord", "payload")
+
+  test("staged batch is invisible until publish; publish is metadata-only") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = freshDir("wap")
+    Checkpointing.commit(rows(0 until 10), dir, "base")
+    Checkpointing.stage(rows(10 until 20), dir, "wap1")
+    // invisible to every reader
+    assert(Checkpointing.snapshots(dir).size == 1)
+    assert(Checkpointing.readAt(spark, dir, 1).count() == 10)
+    val pending = Checkpointing.resumeFilter(spark,
+      spark.createDataset((0 until 20).map(o =>
+        graft.layout.DocRow(s"doc-$o", Seq.empty))), dir)
+    assert(pending.count() == 10) // staged docs still count as pending
+    // the auditor sees the would-be table
+    assert(Checkpointing.readStaged(spark, dir, "wap1").count() == 20)
+    // publish: no data movement, one new snapshot, stats carried over
+    val filesBefore = Option(new java.io.File(dir).listFiles()).get
+      .map(_.getName).toSet
+    Checkpointing.publish(dir, "wap1")
+    val after = Option(new java.io.File(dir).listFiles()).get
+      .map(_.getName).toSet
+    assert(after == filesBefore)
+    val last = Checkpointing.snapshots(dir).last
+    assert(last.runId == "wap1" && last.rows == 10 && last.stats.nonEmpty)
+    assert(Checkpointing.readAt(spark, dir, last.seq).count() == 20)
+    assert(Checkpointing.staged(dir).isEmpty)
+  }
+
+  test("abandon drops the batch; the table never saw it; vacuum-safe while staged") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = freshDir("wap-abandon")
+    Checkpointing.commit(rows(0 until 10), dir, "base")
+    Checkpointing.stage(rows(5 until 15, "dup"), dir, "bad")
+    // audit: duplicate doc_ids vs the committed table -> reject
+    val audited = Checkpointing.readStaged(spark, dir, "bad")
+    val dups = audited.groupBy("doc_id").count().filter(col("count") > 1).count()
+    assert(dups == 5)
+    // vacuum while the audit is pending must NOT touch the staged files
+    assert(Checkpointing.vacuum(dir).isEmpty)
+    assert(Checkpointing.readStaged(spark, dir, "bad").count() == 20)
+    val removed = Checkpointing.abandon(dir, "bad")
+    assert(removed.nonEmpty)
+    assert(Checkpointing.staged(dir).isEmpty)
+    assert(Checkpointing.readAt(spark, dir, 1)
+      .agg(org.apache.spark.sql.functions.sum(col("doc_ord")))
+      .as[Long].head() == (0 until 10).sum)
+    // nothing dangling: a second vacuum finds no orphans
+    assert(Checkpointing.vacuum(dir).isEmpty)
+  }
+
+  test("publish crash window self-heals: stale marker cleaned, no double publish") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = freshDir("wap-crash")
+    Checkpointing.commit(rows(0 until 5), dir, "base")
+    Checkpointing.stage(rows(5 until 8), dir, "w2")
+    Checkpointing.publish(dir, "w2")
+    // simulate the crash: re-create the marker as if deletion never ran
+    val marker = java.nio.file.Paths.get(s"${dir}_manifest/staged-w2.json")
+    java.nio.file.Files.writeString(marker,
+      """{"run":"w2","rows":3,"files":[],"stats":{}}""")
+    // staged() filters it; a re-publish is a no-op cleanup, not a dup
+    assert(Checkpointing.staged(dir).isEmpty)
+    assert(Checkpointing.publish(dir, "w2") == 3L)
+    assert(!java.nio.file.Files.exists(marker))
+    assert(Checkpointing.snapshots(dir).count(_.runId == "w2") == 1)
+    // vacuum also clears a stale marker
+    java.nio.file.Files.writeString(marker,
+      """{"run":"w2","rows":3,"files":[],"stats":{}}""")
+    assert(Checkpointing.vacuum(dir) == Seq("_manifest/staged-w2.json"))
+  }
+
+  test("compact refuses while a staged batch is undecided") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = freshDir("wap-compact")
+    Checkpointing.commit(rows(0 until 5), dir, "base")
+    Checkpointing.stage(rows(5 until 8), dir, "w3")
+    intercept[IllegalArgumentException](
+      Checkpointing.compact(spark, dir, 1, "c"))
+    Checkpointing.publish(dir, "w3")
+    val (_, after, n) = Checkpointing.compact(spark, dir, 1, "c")
+    assert(after == 1 && n == 8)
+  }
+
+  test("stage/publish duplicate-run guards") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = freshDir("wap-guards")
+    Checkpointing.commit(rows(0 until 3), dir, "base")
+    Checkpointing.stage(rows(3 until 6), dir, "w4")
+    intercept[IllegalArgumentException](
+      Checkpointing.stage(rows(6 until 9), dir, "w4"))
+    intercept[IllegalArgumentException](
+      Checkpointing.stage(rows(6 until 9), dir, "base"))
+    intercept[IllegalArgumentException](
+      Checkpointing.readStaged(spark, dir, "nope"))
+    intercept[IllegalArgumentException](
+      Checkpointing.abandon(dir, "nope"))
+  }
+}
