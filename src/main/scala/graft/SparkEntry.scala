@@ -501,6 +501,17 @@ object SparkEntry {
       //      shingle char-fold hash, 32 affine mins, banded bucket folds)
       "q15_minhash_lsh_pairs" -> ((s, d) =>
         Dedup.minhashLshPairs(t(s, d, "documents"), minJaccardBp = 2000L)),
+      // ---- incremental near-dup: the delta (doc_id % 7 == 3) probes the
+      //      corpus LSH index map-side (index never shuffles, corpus never
+      //      re-paired); must equal q15's full pair set restricted to
+      //      pairs touching the delta
+      "q55_incremental_neardup" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.incrementalMinhashPairs(
+          docs.filter(col("doc_id") % 7 =!= 3),
+          docs.filter(col("doc_id") % 7 === 3),
+          minJaccardBp = 2000L)
+      }),
       // ---- SimHash near-dup pairs (oracle rebuilds the 64-bit signature
       //      from per-token char-fold hashes in HUGEINT)
       "q16_simhash_pairs" -> ((s, d) =>
@@ -1091,6 +1102,64 @@ object SparkEntry {
       s" + CASE WHEN (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))*20 <= length(text) THEN 2000 ELSE 0 END"
   }
 
+  /** q15's full MinHash-LSH replay, shared with q55 (which restricts the
+    * same pair set to pairs touching the delta). */
+  private def minhashPairsSql: String = {
+      // identical chain to Dedup.minhashLshPairs: tokens -> positional
+      // 3-gram shingles -> char-fold hash mod MinhashPrime -> 32 affine
+      // mins (params inlined from the SAME Dedup.hashParams call the
+      // engine uses) -> 8 banded bucket folds -> bucket join -> exact
+      // Jaccard (distinct shingles) >= 2000 bp
+      val params = Dedup.hashParams(32).zipWithIndex
+        .map { case ((a, b), k) => s"($k, $a, $b)" }.mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id, $toks AS toks FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, greatest(len(toks) - 2, 1)),
+         |      i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) AS shingles
+         |  FROM base),
+         |shrow AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |hm AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(3421674724 AS HUGEINT),
+         |      list_transform(split(s, ''), c -> CAST(ord(c) AS HUGEINT))),
+         |      (h, c) -> (h * 1000003 + c) % (CAST(1 AS HUGEINT) << 64)) AS hu
+         |  FROM shrow),
+         |hmod AS (
+         |  SELECT doc_id,
+         |    CAST((((CASE WHEN hu >= (CAST(1 AS HUGEINT) << 63)
+         |            THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END) % 2038074743)
+         |          + 2038074743) % 2038074743 AS BIGINT) AS h
+         |  FROM hm),
+         |sig AS (
+         |  SELECT doc_id, p.k, min((h * p.a + p.b) % 2038074743) AS sv
+         |  FROM hmod CROSS JOIN (VALUES $params) p(k, a, b)
+         |  GROUP BY doc_id, p.k),
+         |sigs AS (SELECT doc_id, list(sv ORDER BY k) AS sv32 FROM sig GROUP BY doc_id),
+         |buckets AS (
+         |  SELECT doc_id, t.band,
+         |    CAST(list_reduce(
+         |      list_prepend(CAST(3421674724 + t.band AS HUGEINT),
+         |        list_transform(list_slice(sv32, t.band * 4 + 1, t.band * 4 + 4),
+         |          v -> CAST(v AS HUGEINT))),
+         |      (h, v) -> (h * 1000003 + v) % (CAST(1 AS HUGEINT) << 64)) AS HUGEINT) AS bu
+         |  FROM sigs CROSS JOIN (SELECT CAST(range AS INTEGER) AS band FROM range(8)) t),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.bu = b.bu AND a.doc_id < b.doc_id),
+         |dsh AS (SELECT doc_id, list_distinct(shingles) AS ds FROM sh)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST((len(list_intersect(x.ds, y.ds)) * 10000)
+         |    // (len(x.ds) + len(y.ds) - len(list_intersect(x.ds, y.ds))) AS BIGINT) AS jaccard_bp
+         |FROM cand c
+         |JOIN dsh x ON x.doc_id = c.doc_a
+         |JOIN dsh y ON y.doc_id = c.doc_b
+         |WHERE CAST((len(list_intersect(x.ds, y.ds)) * 10000)
+         |    // (len(x.ds) + len(y.ds) - len(list_intersect(x.ds, y.ds))) AS BIGINT) >= 2000""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1585,61 +1654,14 @@ object SparkEntry {
     // the engine's signed BIGINT. Text is ASCII in the test tables, so
     // ord(char) == UTF-8 byte == UTF-16 code unit and one fold serves all
     // three hash definitions.
-    "q15_minhash_lsh_pairs" -> {
-      // identical chain to Dedup.minhashLshPairs: tokens -> positional
-      // 3-gram shingles -> char-fold hash mod MinhashPrime -> 32 affine
-      // mins (params inlined from the SAME Dedup.hashParams call the
-      // engine uses) -> 8 banded bucket folds -> bucket join -> exact
-      // Jaccard (distinct shingles) >= 2000 bp
-      val params = Dedup.hashParams(32).zipWithIndex
-        .map { case ((a, b), k) => s"($k, $a, $b)" }.mkString(", ")
-      s"""WITH base AS (
-         |  SELECT doc_id, $toks AS toks FROM documents),
-         |sh AS (
-         |  SELECT doc_id,
-         |    list_transform(range(0, greatest(len(toks) - 2, 1)),
-         |      i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) AS shingles
-         |  FROM base),
-         |shrow AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-         |hm AS (
-         |  SELECT doc_id,
-         |    list_reduce(list_prepend(CAST(3421674724 AS HUGEINT),
-         |      list_transform(split(s, ''), c -> CAST(ord(c) AS HUGEINT))),
-         |      (h, c) -> (h * 1000003 + c) % (CAST(1 AS HUGEINT) << 64)) AS hu
-         |  FROM shrow),
-         |hmod AS (
-         |  SELECT doc_id,
-         |    CAST((((CASE WHEN hu >= (CAST(1 AS HUGEINT) << 63)
-         |            THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END) % 2038074743)
-         |          + 2038074743) % 2038074743 AS BIGINT) AS h
-         |  FROM hm),
-         |sig AS (
-         |  SELECT doc_id, p.k, min((h * p.a + p.b) % 2038074743) AS sv
-         |  FROM hmod CROSS JOIN (VALUES $params) p(k, a, b)
-         |  GROUP BY doc_id, p.k),
-         |sigs AS (SELECT doc_id, list(sv ORDER BY k) AS sv32 FROM sig GROUP BY doc_id),
-         |buckets AS (
-         |  SELECT doc_id, t.band,
-         |    CAST(list_reduce(
-         |      list_prepend(CAST(3421674724 + t.band AS HUGEINT),
-         |        list_transform(list_slice(sv32, t.band * 4 + 1, t.band * 4 + 4),
-         |          v -> CAST(v AS HUGEINT))),
-         |      (h, v) -> (h * 1000003 + v) % (CAST(1 AS HUGEINT) << 64)) AS HUGEINT) AS bu
-         |  FROM sigs CROSS JOIN (SELECT CAST(range AS INTEGER) AS band FROM range(8)) t),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM buckets a JOIN buckets b
-         |    ON a.band = b.band AND a.bu = b.bu AND a.doc_id < b.doc_id),
-         |dsh AS (SELECT doc_id, list_distinct(shingles) AS ds FROM sh)
-         |SELECT c.doc_a, c.doc_b,
-         |  CAST((len(list_intersect(x.ds, y.ds)) * 10000)
-         |    // (len(x.ds) + len(y.ds) - len(list_intersect(x.ds, y.ds))) AS BIGINT) AS jaccard_bp
-         |FROM cand c
-         |JOIN dsh x ON x.doc_id = c.doc_a
-         |JOIN dsh y ON y.doc_id = c.doc_b
-         |WHERE CAST((len(list_intersect(x.ds, y.ds)) * 10000)
-         |    // (len(x.ds) + len(y.ds) - len(list_intersect(x.ds, y.ds))) AS BIGINT) >= 2000""".stripMargin
-    },
+    "q15_minhash_lsh_pairs" -> minhashPairsSql,
+    // incremental near-dup: same pair set as q15, restricted to pairs
+    // touching the delta (doc_id % 7 == 3) — the equivalence contract of
+    // Dedup.incrementalMinhashPairs (delta probes the corpus index; the
+    // corpus is never re-paired against itself)
+    "q55_incremental_neardup" ->
+      s"""SELECT * FROM ($minhashPairsSql) AS p
+         |WHERE p.doc_a % 7 = 3 OR p.doc_b % 7 = 3""".stripMargin,
     "q16_simhash_pairs" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest($toks) AS tok FROM documents),

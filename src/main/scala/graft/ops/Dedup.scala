@@ -142,22 +142,31 @@ object Dedup {
     * distinct candidate pairs -> re-join the two shingle arrays only for the
     * (few) candidates -> exact-Jaccard verify -> threshold.
     */
+  /** (doc_id, band, bucket) LSH index rows for a corpus — the narrow
+    * (shuffle-free) signature+banding pass shared by the batch and
+    * incremental pair finders. At 100 TB this is the frame a persisted
+    * LSH index table holds. */
+  def bandBuckets(docs: DataFrame, nHashes: Int = 32, bands: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rowsPerBand = nHashes / bands
+    val params = hashParams(nHashes, seed)
+    docs.select("doc_id", "text").as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, minhashBuckets(text, 3, params, bands, rowsPerBand))
+      })
+      .toDF("doc_id", "buckets")
+      .select(col("doc_id"), posexplode(col("buckets")).as(Seq("band", "bucket")))
+  }
+
   def minhashLshPairs(
       docs: DataFrame,
       nHashes: Int = 32,
       bands: Int = 8,
       minJaccardBp: Long = 7000L,
       seed: Long = 42L): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val rowsPerBand = nHashes / bands
-    val params = hashParams(nHashes, seed)
-    val bucketed = docs.select("doc_id", "text").as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        (id, minhashBuckets(text, 3, params, bands, rowsPerBand))
-      })
-      .toDF("doc_id", "buckets")
-      .select(col("doc_id"), posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val bucketed = bandBuckets(docs, nHashes, bands, seed)
     val a = bucketed.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val b = bucketed.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
     val candidates = a.join(b, Seq("band", "bucket"))
@@ -168,6 +177,50 @@ object Dedup {
       .join(shingleSide(docs, "doc_a", "sh_a"), Seq("doc_a"))
       .join(shingleSide(docs, "doc_b", "sh_b"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), jaccardBp(col("sh_a"), col("sh_b")).as("jaccard_bp"))
+      .where(col("jaccard_bp") >= minJaccardBp)
+  }
+
+  /** Incremental near-dup: the pairs a NEW batch (`delta`) introduces —
+    * delta×corpus and delta×delta — WITHOUT re-pairing the corpus against
+    * itself. This is the only dedup shape that survives a growing 100 TB
+    * corpus: each ingest costs O(|delta| × bucket-collisions), not
+    * O(|corpus|²-candidates), and the corpus side is exactly the frame a
+    * persisted LSH index table holds ([[bandBuckets]]) — on a real
+    * deployment the index is read, not recomputed, and this plan is
+    * unchanged.
+    *
+    * Plan shape: the delta's bucket rows are BROADCAST and probe the
+    * corpus∪delta index map-side — the index never shuffles (a shuffle of
+    * the index would be the full-corpus cost this operator exists to
+    * avoid). Candidate id pairs are canonicalized (least/greatest),
+    * deduped, and verified with exact Jaccard like the batch finder.
+    * Equivalence contract (the q55 oracle): identical to the full-corpus
+    * [[minhashLshPairs]] restricted to pairs touching the delta. */
+  def incrementalMinhashPairs(
+      corpus: DataFrame,
+      delta: DataFrame,
+      nHashes: Int = 32,
+      bands: Int = 8,
+      minJaccardBp: Long = 7000L,
+      seed: Long = 42L): DataFrame = {
+    val index = bandBuckets(corpus, nHashes, bands, seed)
+      .unionByName(bandBuckets(delta, nHashes, bands, seed))
+    val probe = bandBuckets(delta, nHashes, bands, seed)
+      .select(col("band"), col("bucket"), col("doc_id").as("probe_id"))
+    val candidates = index.join(broadcast(probe), Seq("band", "bucket"))
+      .where(col("doc_id") =!= col("probe_id"))
+      .select(least(col("doc_id"), col("probe_id")).as("doc_a"),
+        greatest(col("doc_id"), col("probe_id")).as("doc_b"))
+      .distinct()
+    val all = corpus.unionByName(delta)
+    // both verify joins keep the small side broadcast so the shingle
+    // arrays of the big side never cross an exchange
+    val withA = broadcast(candidates)
+      .join(shingleSide(all, "doc_a", "sh_a"), Seq("doc_a"))
+    broadcast(withA)
+      .join(shingleSide(all, "doc_b", "sh_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccardBp(col("sh_a"), col("sh_b")).as("jaccard_bp"))
       .where(col("jaccard_bp") >= minJaccardBp)
   }
 

@@ -153,12 +153,32 @@ class PlanAuditSpec extends AnyFunSuite {
     // classic near-dup scale-killer
     val rawText = Set("text", "body", "content", "html")
     Seq("q14_ngram_jaccard_pairs", "q15_minhash_lsh_pairs",
-        "q19_embedding_neardup", "q16_simhash_pairs").foreach { q =>
+        "q19_embedding_neardup", "q16_simhash_pairs",
+        "q55_incremental_neardup").foreach { q =>
       val outs = shuffleOutputs(q)
       val arrays = outs.filter(_._2.isInstanceOf[org.apache.spark.sql.types.ArrayType])
       assert(arrays.isEmpty, s"$q shuffles array columns: $arrays")
       val texts = outs.filter(o => rawText(o._1.toLowerCase))
       assert(texts.isEmpty, s"$q shuffles raw text columns: $texts")
+    }
+  }
+
+  test("q55 incremental near-dup: the corpus index is probed map-side, " +
+      "never shuffled") {
+    // the point of the incremental path is cost ∝ delta: the delta's
+    // bucket rows broadcast and probe the corpus index where it stands;
+    // a SortMergeJoin would shuffle the full index — the exact
+    // full-corpus cost this operator exists to avoid. The only shuffles
+    // left are the candidate distinct's, carrying the id pair.
+    val df = SparkEntry.queries("q55_incremental_neardup")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    shuffleOutputSets("q55_incremental_neardup").foreach { s =>
+      val names = s.map(_._1).toSet
+      assert(names.subsetOf(Set("doc_a", "doc_b")),
+        s"exchange carries more than the id pair: $names")
     }
   }
 
