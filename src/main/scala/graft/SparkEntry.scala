@@ -494,6 +494,16 @@ object SparkEntry {
           t(s, d, "documents").select("doc_id", "text")
             .as[graft.streaming.DocDedup.Doc])
       }),
+      // ---- streaming near-dup: the LSH index as streaming state — each
+      //      pair surfaces in the micro-batch its later doc arrives; the
+      //      verified union over the finite replay must equal q15 exactly
+      "x51_stream_neardup" -> ((s, d) => {
+        import s.implicits._
+        graft.streaming.StreamNearDup.replayNearDupPairs(s,
+          t(s, d, "documents").select("doc_id", "text")
+            .as[graft.streaming.StreamNearDup.Doc].collect().toSeq,
+          minJaccardBp = 2000L)
+      }),
       // ---- n-gram Jaccard near-dup pairs on a cheap blocking key
       "q14_ngram_jaccard_pairs" -> ((s, d) =>
         Dedup.ngramJaccardPairs(t(s, d, "documents"), minJaccardBp = 2000L)),
@@ -1655,6 +1665,9 @@ object SparkEntry {
     // ord(char) == UTF-8 byte == UTF-16 code unit and one fold serves all
     // three hash definitions.
     "q15_minhash_lsh_pairs" -> minhashPairsSql,
+    // x51 is the same pair set found by the STREAMING stateful LSH index
+    // over a two-batch replay — its verified union must equal q15
+    "x51_stream_neardup" -> minhashPairsSql,
     // incremental near-dup: same pair set as q15, restricted to pairs
     // touching the delta (doc_id % 7 == 3) — the equivalence contract of
     // Dedup.incrementalMinhashPairs (delta probes the corpus index; the

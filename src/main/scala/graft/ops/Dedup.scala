@@ -180,6 +180,21 @@ object Dedup {
       .where(col("jaccard_bp") >= minJaccardBp)
   }
 
+  /** Exact-Jaccard verification of candidate id pairs against a document
+    * frame — the shared tail of every near-dup finder (batch, incremental,
+    * streaming). Candidates broadcast; the documents' shingle arrays never
+    * cross an exchange. */
+  def verifyPairs(candidates: DataFrame, docs: DataFrame,
+      minJaccardBp: Long, shingleN: Int = 3): DataFrame = {
+    val withA = broadcast(candidates)
+      .join(shingleSide(docs, "doc_a", "sh_a", shingleN), Seq("doc_a"))
+    broadcast(withA)
+      .join(shingleSide(docs, "doc_b", "sh_b", shingleN), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccardBp(col("sh_a"), col("sh_b")).as("jaccard_bp"))
+      .where(col("jaccard_bp") >= minJaccardBp)
+  }
+
   /** Incremental near-dup: the pairs a NEW batch (`delta`) introduces —
     * delta×corpus and delta×delta — WITHOUT re-pairing the corpus against
     * itself. This is the only dedup shape that survives a growing 100 TB
@@ -212,16 +227,7 @@ object Dedup {
       .select(least(col("doc_id"), col("probe_id")).as("doc_a"),
         greatest(col("doc_id"), col("probe_id")).as("doc_b"))
       .distinct()
-    val all = corpus.unionByName(delta)
-    // both verify joins keep the small side broadcast so the shingle
-    // arrays of the big side never cross an exchange
-    val withA = broadcast(candidates)
-      .join(shingleSide(all, "doc_a", "sh_a"), Seq("doc_a"))
-    broadcast(withA)
-      .join(shingleSide(all, "doc_b", "sh_b"), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        jaccardBp(col("sh_a"), col("sh_b")).as("jaccard_bp"))
-      .where(col("jaccard_bp") >= minJaccardBp)
+    verifyPairs(candidates, corpus.unionByName(delta), minJaccardBp)
   }
 
   /** Exact n-gram Jaccard over candidate pairs from a cheap blocking key:
