@@ -28,7 +28,7 @@ object ExtractMain {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: ExtractMain <inputDir> <outputDir> [saltPages]\n" +
+      "usage: ExtractMain <inputDir> <outputDir> [saltPages] [audit]\n" +
       "       ExtractMain maintain <outputDir> compact [partitions]\n" +
       "       ExtractMain maintain <outputDir> vacuum\n" +
       "       ExtractMain maintain <outputDir> delete <doc_id>[,<doc_id>...]\n" +
@@ -40,7 +40,8 @@ object ExtractMain {
     try {
       if (args(0) == "maintain") maintain(spark, args(1), args.drop(2))
       else run(spark, args(0), args(1),
-        if (args.length > 2) args(2).toInt else 64)
+        if (args.length > 2) args(2).toInt else 64,
+        audit = args.length > 3 && args(3) == "audit")
     } finally spark.stop()
   }
 
@@ -96,13 +97,22 @@ object ExtractMain {
     }
   }
 
-  /** The testable body: returns (docs committed this run, total committed). */
+  /** The testable body: returns (docs committed this run, total committed).
+    *
+    * `audit = true` switches the landing to write-audit-publish: both
+    * tables STAGE (invisible to readers), the would-be state is audited —
+    * one stats row per doc, every span row backed by a stats row, no
+    * doc_id collision with the committed table — and only then published
+    * (metadata-only). A failed audit abandons both batches and throws:
+    * the table never saw a row. This is how a risky parser change or
+    * backfill runs in production without exposing wrong data. */
   def run(spark: SparkSession, input: String, out: String,
-      saltPages: Int = 64): (Long, Long) = {
+      saltPages: Int = 64, audit: Boolean = false): (Long, Long) = {
     import spark.implicits._
+    import graft.pipeline.Checkpointing
     val statsDir = s"$out/stats"
     val docs = spark.read.parquet(input).as[graft.layout.DocRow]
-    val pending = graft.pipeline.Checkpointing.resumeFilter(spark, docs, statsDir)
+    val pending = Checkpointing.resumeFilter(spark, docs, statsDir)
     val runId = java.util.UUID.randomUUID().toString.take(8)
     val committed =
       if (pending.isEmpty) 0L
@@ -112,9 +122,33 @@ object ExtractMain {
         // spans are a COMMITTED table too (snapshot log + manifests), so
         // takedown/compact/vacuum cover the extracted text, not just the
         // per-doc stats — and time travel works on the content itself
-        graft.pipeline.Checkpointing.commit(r.outSpans.toDF(),
-          s"$out/spans", runId)
-        graft.pipeline.Checkpointing.commit(r.stats.toDF(), statsDir, runId)
+        if (!audit) {
+          Checkpointing.commit(r.outSpans.toDF(), s"$out/spans", runId)
+          Checkpointing.commit(r.stats.toDF(), statsDir, runId)
+        } else {
+          val nStats = Checkpointing.stage(r.stats.toDF(), statsDir, runId)
+          Checkpointing.stage(r.outSpans.toDF(), s"$out/spans", runId)
+          val audited = Checkpointing.readStaged(spark, statsDir, runId)
+          val dupIds = audited.groupBy("doc_id")
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n"))
+            .filter(org.apache.spark.sql.functions.col("n") > 1).count()
+          val spanIds = Checkpointing
+            .readStaged(spark, s"$out/spans", runId)
+            .select("doc_id").distinct()
+          val orphanSpans = spanIds.join(audited.select("doc_id"),
+            Seq("doc_id"), "left_anti").count()
+          if (dupIds > 0 || orphanSpans > 0) {
+            Checkpointing.abandon(statsDir, runId)
+            Checkpointing.abandon(s"$out/spans", runId)
+            throw new IllegalStateException(s"audit failed for run $runId: " +
+              s"$dupIds duplicated doc_ids, $orphanSpans span docs without " +
+              "a stats row — batch abandoned, table unchanged")
+          }
+          Checkpointing.publish(s"$out/spans", runId)
+          Checkpointing.publish(statsDir, runId)
+          nStats
+        }
       }
     // committed truth, not the raw dir: after an upsert/delete the raw
     // directory still holds pre-rebase files / un-applied tombstones
