@@ -526,6 +526,12 @@ object SparkEntry {
       //      from per-token char-fold hashes in HUGEINT)
       "q16_simhash_pairs" -> ((s, d) =>
         Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 18)),
+      // ---- cross-document duplicate substrings (hash-shuffle analog of
+      //      suffix-array substring dedup): k-token windows fingerprinted
+      //      map-side, cross-doc fingerprints marked, overlapping windows
+      //      merged per doc via a lag window — no array ever shuffles
+      "q56_dup_substrings" -> ((s, d) =>
+        Dedup.dupSubstrings(t(s, d, "documents"), k = 8)),
       // ---- brute-force cosine top-k (exactness baseline)
       "q17_knn_bruteforce" -> ((s, d) => {
         val emb = t(s, d, "embeddings")
@@ -1707,6 +1713,36 @@ object SparkEntry {
          |    OR ((a.sigu >> 16) % 65536) = ((b.sigu >> 16) % 65536)
          |    OR ((a.sigu >> 32) % 65536) = ((b.sigu >> 32) % 65536)
          |    OR ((a.sigu >> 48) % 65536) = ((b.sigu >> 48) % 65536))""".stripMargin,
+    // q56: same fingerprint fold as q20 applied per k-token window, so
+    // Spark and the oracle agree BY CONSTRUCTION even on hash collisions;
+    // the interval merge is the same lag-gap sum the Spark plan uses
+    "q56_dup_substrings" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, $toks AS tk FROM documents),
+         |wins AS (
+         |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS total_tokens,
+         |    CAST(i AS BIGINT) AS pos,
+         |    list_reduce(list_prepend(CAST(3421674724 AS HUGEINT),
+         |      list_transform(
+         |        split(array_to_string(tk[CAST(i+1 AS BIGINT):CAST(i+8 AS BIGINT)], ' '), ''),
+         |        c -> CAST(ord(c) AS HUGEINT))),
+         |      (h, c) -> (h * 1000003 + c) % (CAST(1 AS HUGEINT) << 64)) AS h
+         |  FROM tk, UNNEST(range(0, len(tk)-8+1)) AS t(i)
+         |  WHERE len(tk) >= 8),
+         |dupg AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+         |marked AS (SELECT w.* FROM wins w JOIN dupg USING (h)),
+         |gaps AS (
+         |  SELECT doc_id, total_tokens, pos,
+         |    pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+         |  FROM marked)
+         |SELECT doc_id,
+         |  count(*) AS n_dup_windows,
+         |  CAST(sum(CASE WHEN gap IS NULL OR gap >= 8 THEN 8 ELSE gap END) AS BIGINT)
+         |    AS dup_tokens,
+         |  any_value(total_tokens) AS total_tokens,
+         |  CAST(floor(sum(CASE WHEN gap IS NULL OR gap >= 8 THEN 8 ELSE gap END)
+         |       * 10000.0 / any_value(total_tokens)) AS BIGINT) AS dup_frac_bp
+         |FROM gaps GROUP BY doc_id""".stripMargin,
     "q36_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  1 AS approx_within_2pct

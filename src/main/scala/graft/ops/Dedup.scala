@@ -307,6 +307,68 @@ object Dedup {
   }
   private final val RollingSeed = 0xcbf29ce4L
 
+  // ---------------------------------------- duplicate substrings
+
+  /** Cross-document duplicate-substring detection — the hash-shuffle
+    * alternative to suffix-array substring dedup (after Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): every
+    * k-token window of every document is fingerprinted; windows whose
+    * fingerprint occurs in MORE THAN ONE document are marked; per document
+    * the marked (overlapping) windows are merged into a covered-token
+    * count. Self-repetition inside one document does not count — that is
+    * q38's repetition profile; this operator finds cross-document boilerplate
+    * (licence blocks, templated headers, syndicated passages).
+    *
+    * Output: one row per document containing at least one duplicated
+    * window — (doc_id, n_dup_windows, dup_tokens, total_tokens,
+    * dup_frac_bp), where dup_tokens is the size of the merged union of the
+    * marked k-token intervals.
+    *
+    * 100 TB shape: the gram string never leaves its mapper — each window is
+    * hashed to a single long (graft_fingerprint64, codegen'd) inside the
+    * projection that slices it, so both shuffles (by fingerprint for the
+    * distinct-doc count + candidate join; by doc_id for the merge) carry
+    * fixed-width scalars only. The overlapping-interval merge is a lag
+    * window (sum of min(k, gap)), not a per-doc array collection, so no
+    * Exchange carries an array type anywhere in the plan (pinned in
+    * PlanAuditSpec).
+    */
+  def dupSubstrings(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k > 0, s"window size must be positive, got $k")
+    val toked = docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= k)
+    // one row per k-token window: (doc_id, total_tokens, pos, h)
+    val wins = toked.select(
+        col("doc_id"), size(col("tk")).cast("long").as("total_tokens"),
+        posexplode(transform(sequence(lit(0), size(col("tk")) - k),
+          i => graft.functions.RollingHash64.fingerprint64(
+            concat_ws(" ", slice(col("tk"), i + 1, lit(k)))))))
+      .toDF("doc_id", "total_tokens", "pos", "h")
+    val dupH = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select("h")
+    val marked = wins.join(dupH, "h")
+    // merged coverage of overlapping fixed-width intervals == sum over the
+    // per-doc position order of min(k, pos - previous pos); first window
+    // contributes k
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    marked
+      .withColumn("gap", col("pos") - lag("pos", 1).over(w))
+      .withColumn("cov",
+        when(col("gap").isNull || col("gap") >= k, lit(k.toLong))
+          .otherwise(col("gap").cast("long")))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_dup_windows"),
+        sum("cov").as("dup_tokens"),
+        first("total_tokens").as("total_tokens"))
+      .withColumn("dup_frac_bp",
+        floor(col("dup_tokens") * 10000 / col("total_tokens")).cast("long"))
+  }
+
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
   /** SimHash near-dup pairs: 4 x 16-bit band blocking, verified by full

@@ -154,7 +154,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val rawText = Set("text", "body", "content", "html")
     Seq("q14_ngram_jaccard_pairs", "q15_minhash_lsh_pairs",
         "q19_embedding_neardup", "q16_simhash_pairs",
-        "q55_incremental_neardup").foreach { q =>
+        "q55_incremental_neardup", "q56_dup_substrings").foreach { q =>
       val outs = shuffleOutputs(q)
       val arrays = outs.filter(_._2.isInstanceOf[org.apache.spark.sql.types.ArrayType])
       assert(arrays.isEmpty, s"$q shuffles array columns: $arrays")

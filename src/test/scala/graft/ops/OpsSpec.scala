@@ -147,6 +147,28 @@ class DedupSpec extends AnyFunSuite {
     assert(sig.toSeq == Seq(Dedup.simhash64("a b c"), Dedup.simhash64("a b d")))
   }
 
+  test("dup substrings: cross-doc k-gram spans marked, merged coverage exact") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),             // shares an 8-run with 2
+      (2L, "x a b c d e f g h y z"),           // same run at pos 1
+      (3L, "p q r s t u v w p q r s t u v w"), // self-repeat ONLY: excluded
+      (4L, "m n o p q r s t u"),               // identical to 5: full cover
+      (5L, "m n o p q r s t u"),
+      (6L, "lone short doc")                   // < k tokens: excluded
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSubstrings(docs, k = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_dup_windows"), r.getAs[Long]("dup_tokens"),
+          r.getAs[Long]("total_tokens"), r.getAs[Long]("dup_frac_bp")))).toMap
+    assert(!out.contains(3L)) // within-doc repetition is q38's job, not dup
+    assert(!out.contains(6L))
+    assert(out(1L) == ((1L, 8L, 10L, 8000L)))
+    assert(out(2L) == ((1L, 8L, 11L, 7272L))) // floor(80000/11)
+    // overlapping windows MERGE: 2 windows over 9 tokens cover 9, not 16
+    assert(out(4L) == ((2L, 9L, 9L, 10000L)))
+    assert(out(5L) == ((2L, 9L, 9L, 10000L)))
+  }
+
   test("approx distinct (HLL) tracks exact distinct within tolerance") {
     // the reference has no approx-distinct; the engine gets HLL++ free —
     // pin that the plan uses the approximate aggregate and lands within
