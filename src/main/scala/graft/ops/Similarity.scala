@@ -276,18 +276,17 @@ object Similarity {
         floor(col("sim") * 1e6).cast("long").as("sim_micro"))
   }
 
-  /** The complete IVF chain as DuckDB SQL — init, `iters` Lloyd rounds
-    * with the same micro-quantized long-sum update, assignment, probe, and
-    * exact re-rank — over the same parquet table, so the driver verifies
-    * the whole operator (centroid evolution included) independently.
-    * Every arithmetic step mirrors the Spark expressions: ordered
-    * list_reduce folds, floor(x*1e6) quantization, (d, j) tie-breaks. */
-  def ivfKnnSql(queryPred: String, k: Int, nLists: Int, nProbe: Int,
-      iters: Int, dim: Int): String = {
-    def cmToDouble(cm: String) =
-      s"list_transform($cm, q -> CAST(q AS DOUBLE)/1000000.0)"
-    def l2(a: String, b: String) =
-      s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2])), (x,y) -> x+y)"
+  private def cmToDouble(cm: String) =
+    s"list_transform($cm, q -> CAST(q AS DOUBLE)/1000000.0)"
+  private def l2Sql(a: String, b: String) =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2])), (x,y) -> x+y)"
+
+  /** The shared IVF centroid-chain CTEs (init, `iters` Lloyd rounds with
+    * the micro-quantized long-sum update, final assignment) — everything
+    * from `emb` through `assigned(vec_id, emb, list_id)`, without the WITH
+    * keyword, so both the kNN (q23) and semantic-dedup (q57) oracles
+    * replay the identical centroid evolution. */
+  private def ivfChainCtes(nLists: Int, iters: Int, dim: Int): String = {
     val quant = "list_transform(emb, x -> CAST(floor(x*1000000.0) AS BIGINT))"
     val init =
       s"""c0 AS (
@@ -299,7 +298,7 @@ object Similarity {
          |  SELECT vec_id, emb, list_id FROM (
          |    SELECT e.vec_id, e.emb, c.j AS list_id,
          |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${l2("e.emb", cmToDouble("c.cm"))}, c.j) AS rn
+         |        ORDER BY ${l2Sql("e.emb", cmToDouble("c.cm"))}, c.j) AS rn
          |    FROM emb e CROSS JOIN $prev c) WHERE rn = 1),
          |s$r AS (
          |  SELECT list_id, pos,
@@ -314,20 +313,32 @@ object Similarity {
          |    ON c.j = u.j)""".stripMargin
     }.mkString(",\n")
     val cf = s"c$iters"
-    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    s"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
        |$init,
        |$rounds,
        |assigned AS (
        |  SELECT vec_id, emb, list_id FROM (
        |    SELECT e.vec_id, e.emb, c.j AS list_id,
        |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${l2("e.emb", cmToDouble("c.cm"))}, c.j) AS rn
-       |    FROM emb e CROSS JOIN $cf c) WHERE rn = 1),
+       |        ORDER BY ${l2Sql("e.emb", cmToDouble("c.cm"))}, c.j) AS rn
+       |    FROM emb e CROSS JOIN $cf c) WHERE rn = 1)""".stripMargin
+  }
+
+  /** The complete IVF chain as DuckDB SQL — init, `iters` Lloyd rounds
+    * with the same micro-quantized long-sum update, assignment, probe, and
+    * exact re-rank — over the same parquet table, so the driver verifies
+    * the whole operator (centroid evolution included) independently.
+    * Every arithmetic step mirrors the Spark expressions: ordered
+    * list_reduce folds, floor(x*1e6) quantization, (d, j) tie-breaks. */
+  def ivfKnnSql(queryPred: String, k: Int, nLists: Int, nProbe: Int,
+      iters: Int, dim: Int): String = {
+    val cf = s"c$iters"
+    s"""WITH ${ivfChainCtes(nLists, iters, dim)},
        |probed AS (
        |  SELECT vec_id AS query_id, emb AS emb_q, list_id FROM (
        |    SELECT e.vec_id, e.emb, c.j AS list_id,
        |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${l2("e.emb", cmToDouble("c.cm"))}, c.j) AS rn
+       |        ORDER BY ${l2Sql("e.emb", cmToDouble("c.cm"))}, c.j) AS rn
        |    FROM emb e CROSS JOIN $cf c WHERE $queryPred) WHERE rn <= $nProbe),
        |scored AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,
@@ -342,5 +353,81 @@ object Similarity {
        |    CAST(floor(sim*1e6) AS BIGINT) AS sim_micro
        |  FROM scored)
        |SELECT query_id, neighbor_id, rank, sim_micro FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * coarse k-means cells (the deterministic IVF quantizer), exact cosine
+    * over WITHIN-CELL pairs only, connected components over the
+    * above-threshold pairs, keeper = component min. One row per vector:
+    * (vec_id, keeper_id, kept) — the manifest a curation pass writes.
+    *
+    * 100 TB shape: this is SemDeDup's whole point — the pair set is
+    * sum(cell²) instead of n²/2, and cell count is a knob that scales with
+    * the corpus (nLists ∝ n keeps expected cell size constant). Vectors
+    * shuffle ONCE on list_id; the components run star contraction
+    * (O(log² n) rounds; `checkpointDir` makes the rounds durable). */
+  def semanticDedup(embeddings: DataFrame, nLists: Int = 16, iters: Int = 2,
+      minSimMicro: Long = 400000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val centroids = ivfCentroidsMicro(embeddings, nLists, iters)
+    val cells = embeddings
+      .select(col("vec_id").cast("long").as("vec_id"),
+        asDouble(col("embedding")).as("emb"))
+      .withColumn("list_id", ivfAssign(col("emb"), centroids))
+      .withColumn("nrm",
+        sqrt(aggregate(col("emb"), lit(0.0d), (acc, x) => acc + x * x)))
+    val a = cells.select(col("list_id"), col("vec_id").as("id_a"),
+      col("emb").as("emb_a"), col("nrm").as("norm_a"))
+    val b = cells.select(col("list_id"), col("vec_id").as("id_b"),
+      col("emb").as("emb_b"), col("nrm").as("norm_b"))
+    val pairs = a.join(b, Seq("list_id"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim_micro", pairSimMicro)
+      .where(col("sim_micro") >= minSimMicro)
+      .select(col("id_a"), col("id_b"))
+    val comp = Components.connectedComponentsStar(pairs, "id_a", "id_b",
+      checkpointDir = checkpointDir)
+    cells.select(col("vec_id"))
+      .join(comp.select(col("id").as("vec_id"), col("component")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("keeper_id"))
+      .withColumn("kept",
+        when(col("keeper_id") === col("vec_id"), 1L).otherwise(0L))
+  }
+
+  /** [[semanticDedup]] as DuckDB SQL: the same centroid chain as the q23
+    * oracle (via [[ivfChainCtes]]), the same factored cosine
+    * (dot / (norm_a * norm_b), norms computed once per side), and a
+    * recursive-CTE closure for the components. */
+  def semanticDedupSql(nLists: Int, iters: Int, dim: Int,
+      minSimMicro: Long): String = {
+    def nrm(e: String) =
+      s"sqrt(list_reduce(list_transform($e, x -> x*x), (x,y) -> x+y))"
+    val dot =
+      "list_reduce(list_transform(list_zip(a.emb, b.emb), p2 -> p2[1]*p2[2]), (x,y) -> x+y)"
+    s"""WITH RECURSIVE ${ivfChainCtes(nLists, iters, dim)},
+       |normed AS (SELECT vec_id, emb, list_id, ${nrm("emb")} AS nrm FROM assigned),
+       |pairs AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst
+       |  FROM normed a JOIN normed b
+       |    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+       |  WHERE CAST(floor($dot / (a.nrm * b.nrm) * 1e6) AS BIGINT) >= $minSimMicro),
+       |edges AS (
+       |  SELECT src, dst FROM pairs
+       |  UNION
+       |  SELECT dst AS src, src AS dst FROM pairs),
+       |verts AS (SELECT DISTINCT src AS id FROM edges),
+       |reach AS (
+       |  SELECT id, id AS lbl FROM verts
+       |  UNION
+       |  SELECT e.dst AS id, r.lbl AS lbl FROM reach r JOIN edges e ON e.src = r.id),
+       |comp AS (SELECT id, min(lbl) AS keeper FROM reach GROUP BY id)
+       |SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+       |  CAST(COALESCE(c.keeper, e.vec_id) AS BIGINT) AS keeper_id,
+       |  CAST(CASE WHEN COALESCE(c.keeper, e.vec_id) = e.vec_id
+       |       THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM emb e LEFT JOIN comp c ON c.id = e.vec_id""".stripMargin
   }
 }

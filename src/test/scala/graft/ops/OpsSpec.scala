@@ -266,6 +266,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.05) // low-threshold pairs on random vectors: candidates only
   }
 
+  test("semantic dedup: co-cell near-identicals collapse to the min keeper") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    // ids 0..7 are random vectors so THEY seed the k-means cells; the
+    // near-identical group (20/21/25) then lands in one cell together
+    val rows = (0L until 8L).map(i =>
+      i -> Array.fill(16)(rnd.nextGaussian().toFloat)) ++ Seq(
+      20L -> base,
+      21L -> base.map(_ * 1.01f),           // same direction: cosine ~1
+      25L -> base.clone(),                  // identical copy
+      26L -> base.map(x => -x))             // antipode: cosine -1, never dup
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(df, nLists = 4, iters = 1,
+      minSimMicro = 950000L).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("keeper_id"), r.getAs[Long]("kept")))).toMap
+    assert(out.size == rows.size) // one verdict row per vector, no dups
+    assert(out(20L) == ((20L, 1L)))
+    assert(out(21L) == ((20L, 0L))) // collapsed into the min id of the group
+    assert(out(25L) == ((20L, 0L)))
+    assert(out(26L) == ((26L, 1L))) // antipodal: high |cos| but negative
+    // every vector not in the group keeps itself
+    (0L until 8L).foreach(i => assert(out(i) == ((i, 1L)), s"vec $i"))
+  }
+
   test("IVF centroids are partitioning-independent (long-sum determinism)") {
     val c1 = Similarity.ivfCentroidsMicro(emb.repartition(7), nLists = 8, iters = 2)
     val c2 = Similarity.ivfCentroidsMicro(emb.repartition(3), nLists = 8, iters = 2)
