@@ -816,11 +816,20 @@ object SparkEntry {
       "x37_sql_surface" -> ((s, d) => {
         graft.functions.RollingHash64.register(s)
         graft.functions.SimHash64.register(s)
+        graft.functions.VecOps.register(s)
         t(s, d, "documents").filter(col("doc_id") < 50)
           .createOrReplaceTempView("graft_docs_x37")
+        // toklen_sq: sum of squared token lengths via the vector kernel —
+        // integral doubles, so the cast to BIGINT is exact cross-engine
         s.sql("""SELECT doc_id,
                  graft_fingerprint64(text) AS fp64,
-                 graft_simhash64(text) AS sh64
+                 graft_simhash64(text) AS sh64,
+                 CAST(graft_vec_dot(
+                   transform(split(trim(lower(text)), '\\s+'),
+                             t -> CAST(length(t) AS DOUBLE)),
+                   transform(split(trim(lower(text)), '\\s+'),
+                             t -> CAST(length(t) AS DOUBLE))) AS BIGINT)
+                   AS toklen_sq
                  FROM graft_docs_x37""")
       }),
       // ---- int8 embedding quantization (the storage layout trained
@@ -1613,9 +1622,16 @@ object SparkEntry {
          |  SELECT doc_id,
          |    CAST(CASE WHEN hu >= (CAST(1 AS HUGEINT) << 63)
          |         THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END AS BIGINT) AS fp64
-         |  FROM fp)
-         |SELECT fps.doc_id, fps.fp64, sh.sh64
-         |FROM fps JOIN sh USING (doc_id)""".stripMargin,
+         |  FROM fp),
+         |tl AS (
+         |  SELECT doc_id,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform($toks,
+         |        t -> CAST(length(t) AS DOUBLE) * CAST(length(t) AS DOUBLE))),
+         |      (a, x) -> a + x) AS BIGINT) AS toklen_sq
+         |  FROM documents WHERE doc_id < 50)
+         |SELECT fps.doc_id, fps.fp64, sh.sh64, tl.toklen_sq
+         |FROM fps JOIN sh USING (doc_id) JOIN tl USING (doc_id)""".stripMargin,
     "q51_embedding_quantize" ->
       """WITH m AS (
         |  SELECT vec_id, embedding,

@@ -19,11 +19,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Ordered-fold cosine similarity of two array<double> columns. */
+  /** Ordered-fold cosine similarity of two array<double> columns.
+    * Computed by the codegen'd [[graft.functions.VecOps]] kernels — the
+    * identical IEEE op sequence as the `aggregate`/`zip_with` folds they
+    * replaced (interpreted HOFs were the hot-loop cost; bit-equality with
+    * the fold spelling is pinned in OpsSpec), so every DuckDB oracle
+    * list_reduce replay still matches hash-exactly. */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
-    val na = aggregate(a, lit(0.0d), (acc, x) => acc + x * x)
-    val nb = aggregate(b, lit(0.0d), (acc, x) => acc + x * x)
+    val dot = graft.functions.VecOps.dot(a, b)
+    val na = graft.functions.VecOps.selfDot(a)
+    val nb = graft.functions.VecOps.selfDot(b)
     dot / (sqrt(na) * sqrt(nb))
   }
 
@@ -56,9 +61,8 @@ object Similarity {
   /** Sign-bit signature of a vector under the hyperplanes, as a long. */
   def signature(vec: Column, planes: Seq[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
-      val dot = aggregate(zip_with(vec, planeCol, (x, y) => x * y),
-        lit(0.0d), (acc, x) => acc + x)
+      val planeCol = lit(p) // one array Literal (see centroidLit)
+      val dot = graft.functions.VecOps.dot(vec, planeCol)
       when(dot > 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -145,11 +149,10 @@ object Similarity {
       embName: String, normName: String): DataFrame =
     embeddings.select(col("vec_id").as(idName), asDouble(col("embedding")).as(embName))
       .withColumn(normName,
-        sqrt(aggregate(col(embName), lit(0.0d), (acc, x) => acc + x * x)))
+        sqrt(graft.functions.VecOps.selfDot(col(embName))))
 
   private def pairSimMicro: Column = {
-    val dot = aggregate(zip_with(col("emb_a"), col("emb_b"), (x, y) => x * y),
-      lit(0.0d), (acc, x) => acc + x)
+    val dot = graft.functions.VecOps.dot(col("emb_a"), col("emb_b"))
     floor(dot / (col("norm_a") * col("norm_b")) * 1e6).cast("long")
   }
 
@@ -212,8 +215,7 @@ object Similarity {
         .map(_.getSeq[Double](0).toArray.map(d => math.floor(d * 1e6).toLong))
     var it = 0
     while (it < iters) {
-      val sums = emb
-        .withColumn("list_id", ivfAssign(col("emb_d"), centroids))
+      val sums = withCellId(emb, "emb_d", centroids)
         .select(col("list_id"), posexplode(col("emb_d")).as(Seq("pos", "v")))
         .groupBy("list_id", "pos")
         .agg(sum(floor(col("v") * 1e6).cast("long")).as("s"), count(lit(1)).as("n"))
@@ -229,20 +231,34 @@ object Similarity {
     centroids
   }
 
+  // ONE array Literal, not a dim-element CreateArray of scalar literals:
+  // with nLists x dim scalar-literal nodes the assignment expression tree
+  // blows past codegen method-size limits and falls back to interpretation
   private def centroidLit(cm: Array[Long]): Column =
-    array(cm.map(q => lit(q.toDouble / 1e6)): _*)
+    lit(cm.map(q => q.toDouble / 1e6))
 
   /** Squared-L2 distance-and-cell structs against every centroid. */
   private def ivfDistStructs(vec: Column, centroidsMicro: Array[Array[Long]]): Seq[Column] =
     centroidsMicro.toIndexedSeq.zipWithIndex.map { case (cm, j) =>
-      val d = aggregate(zip_with(vec, centroidLit(cm), (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (acc, x) => acc + x)
+      val d = graft.functions.VecOps.l2sq(vec, centroidLit(cm))
       struct(d.as("d"), lit(j).as("j"))
     }
 
-  /** Nearest cell id (argmin by (distance, cell id)) — expression-only. */
+  /** Nearest cell id (argmin by (distance, cell id)) — ONE native
+    * expression ([[graft.functions.VecArgMinL2]]) carrying the centroid
+    * matrix as a reference object. The struct-forest spelling
+    * (array_min over nLists struct(d, j) columns) compiles at any width
+    * but its generated method exceeds HotSpot's JIT size budget past ~64
+    * cells and runs as interpreted bytecode — measured 10x slower at 160
+    * cells. Same argmin: bit-equal distance folds, ties to the lowest j. */
   def ivfAssign(vec: Column, centroidsMicro: Array[Array[Long]]): Column =
-    array_min(array(ivfDistStructs(vec, centroidsMicro): _*)).getField("j")
+    graft.functions.VecOps.argMinL2(vec,
+      centroidsMicro.map(_.map(_.toDouble / 1e6)))
+
+  /** `df` + a `list_id` column: the nearest-cell assignment. */
+  def withCellId(df: DataFrame, embCol: String,
+      centroidsMicro: Array[Array[Long]]): DataFrame =
+    df.withColumn("list_id", ivfAssign(col(embCol), centroidsMicro))
 
   /** IVF-partitioned ANN: corpus vectors live in their nearest coarse
     * cell; each query probes its `nProbe` nearest cells and re-ranks
@@ -258,9 +274,9 @@ object Similarity {
   def ivfKnn(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
       nLists: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
     val centroids = ivfCentroidsMicro(embeddings, nLists, iters)
-    val corpus = embeddings
-      .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("emb_n"))
-      .withColumn("list_id", ivfAssign(col("emb_n"), centroids))
+    val corpus = withCellId(embeddings
+      .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("emb_n")),
+      "emb_n", centroids)
     val probed = queries
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("emb_q"))
       .withColumn("cells",
@@ -371,12 +387,18 @@ object Similarity {
       minSimMicro: Long = 400000L,
       checkpointDir: Option[String] = None): DataFrame = {
     val centroids = ivfCentroidsMicro(embeddings, nLists, iters)
-    val cells = embeddings
+    // assignment runs ONCE and the assigned corpus is materialized: three
+    // consumers follow (both pair-join sides + the final manifest), and
+    // the chunked-argmin barriers would otherwise defeat the column
+    // pruning / exchange reuse that used to dedupe them. At cluster scale
+    // this materialization is "write the corpus bucketed by list_id" —
+    // the same once-per-corpus layout step as q23's IVF story.
+    val cells = withCellId(embeddings
       .select(col("vec_id").cast("long").as("vec_id"),
-        asDouble(col("embedding")).as("emb"))
-      .withColumn("list_id", ivfAssign(col("emb"), centroids))
+        asDouble(col("embedding")).as("emb")), "emb", centroids)
       .withColumn("nrm",
-        sqrt(aggregate(col("emb"), lit(0.0d), (acc, x) => acc + x * x)))
+        sqrt(graft.functions.VecOps.selfDot(col("emb"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = cells.select(col("list_id"), col("vec_id").as("id_a"),
       col("emb").as("emb_a"), col("nrm").as("norm_a"))
     val b = cells.select(col("list_id"), col("vec_id").as("id_b"),
@@ -386,15 +408,28 @@ object Similarity {
       .withColumn("sim_micro", pairSimMicro)
       .where(col("sim_micro") >= minSimMicro)
       .select(col("id_a"), col("id_b"))
+      // materialize the (tiny: two longs per row) pair set ONCE — the
+      // contraction's entry re-evaluates its input several times (verts,
+      // first truncation, checksum), and each re-evaluation would re-run
+      // the assignment + cell join, the expensive part of the plan
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val comp = Components.connectedComponentsStar(pairs, "id_a", "id_b",
       checkpointDir = checkpointDir)
-    cells.select(col("vec_id"))
+    comp.count() // force the contraction (eager anyway) before unpersist
+    pairs.unpersist()
+    // materialize the (3 longs/vector) manifest so the corpus cache can be
+    // released before returning — the operator is already eager (the
+    // contraction loop ran), so this adds no new execution point
+    val manifest = cells.select(col("vec_id"))
       .join(comp.select(col("id").as("vec_id"), col("component")),
         Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("component"), col("vec_id")).as("keeper_id"))
       .withColumn("kept",
         when(col("keeper_id") === col("vec_id"), 1L).otherwise(0L))
+      .localCheckpoint()
+    cells.unpersist()
+    manifest
   }
 
   /** [[semanticDedup]] as DuckDB SQL: the same centroid chain as the q23

@@ -266,6 +266,64 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.05) // low-threshold pairs on random vectors: candidates only
   }
 
+  test("VecOps kernels are bit-identical to the HOF folds they replaced " +
+      "and stay inside codegen") {
+    val rnd = new scala.util.Random(123)
+    val pairs = Seq.fill(200)((
+      Array.fill(64)(rnd.nextGaussian()),
+      Array.fill(64)(rnd.nextGaussian())))
+    val df = pairs.toDF("a", "b")
+    val cmp = df.select(
+      graft.functions.VecOps.dot(col("a"), col("b")).as("dot_k"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0d), (acc, x) => acc + x).as("dot_f"),
+      graft.functions.VecOps.l2sq(col("a"), col("b")).as("l2_k"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, x) => acc + x).as("l2_f"),
+      graft.functions.VecOps.selfDot(col("a")).as("n_k"),
+      aggregate(col("a"), lit(0.0d), (acc, x) => acc + x * x).as("n_f"))
+    cmp.collect().foreach { r =>
+      // EXACT double equality — same IEEE op sequence, not a tolerance
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(2) == r.getDouble(3))
+      assert(r.getDouble(4) == r.getDouble(5))
+    }
+    // the kernel expression generates code (no interpreted-HOF fallback
+    // markers); over a parquet-backed scan (a LocalRelation constant-folds
+    // the whole projection away) a cosine-only plan is one codegen span
+    val dir = java.nio.file.Files.createTempDirectory("graft-vecops").toString
+    df.write.mode("overwrite").parquet(dir)
+    val plan = spark.read.parquet(dir)
+      .select(Similarity.cosine(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan) // *(n) = WholeStageCodegen span
+    assert(plan.contains("graft_vec_dot"), plan)
+    assert(!plan.contains("aggregate(") && !plan.contains("zip_with("), plan)
+  }
+
+  test("VecArgMinL2 equals the struct-forest argmin, ties to lowest cell") {
+    val rnd = new scala.util.Random(11)
+    val cents: Array[Array[Long]] = Array.fill(40)(
+      Array.fill(8)((rnd.nextGaussian() * 1e6).toLong))
+    val vecs = Seq.fill(300)(Array.fill(8)(rnd.nextGaussian())) ++
+      // exact-centroid rows: distance 0 to one cell; the cents(5) row is a
+      // GUARANTEED tie against the duplicated centroid below (d=0 to both)
+      (cents.take(3) :+ cents(5)).map(_.map(_.toDouble / 1e6))
+    val dup = cents(5).clone()
+    val centsWithTie = cents :+ dup // j=5 and j=40 identical: tie -> 5
+    val df = vecs.map(Tuple1(_)).toDF("emb")
+    val forest = array_min(array(centsWithTie.toIndexedSeq.zipWithIndex.map {
+      case (cm, j) => struct(
+        graft.functions.VecOps.l2sq(col("emb"),
+          lit(cm.map(_.toDouble / 1e6))).as("d"), lit(j).as("j"))
+    }: _*)).getField("j")
+    val both = df.select(
+      Similarity.ivfAssign(col("emb"), centsWithTie).as("native"),
+      forest.as("forest")).collect()
+    both.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    assert(both.map(_.getInt(0)).contains(5)) // the tie row picked j=5
+  }
+
   test("semantic dedup: co-cell near-identicals collapse to the min keeper") {
     val rnd = new scala.util.Random(7)
     val base = Array.fill(16)(rnd.nextGaussian().toFloat)
