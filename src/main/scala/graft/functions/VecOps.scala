@@ -180,6 +180,73 @@ case class VecArgMinL2(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Hyperplane sign-bit signature: bit j of the result is set iff
+  * dot(vec, planes(j)) > 0 — the whole nBits-plane signature as ONE
+  * reference-object loop, for the same JIT-size reason as [[VecArgMinL2]]
+  * (the per-plane spelling inlines nBits dot kernels into one generated
+  * method; at adaptiveBits' 24-bit ceiling x 4 tables that is 96 kernels).
+  * Identical semantics to sum_j(if dot_j > 0 then 1L << j else 0): same
+  * ascending-index dot folds, strict > (a NaN dot sets no bit).
+  */
+case class VecSignBits(child: Expression, planes: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_vec_signbits"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<double>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    var bits = 0L
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      var d = 0.0d
+      var i = 0
+      while (i < p.length) {
+        d += a.getDouble(i) * p(i)
+        i += 1
+      }
+      if (d > 0) bits |= 1L << j
+      j += 1
+    }
+    bits
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ps = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val bits = ctx.freshName("bits")
+      s"""
+         |long $bits = 0L;
+         |for (int $j = 0; $j < $ps.length; $j++) {
+         |  double[] $p = $ps[$j];
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $p.length; $i++) {
+         |    $d += $a.getDouble($i) * $p[$i];
+         |  }
+         |  if ($d > 0) $bits |= 1L << $j;
+         |}
+         |${ev.value} = $bits;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecSignBits =
+    copy(child = newChild)
+}
+
 object VecOps {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -190,6 +257,9 @@ object VecOps {
   /** Index of the nearest centroid by squared L2, ties to the lowest index. */
   def argMinL2(vec: Column, centroids: Array[Array[Double]]): Column =
     column(VecArgMinL2(expression(vec), centroids))
+  /** nBits-plane sign-bit signature as one long. */
+  def signBits(vec: Column, planes: Array[Array[Double]]): Column =
+    column(VecSignBits(expression(vec), planes))
 
   /** SQL registration: graft_vec_dot(a, b), graft_vec_l2sq(a, b). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -58,15 +58,14 @@ object Similarity {
     Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit signature of a vector under the hyperplanes, as a long. */
-  def signature(vec: Column, planes: Seq[Array[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = lit(p) // one array Literal (see centroidLit)
-      val dot = graft.functions.VecOps.dot(vec, planeCol)
-      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** Sign-bit signature of a vector under the hyperplanes, as a long —
+    * ONE native loop over the plane matrix (graft.functions.VecSignBits):
+    * the per-plane spelling inlines nBits dot kernels into one generated
+    * method, the same JIT-size trap as the argmin forest (adaptiveBits
+    * can request 24 bits x 4 tables = 96 kernels). Identical bits: same
+    * ascending dot folds, strict > 0. */
+  def signature(vec: Column, planes: Seq[Array[Double]]): Column =
+    graft.functions.VecOps.signBits(vec, planes.toArray)
 
   /** (vec_id, table_id, sig) bucket rows — ids and 8-byte signatures ONLY,
     * so the bucket self-join never shuffles or compares embedding arrays. */
