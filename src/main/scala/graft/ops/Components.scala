@@ -118,12 +118,46 @@ object Components {
     * oracle pins the contraction, not just the simple loop. */
   def connectedComponentsStar(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", maxIter: Int = 40,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      localSolveEdges: Long = 200000L): DataFrame = {
     val raw = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val durable = setCheckpointDir(raw, checkpointDir)
     val verts = truncate(raw.select(col("src").as("id"))
       .union(raw.select(col("dst").as("id"))).distinct(), durable)
+    // Hybrid tail (Kiveris et al. §6 practice): once the contracted edge
+    // set fits the driver comfortably (2 longs/edge; 200k edges ≈ 3 MB),
+    // finish with a local union-find instead of paying several more
+    // multi-stage Spark rounds whose per-round cost is pure job latency.
+    // Each contraction round preserves the component partition over the
+    // original vertex set, so min-labels from ANY round's edge set equal
+    // the star forest's — the property test pins local vs distributed vs
+    // min-label row-identical. At 10^12-doc scale the loop always ends
+    // here: the graph shrinks geometrically, and the last ~log rounds on
+    // a tiny remnant are the ones this skips.
+    def finishLocally(cur: DataFrame): DataFrame = {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      // union-by-min: the larger root links under the smaller, so every
+      // root IS its component's min id — the same label the star forest
+      // converges to
+      cur.select("src", "dst").collect().foreach { r =>
+        val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (a != b) parent(math.max(a, b)) = math.min(a, b)
+      }
+      val spark = cur.sparkSession
+      import spark.implicits._
+      val nodes = (parent.keysIterator ++ parent.valuesIterator).toSet
+      val labelDf = nodes.toSeq.map(n => (n, find(n))).toDF("id", "lbl")
+      verts.join(labelDf, Seq("id"), "left")
+        .select(col("id"), coalesce(col("lbl"), col("id")).as("component"))
+    }
     def neighbors(e: DataFrame): DataFrame =
       e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     // large-star: every neighbor v > u links to m(u) = min(N(u) ∪ {u})
@@ -159,6 +193,11 @@ object Components {
     }
     var e = truncate(raw.filter(col("src") =!= col("dst")).distinct(), durable)
     var prev = checksum(e)
+    if (prev._1 <= localSolveEdges) {
+      val out = finishLocally(e)
+      e.unpersist()
+      return out
+    }
     var it = 0
     var done = e.isEmpty
     while (!done && it < maxIter) {
@@ -168,6 +207,11 @@ object Components {
       e = next
       done = cur == prev
       prev = cur
+      if (!done && prev._1 <= localSolveEdges) {
+        val out = finishLocally(e)
+        e.unpersist()
+        return out
+      }
       it += 1
     }
     // star edges are (node, root) with root < node; roots + isolated

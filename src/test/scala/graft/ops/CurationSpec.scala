@@ -40,17 +40,44 @@ class CurationSpec extends AnyFunSuite {
         .filter(p => p._1 != p._2)
       val df = edges.toDF("src", "dst")
       val prop = Components.connectedComponents(df).as[(Long, Long)].collect().toMap
+      // default = hybrid (local union-find tail); localSolveEdges = 0
+      // forces the pure-distributed contraction — all three row-identical
       val star = Components.connectedComponentsStar(df).as[(Long, Long)].collect().toMap
+      val dist = Components.connectedComponentsStar(df, localSolveEdges = 0L)
+        .as[(Long, Long)].collect().toMap
       assert(star == prop)
+      assert(dist == prop)
     }
   }
 
   test("star contraction: a 40-hop chain resolves (log rounds, not diameter cap)") {
     val chain = (100L until 140L).sliding(2).map(s => (s(1), s(0))).toSeq
       .toDF("src", "dst")
-    val got = Components.connectedComponentsStar(chain, maxIter = 12)
+    // localSolveEdges = 0: the claim under test is the DISTRIBUTED round
+    // count, so the local-solve tail must not short-circuit it
+    val got = Components.connectedComponentsStar(chain, maxIter = 12,
+        localSolveEdges = 0L)
       .as[(Long, Long)].collect().toMap
     assert(got.size == 40 && got.values.toSet == Set(100L))
+  }
+
+  test("star contraction: mid-flight local-solve handoff (threshold between " +
+      "rounds) matches the pure-distributed labels") {
+    // a graph big enough that round 1 exceeds the threshold but the
+    // contracted remnant crosses it mid-loop: 3 long chains + noise
+    val rnd = new scala.util.Random(7)
+    val chains = (0 until 3).flatMap { c =>
+      val base = c * 1000L
+      (base until base + 50L).sliding(2).map(s => (s(1), s(0))).toSeq
+    }
+    val noise = Seq.fill(60)((rnd.nextInt(200).toLong + 5000L,
+      rnd.nextInt(200).toLong + 5000L)).filter(p => p._1 != p._2)
+    val df = (chains ++ noise).toDF("src", "dst")
+    val dist = Components.connectedComponentsStar(df, localSolveEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    val mid = Components.connectedComponentsStar(df, localSolveEdges = 40L)
+      .as[(Long, Long)].collect().toMap
+    assert(mid == dist)
   }
 
   test("star contraction: self-loops and isolated-by-self-loop vertices") {
