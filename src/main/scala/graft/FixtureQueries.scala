@@ -450,6 +450,32 @@ object FixtureQueries {
       r.outSpans.toDF().select(
         col("doc_id"), col("ord"), col("kind"), col("text"), col("media_ref"))
     }),
+    // Interleaved multimodal packing: the extraction output's span stream
+    // priced per modality (text spans cost their whitespace tokens, media
+    // spans a fixed 576-token vision-patch budget) and laid out into fixed
+    // 256-token training sequences by the distributed two-pass prefix sum
+    // (Packing) — the layout step a multimodal trainer consumes from the
+    // north rule's interleaved text+media table.
+    "x52_interleaved_pack" -> ((s, _) => {
+      val spans = result(s).outSpans.toDF()
+      val costs = spans.select(
+          col("doc_id"),
+          regexp_extract(col("doc_id"), "^(\\d+)", 1).cast("long").as("doc_ord"),
+          when(col("kind") === "media", lit(576L))
+            .otherwise(size(split(trim(lower(col("text"))), "\\s+")).cast("long"))
+            .as("cost"),
+          when(col("kind") === "media", lit(1L)).otherwise(lit(0L)).as("is_media"))
+        .groupBy(col("doc_id"), col("doc_ord"))
+        .agg(sum("cost").as("doc_cost"), count(lit(1)).as("n_spans"),
+          sum("is_media").as("n_media"))
+      val packed = graft.ops.Packing.packSequences(
+        costs.select(col("doc_ord"), col("doc_cost")),
+        "doc_ord", "doc_cost", budget = 256L)
+      costs.join(packed.select(col("doc_ord"), col("stream_offset"),
+          col("seq_id"), col("offset_in_seq")), Seq("doc_ord"))
+        .select(col("doc_id"), col("doc_cost"), col("n_spans"), col("n_media"),
+          col("stream_offset"), col("seq_id"), col("offset_in_seq"))
+    }),
     // M4+M5+M7+P7+P8 composed: the v1 TableFinder bbox-continuation flow
     // (find_tables_with_context, table_finder.py:23-90)
     "x14_fixture_tablefinder" -> ((s, _) => {
@@ -559,6 +585,31 @@ object FixtureQueries {
     "x36_warc_extract" -> FixtureGoldens.oracleSql("x18_main_spans"),
     // salted extraction must be bit-identical to the unsalted pipeline
     "x38_salted_extract" -> FixtureGoldens.oracleSql("x05_fixture_spans"),
+    // x52: the packing math replayed over x05's golden span VALUES — per-doc
+    // modality-priced cost, exclusive prefix sum in doc_ord order, integer
+    // div/mod by the 256-token budget
+    "x52_interleaved_pack" ->
+      s"""WITH spans AS (${FixtureGoldens.oracleSql("x05_fixture_spans")}),
+         |costs AS (
+         |  SELECT doc_id,
+         |    CAST(regexp_extract(doc_id, '^(\\d+)', 1) AS BIGINT) AS doc_ord,
+         |    CAST(sum(CASE WHEN kind = 'media' THEN 576
+         |         ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+         |         END) AS BIGINT) AS doc_cost,
+         |    count(*) AS n_spans,
+         |    CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_media
+         |  FROM spans GROUP BY 1, 2),
+         |packed AS (
+         |  SELECT *,
+         |    CAST(COALESCE(sum(doc_cost) OVER (ORDER BY doc_ord
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS stream_offset
+         |  FROM costs)
+         |SELECT doc_id, doc_cost, n_spans, n_media, stream_offset,
+         |  stream_offset // 256 AS seq_id,
+         |  stream_offset % 256 AS offset_in_seq
+         |FROM packed""".stripMargin,
     // independent replay of the embedding-seam flow: join + cosine +
     // per-doc argmax + threshold, in pure SQL over INPUT-derived VALUES
     "x40_semantic_embedded" -> {
