@@ -458,21 +458,23 @@ object FixtureQueries {
     // north rule's interleaved text+media table.
     "x52_interleaved_pack" -> ((s, _) => {
       val spans = result(s).outSpans.toDF()
+      // pack + join back on doc_id itself (packSequencesBy keeps the key's
+      // native type) — a parsed numeric prefix as the join key would
+      // cross-match rows if two ids ever shared a prefix or one lacked it
       val costs = spans.select(
           col("doc_id"),
-          regexp_extract(col("doc_id"), "^(\\d+)", 1).cast("long").as("doc_ord"),
           when(col("kind") === "media", lit(576L))
             .otherwise(size(split(trim(lower(col("text"))), "\\s+")).cast("long"))
             .as("cost"),
           when(col("kind") === "media", lit(1L)).otherwise(lit(0L)).as("is_media"))
-        .groupBy(col("doc_id"), col("doc_ord"))
+        .groupBy(col("doc_id"))
         .agg(sum("cost").as("doc_cost"), count(lit(1)).as("n_spans"),
           sum("is_media").as("n_media"))
-      val packed = graft.ops.Packing.packSequences(
-        costs.select(col("doc_ord"), col("doc_cost")),
-        "doc_ord", "doc_cost", budget = 256L)
-      costs.join(packed.select(col("doc_ord"), col("stream_offset"),
-          col("seq_id"), col("offset_in_seq")), Seq("doc_ord"))
+      val packed = graft.ops.Packing.packSequencesBy(
+        costs.select(col("doc_id"), col("doc_cost")),
+        "doc_id", "doc_cost", budget = 256L)
+      costs.join(packed.select(col("doc_id"), col("stream_offset"),
+          col("seq_id"), col("offset_in_seq")), Seq("doc_id"))
         .select(col("doc_id"), col("doc_cost"), col("n_spans"), col("n_media"),
           col("stream_offset"), col("seq_id"), col("offset_in_seq"))
     }),
@@ -586,23 +588,22 @@ object FixtureQueries {
     // salted extraction must be bit-identical to the unsalted pipeline
     "x38_salted_extract" -> FixtureGoldens.oracleSql("x05_fixture_spans"),
     // x52: the packing math replayed over x05's golden span VALUES — per-doc
-    // modality-priced cost, exclusive prefix sum in doc_ord order, integer
-    // div/mod by the 256-token budget
+    // modality-priced cost, exclusive prefix sum in doc_id (lexicographic)
+    // order, integer div/mod by the 256-token budget
     "x52_interleaved_pack" ->
       s"""WITH spans AS (${FixtureGoldens.oracleSql("x05_fixture_spans")}),
          |costs AS (
          |  SELECT doc_id,
-         |    CAST(regexp_extract(doc_id, '^(\\d+)', 1) AS BIGINT) AS doc_ord,
          |    CAST(sum(CASE WHEN kind = 'media' THEN 576
          |         ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
          |         END) AS BIGINT) AS doc_cost,
          |    count(*) AS n_spans,
          |    CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT)
          |      AS n_media
-         |  FROM spans GROUP BY 1, 2),
+         |  FROM spans GROUP BY 1),
          |packed AS (
          |  SELECT *,
-         |    CAST(COALESCE(sum(doc_cost) OVER (ORDER BY doc_ord
+         |    CAST(COALESCE(sum(doc_cost) OVER (ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
          |      AS stream_offset
          |  FROM costs)

@@ -608,10 +608,16 @@ object SparkEntry {
       //      propagation, one 16-byte-row shuffle per round, rounds bounded
       //      by the (tiny) cluster diameter. Oracle: recursive CTE over the
       //      SAME pair SQL as q14.
+      //      localSolveEdges=0 pins the DISTRIBUTED large-star/small-star
+      //      contraction under the cross-engine gate (q53/q57 exercise the
+      //      hybrid local tail, the driver-scale default) — without it every
+      //      driver-scale run would take the pre-loop union-find path and
+      //      the contraction rounds would be covered by unit tests only
       "q37_dup_clusters" -> ((s, d) =>
         graft.ops.Components.dupClusters(
           graft.ops.Dedup.ngramJaccardPairs(t(s, d, "documents"),
-            minJaccardBp = 2000L))),
+            minJaccardBp = 2000L),
+          localSolveEdges = 0L)),
       // ---- the FULL keeper manifest: q37's clustering plus singleton
       //      rows for every pair-less doc (includeIsolatedFrom), running
       //      with DURABLE per-round checkpoints (executor-loss-safe star

@@ -24,10 +24,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * same ordered folds and stay hash-identical; pinned in OpsSpec).
   *
   * Both sides must be non-null equal-length arrays with non-null elements
-  * (embedding columns are by construction).
+  * (embedding columns are by construction). These are ALSO registered as
+  * public SQL functions (graft_vec_dot / graft_vec_l2sq), so arbitrary user
+  * SQL reaches them: unequal-length inputs return NULL (checked before the
+  * loop — an unchecked a.getDouble(i) past b's end reads raw UnsafeArrayData
+  * bytes and returns silent garbage), matching the null the replaced
+  * aggregate/zip_with fold produced on length mismatch.
   */
 abstract class VecFold extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // NULL on length mismatch even when both children are non-nullable.
+  override def nullable: Boolean = true
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -49,6 +56,7 @@ abstract class VecFold extends BinaryExpression {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0d
     var i = 0
     while (i < n) {
@@ -65,11 +73,15 @@ abstract class VecFold extends BinaryExpression {
       val acc = ctx.freshName("acc")
       s"""
          |int $n = $a.numElements();
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${stepJava(acc, a, b, i)}
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    ${stepJava(acc, a, b, i)}
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 }
@@ -114,9 +126,17 @@ case class VecL2Sq(left: Expression, right: Expression) extends VecFold {
   * the same ascending-index fold per distance (bit-equal doubles), strict
   * `<` keeps the first minimum (= lowest j on ties), and an all-NaN row
   * returns 0 exactly as NaN-last struct ordering does.
+  *
+  * The matrix parameter is an IndexedSeq (structural equality), not an
+  * Array (reference equality): case-class equals over an Array field made
+  * two semantically identical expressions never compare equal, silently
+  * defeating common-subexpression elimination and exchange reuse. The
+  * eval/codegen path converts once to double[][].
   */
-case class VecArgMinL2(child: Expression, centroids: Array[Array[Double]])
+case class VecArgMinL2(child: Expression, centroidRows: IndexedSeq[IndexedSeq[Double]])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  @transient private lazy val centroids: Array[Array[Double]] =
+    centroidRows.map(_.toArray).toArray
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def prettyName: String = "graft_vec_argmin_l2"
   override def checkInputDataTypes()
@@ -187,9 +207,17 @@ case class VecArgMinL2(child: Expression, centroids: Array[Array[Double]])
   * method; at adaptiveBits' 24-bit ceiling x 4 tables that is 96 kernels).
   * Identical semantics to sum_j(if dot_j > 0 then 1L << j else 0): same
   * ascending-index dot folds, strict > (a NaN dot sets no bit).
+  *
+  * At most 64 planes fit one long signature: for j >= 64, `1L << j` wraps
+  * mod 64 and silently corrupts bit j-64 — guarded at construction.
+  * IndexedSeq parameter for structural equality (see [[VecArgMinL2]]).
   */
-case class VecSignBits(child: Expression, planes: Array[Array[Double]])
+case class VecSignBits(child: Expression, planeRows: IndexedSeq[IndexedSeq[Double]])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(planeRows.length <= 64,
+    s"VecSignBits packs sign bits into one long; got ${planeRows.length} planes (max 64)")
+  @transient private lazy val planes: Array[Array[Double]] =
+    planeRows.map(_.toArray).toArray
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "graft_vec_signbits"
   override def checkInputDataTypes()
@@ -256,10 +284,10 @@ object VecOps {
   def selfDot(a: Column): Column = dot(a, a)
   /** Index of the nearest centroid by squared L2, ties to the lowest index. */
   def argMinL2(vec: Column, centroids: Array[Array[Double]]): Column =
-    column(VecArgMinL2(expression(vec), centroids))
-  /** nBits-plane sign-bit signature as one long. */
+    column(VecArgMinL2(expression(vec), centroids.map(_.toIndexedSeq).toIndexedSeq))
+  /** nBits-plane sign-bit signature as one long (<= 64 planes). */
   def signBits(vec: Column, planes: Array[Array[Double]]): Column =
-    column(VecSignBits(expression(vec), planes))
+    column(VecSignBits(expression(vec), planes.map(_.toIndexedSeq).toIndexedSeq))
 
   /** SQL registration: graft_vec_dot(a, b), graft_vec_l2sq(a, b). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

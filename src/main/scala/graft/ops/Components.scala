@@ -114,8 +114,11 @@ object Components {
     * component's min id.
     *
     * Output matches [[connectedComponents]] row-for-row (property-tested
-    * on random graphs); q37 runs THIS path, so the driver's recursive-CTE
-    * oracle pins the contraction, not just the simple loop. */
+    * on random graphs). With the default `localSolveEdges`, driver-scale
+    * inputs finish in the local union-find tail before any distributed
+    * round runs — q37 therefore registers with `localSolveEdges = 0` so
+    * the contraction rounds themselves stay pinned by the cross-engine
+    * recursive-CTE oracle (q53/q57 cover the hybrid tail). */
   def connectedComponentsStar(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", maxIter: Int = 40,
       checkpointDir: Option[String] = None,
@@ -239,9 +242,10 @@ object Components {
   def dupClusters(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b",
       includeIsolatedFrom: Option[DataFrame] = None,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      localSolveEdges: Long = 200000L): DataFrame = {
     val clustered = connectedComponentsStar(pairs, aCol, bCol,
-      checkpointDir = checkpointDir)
+      checkpointDir = checkpointDir, localSolveEdges = localSolveEdges)
       .groupBy("component")
       .agg(count(lit(1)).as("n_docs"))
     includeIsolatedFrom match {

@@ -38,15 +38,27 @@ object Packing {
     * @return input columns + stream_offset (exclusive global prefix sum),
     *         seq_id, offset_in_seq */
   def packSequences(docs: DataFrame, orderCol: String, weightCol: String,
+      budget: Long, partitions: Int = 0): DataFrame =
+    pack(docs.select(col(orderCol).cast("long").as(orderCol), col(weightCol)),
+      orderCol, weightCol, budget, partitions)
+
+  /** [[packSequences]] ordering by the key column's NATIVE type (string
+    * doc_ids pack in lexicographic order) instead of a long cast — no
+    * numeric-prefix parsing, so non-numeric or prefix-colliding ids can't
+    * silently alias to the same order key. */
+  def packSequencesBy(docs: DataFrame, orderCol: String, weightCol: String,
+      budget: Long, partitions: Int = 0): DataFrame =
+    pack(docs, orderCol, weightCol, budget, partitions)
+
+  private def pack(docs: DataFrame, orderCol: String, weightCol: String,
       budget: Long, partitions: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val spark = docs.sparkSession
-    import spark.implicits._
+    val keyType = docs.schema(orderCol).dataType
     val n = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
     val parted = docs
-      .select(col(orderCol).cast("long").as("__ord"),
-        col(weightCol).cast("long").as("__w"))
+      .select(col(orderCol).as("__ord"), col(weightCol).cast("long").as("__w"))
       .repartitionByRange(n, col("__ord"))
       .sortWithinPartitions("__ord")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -58,16 +70,22 @@ object Packing {
         .collect().sortBy(_._1).map(_._2)
       val bases = totals.scanLeft(0L)(_ + _) // exclusive scan, length n+1
       val basesB = spark.sparkContext.broadcast(bases)
-      val packed = parted.rdd
+      val packedRdd = parted.rdd
         .mapPartitionsWithIndex { (i, it) =>
           var acc = basesB.value(i)
           it.map { r =>
             val off = acc
             acc += r.getLong(1)
-            (r.getLong(0), r.getLong(1), off)
+            org.apache.spark.sql.Row(r.get(0), r.getLong(1), off)
           }
         }
-        .toDF("__ord", "n_tokens", "stream_offset")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__ord", keyType),
+        org.apache.spark.sql.types.StructField("n_tokens",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("stream_offset",
+          org.apache.spark.sql.types.LongType)))
+      val packed = spark.createDataFrame(packedRdd, schema)
         .select(col("__ord").as(orderCol), col("n_tokens"), col("stream_offset"),
           // integer div, not double division — exact past 2^53 offsets
           expr(s"stream_offset div CAST($budget AS BIGINT)").as("seq_id"),

@@ -407,6 +407,69 @@ class SimilaritySpec extends AnyFunSuite {
       assert(narrow.toSeq == truncated.toSeq, s"truncation broke at $n")
     }
   }
+
+  test("VecSignBits equals the per-plane sign-bit spelling bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val planes = Similarity.hyperplanes(dim = 16, nBits = 24, seed = 3L)
+    val df = Seq.fill(200)(Array.fill(16)(rnd.nextGaussian()))
+      .map(Tuple1(_)).toDF("emb")
+    // the spelling the kernel replaced: sum_j(if dot_j > 0 then 1L << j)
+    val perPlane = planes.zipWithIndex.map { case (p, j) =>
+      when(graft.functions.VecOps.dot(col("emb"), lit(p)) > lit(0.0d),
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val both = df.select(
+      Similarity.signature(col("emb"), planes).as("k"),
+      perPlane.as("f")).collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    assert(both.map(_.getLong(0)).distinct.length > 100) // non-degenerate
+  }
+
+  test("VecSignBits rejects more than 64 planes (1L<<j wraps mod 64)") {
+    val planes = Similarity.hyperplanes(dim = 4, nBits = 65, seed = 1L)
+    intercept[IllegalArgumentException] {
+      graft.functions.VecOps.signBits(col("emb"), planes.toArray)
+    }
+  }
+
+  test("graft_vec_dot / graft_vec_l2sq return NULL on unequal-length arrays") {
+    import spark.implicits._
+    graft.functions.VecOps.register(spark)
+    // interpreted path (LocalRelation literals constant-fold)
+    val lit0 = spark.sql(
+      "SELECT graft_vec_dot(array(1.0d,2.0d), array(1.0d)) a, " +
+        "graft_vec_l2sq(array(1.0d,2.0d), array(1.0d)) b, " +
+        "graft_vec_dot(array(1.0d,2.0d), array(3.0d,4.0d)) c").head()
+    assert(lit0.isNullAt(0) && lit0.isNullAt(1))
+    assert(lit0.getDouble(2) == 11.0)
+    // codegen path over a real scan
+    val df = Seq((Array(1.0d, 2.0d), Array(1.0d)),
+      (Array(1.0d, 2.0d), Array(3.0d, 4.0d))).toDF("a", "b")
+    val rows = df.select(
+      graft.functions.VecOps.dot(col("a"), col("b")).as("d"),
+      graft.functions.VecOps.l2sq(col("a"), col("b")).as("l"))
+      .collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(rows(1).getDouble(0) == 11.0)
+    assert(rows(1).getDouble(1) == 8.0)
+  }
+
+  test("kernel expressions with equal matrices compare equal (CSE-able)") {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val attr = AttributeReference("emb", ArrayType(DoubleType))()
+    // fresh matrix each call: the old Array[Array[Double]] parameter made
+    // these compare by reference, silently defeating CSE/exchange reuse
+    def m() = Array(Array(1.0, 2.0), Array(3.0, 4.0))
+      .map(_.toIndexedSeq).toIndexedSeq
+    assert(graft.functions.VecArgMinL2(attr, m())
+      == graft.functions.VecArgMinL2(attr, m()))
+    assert(graft.functions.VecSignBits(attr, m().take(1))
+      == graft.functions.VecSignBits(attr, m().take(1)))
+    assert(graft.functions.VecArgMinL2(attr, m())
+      .semanticEquals(graft.functions.VecArgMinL2(attr, m())))
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
