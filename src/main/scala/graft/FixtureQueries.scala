@@ -112,12 +112,33 @@ object FixtureQueries {
       SemanticMatch.findSummaryTextEmbedded(docs, emb,
         Seq(ta.toDouble, tb.toDouble, tc.toDouble))
     }),
-    // multimodal metadata decode over the deterministic synthetic corpus
-    // (batched mapPartitions plumbing; kinds/dims/frames are VALUES-oracle-able)
-    "x10_multimodal_meta" -> ((s, _) =>
-      graft.ops.Multimodal.metaFrame(graft.ops.Multimodal.synthCorpus(s, 48))
+    // multimodal metadata decode: stub-container rows (audio/video codecs
+    // absent in this env) UNIONED with real PNG fixtures decoded through
+    // javax.imageio (media_id 100+; their width/height/payload_bytes come
+    // out of the actual codec, and the golden VALUES derive them from the
+    // fixture spec — pixel-level truth is x53)
+    "x10_multimodal_meta" -> ((s, _) => {
+      val stub = graft.ops.Multimodal.metaFrame(graft.ops.Multimodal.synthCorpus(s, 48))
+      val real = graft.ops.Multimodal.metaFrame(graft.ops.Multimodal.fixtureImages(s))
+      stub.unionByName(real)
         .select(col("media_id"), col("doc_id"), col("kind"), col("width"),
-          col("height"), col("frames"), col("payload_bytes"), col("aspect_milli"))),
+          col("height"), col("frames"), col("payload_bytes"), col("aspect_milli"))
+    }),
+    // REAL image decode, pixel-level: bytes -> JDK PNG codec -> channel
+    // sums; the oracle replays the pixel FORMULA in SQL (no codec), so a
+    // decoder bug (stride, channel order, color model) breaks the hash
+    "x53_image_pixel_stats" -> ((s, _) =>
+      graft.ops.Multimodal.imageStats(graft.ops.Multimodal.fixtureImages(s)).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))),
+    // REAL resize (nearest-neighbor decode->transform->re-encode->decode):
+    // out(x,y) = in(x*w/8, y*h/6), so the oracle recomputes the resized
+    // sums from the same formula with integer-division index mapping
+    "x54_image_resize" -> ((s, _) =>
+      graft.ops.Multimodal.imageStats(graft.ops.Multimodal.resizeImages(
+          graft.ops.Multimodal.fixtureImages(s), targetW = 8, targetH = 6)).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))),
     // S3/S4/S6: commit + anti-join resume round-trip; counts are the
     // observable contract (run 1 "crashes" after 9 docs; resume finishes)
     "x11_resume_counts" -> ((s, _) => {
@@ -557,6 +578,45 @@ object FixtureQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // x53: the pixel FORMULA replayed in SQL — Spark's row went pixel
+    // formula -> PNG encode -> javax.imageio decode -> channel-sum loop;
+    // the oracle never touches a codec, so any decoder defect (stride,
+    // channel order, color model, lossy write) breaks the hash
+    "x53_image_pixel_stats" ->
+      """WITH ids AS (SELECT CAST(i AS INTEGER) AS id FROM range(0,8) t(i)),
+        |xs AS (SELECT CAST(i AS INTEGER) AS x FROM range(0,23) t(i)),
+        |ys AS (SELECT CAST(i AS INTEGER) AS y FROM range(0,19) t(i)),
+        |px AS (
+        |  SELECT id, x, y,
+        |    (x*7 + y*13 + id*31) % 256 AS r,
+        |    (x*3 + y*5 + id*17) % 256 AS g,
+        |    (x*11 + y*2 + id*23) % 256 AS b
+        |  FROM ids, xs, ys
+        |  WHERE x < 16 + id AND y < 12 + id)
+        |SELECT 100 + id AS media_id, 16 + id AS width, 12 + id AS height,
+        |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
+    // x54: nearest-neighbor resize truth — out(x,y) = in(x*w//8, y*h//6),
+    // formula applied to the SOURCE indices in SQL while Spark's path is
+    // decode -> setRGB resample -> PNG re-encode -> decode -> sums
+    "x54_image_resize" ->
+      """WITH ids AS (SELECT CAST(i AS INTEGER) AS id FROM range(0,8) t(i)),
+        |xs AS (SELECT CAST(i AS INTEGER) AS x FROM range(0,8) t(i)),
+        |ys AS (SELECT CAST(i AS INTEGER) AS y FROM range(0,6) t(i)),
+        |src AS (
+        |  SELECT id, (x*(16+id))//8 AS sx, (y*(12+id))//6 AS sy
+        |  FROM ids, xs, ys),
+        |ch AS (
+        |  SELECT id,
+        |    (sx*7 + sy*13 + id*31) % 256 AS r,
+        |    (sx*3 + sy*5 + id*17) % 256 AS g,
+        |    (sx*11 + sy*2 + id*23) % 256 AS b
+        |  FROM src)
+        |SELECT 100 + id AS media_id, 8 AS width, 6 AS height,
+        |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM ch GROUP BY 1""".stripMargin,
     "x04_fixture_month" ->
       s"""WITH page1(doc_id, text) AS (VALUES
          |  $page1Values)

@@ -522,8 +522,13 @@ object SparkEntry {
           docs.filter(col("doc_id") % 7 === 3),
           minJaccardBp = 2000L)
       }),
-      // ---- SimHash near-dup pairs (oracle rebuilds the 64-bit signature
-      //      from per-token char-fold hashes in HUGEINT)
+      // ---- BANDED SimHash near-dup candidate pairs (oracle rebuilds the
+      //      64-bit signature from per-token char-fold hashes in HUGEINT
+      //      and replays the SAME band predicate). At 4 bands the result
+      //      is COMPLETE only for hamming <= 3; emitted hamming goes up to
+      //      18 but pairs whose differing bits spread across all 4 bands
+      //      are candidate-excluded by design — see the simhashPairs
+      //      contract scaladoc + DedupSpec's completeness-boundary pin
       "q16_simhash_pairs" -> ((s, d) =>
         Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 18)),
       // ---- cross-document duplicate substrings (hash-shuffle analog of

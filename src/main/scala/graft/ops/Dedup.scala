@@ -371,18 +371,47 @@ object Dedup {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
-  /** SimHash near-dup pairs: 4 x 16-bit band blocking, verified by full
-    * Hamming distance <= maxHamming. The signature is a native Catalyst
-    * expression (graft.functions.SimHash64) so the whole plan — signature,
-    * banding, join, bit_count verify — stays inside codegen with no typed
-    * encoder round-trip. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+  /** BANDED SimHash near-dup candidate pairs: nBands equal-width band
+    * blocking over the 64-bit signature, verified by full Hamming distance
+    * <= maxHamming.
+    *
+    * CONTRACT (the standard banded-SimHash candidate semantics, stated
+    * precisely): a qualifying pair is emitted iff the two signatures agree
+    * EXACTLY on at least one band. By pigeonhole that makes the result
+    * COMPLETE for hamming <= nBands-1; pairs at larger distances are
+    * reported only when their differing bits happen to leave a band
+    * untouched — e.g. at q16's registration (4 bands, maxHamming=18) a
+    * hamming-4 pair whose four bits hit all four bands is silently
+    * excluded (pinned in DedupSpec). For guaranteed recall at distance h,
+    * call with nBands >= h+1 (band width shrinks and candidate volume
+    * grows — the recall/cost dial every banded scheme trades on). The q16
+    * oracle replays the identical band predicate, so the cross-engine
+    * gate pins these exact semantics.
+    *
+    * The signature is a native Catalyst expression
+    * (graft.functions.SimHash64) so the whole plan — signature, banding,
+    * join, bit_count verify — stays inside codegen with no typed encoder
+    * round-trip. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 6,
+      nBands: Int = 4): DataFrame = {
     val sigs = docs.select(col("doc_id"),
       graft.functions.SimHash64.simhash64Col(col("text")).as("sig"))
+    bandedSimhashPairs(sigs, maxHamming, nBands)
+  }
+
+  /** Band-join + exact-verify core over precomputed (doc_id, sig) rows —
+    * split out so the band-completeness boundary is unit-testable on
+    * hand-built signatures. */
+  private[ops] def bandedSimhashPairs(sigs: DataFrame, maxHamming: Int,
+      nBands: Int): DataFrame = {
+    require(nBands > 0 && 64 % nBands == 0,
+      s"nBands must divide 64, got $nBands")
+    val width = 64 / nBands
+    val mask = if (width == 64) lit(-1L) else lit((1L << width) - 1)
     val banded = sigs.select(
       col("doc_id"), col("sig"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+      posexplode(array((0 until nBands).map(b =>
+        shiftrightunsigned(col("sig"), b * width).bitwiseAND(mask)): _*))
         .as(Seq("band", "bits")))
     val a = banded.select(col("band"), col("bits"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))

@@ -26,6 +26,18 @@ import graft.ops.Dedup
   * input. On a finite replay the verified union across batches must equal
   * the batch operator exactly, which gives the streaming variant q15's
   * DuckDB oracle (driver query x51).
+  *
+  * STATE BOUND: an infinite stream with one viral duplicate would
+  * otherwise grow a single bucket's doc list — and its per-arrival pair
+  * fan-out — without limit. Each bucket therefore caps its member list at
+  * `maxBucketDocs`; once full, a new arrival emits ONE candidate edge
+  * against the bucket's first-seen representative instead of one per
+  * member, and does NOT join the state. A full bucket is by definition an
+  * already-detected dup cluster, and the representative edge keeps every
+  * overflow doc connected to that cluster (the downstream connected-
+  * components pass yields the same components), so what the cap suppresses
+  * is only redundant intra-cluster edges — pair count per arrival drops
+  * from O(bucket) to 1, state per bucket stays <= maxBucketDocs longs.
   */
 object StreamNearDup {
 
@@ -33,24 +45,38 @@ object StreamNearDup {
   final case class BucketRow(band: Int, bucket: Long, doc_id: Long)
   final case class Cand(doc_a: Long, doc_b: Long)
 
+  /** Default per-bucket member cap (256 longs = 2 KB of state per occupied
+    * bucket, worst case). */
+  val DefaultMaxBucketDocs = 256
+
   /** The stateful pair-emitting core, shared by the replay harness and any
     * real readStream topology. */
-  private[streaming] def emitPairs(key: (Int, Long), rows: Iterator[BucketRow],
+  private[streaming] def emitPairs(maxBucketDocs: Int)(key: (Int, Long),
+      rows: Iterator[BucketRow],
       state: GroupState[Seq[Long]]): Iterator[Cand] = {
     val seen = state.getOption.getOrElse(Seq.empty)
     val seenSet = seen.toSet
     val arrived = rows.map(_.doc_id).toSeq.distinct
       .filterNot(seenSet).sorted
+    // room left under the cap joins the bucket; the rest are overflow
+    val (joining, overflow) = arrived.splitAt(
+      math.max(maxBucketDocs - seen.size, 0))
     val amongNew = for {
-      i <- arrived.indices.iterator
-      j <- (i + 1 until arrived.length).iterator
-    } yield Cand(arrived(i), arrived(j))
+      i <- joining.indices.iterator
+      j <- (i + 1 until joining.length).iterator
+    } yield Cand(joining(i), joining(j))
     val vsSeen = for {
-      n <- arrived.iterator
+      n <- joining.iterator
       s <- seen.iterator
     } yield Cand(math.min(n, s), math.max(n, s))
-    if (arrived.nonEmpty) state.update(seen ++ arrived)
-    amongNew ++ vsSeen
+    // saturated bucket: one representative edge per overflow arrival —
+    // connectivity without the O(bucket) fan-out or state growth
+    val rep = seen.headOption.orElse(joining.headOption)
+    val overflowEdges = rep.iterator.flatMap(r =>
+      overflow.iterator.filter(_ != r)
+        .map(o => Cand(math.min(o, r), math.max(o, r))))
+    if (joining.nonEmpty) state.update(seen ++ joining)
+    amongNew ++ vsSeen ++ overflowEdges
   }
 
   /** Drive the stateful near-dup over a FINITE corpus replayed in two
@@ -59,7 +85,8 @@ object StreamNearDup {
     * source and verify inside foreachBatch against the committed table. */
   def replayNearDupPairs(spark: SparkSession, docs: Seq[Doc],
       nHashes: Int = 32, bands: Int = 8, minJaccardBp: Long = 7000L,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucketDocs: Int = DefaultMaxBucketDocs): DataFrame = {
     import spark.implicits._
     val params = Dedup.hashParams(nHashes, seed)
     val rowsPerBand = nHashes / bands
@@ -72,7 +99,7 @@ object StreamNearDup {
         }
         .groupByKey(r => (r.band, r.bucket))
         .flatMapGroupsWithState(OutputMode.Append,
-          GroupStateTimeout.NoTimeout)(emitPairs)
+          GroupStateTimeout.NoTimeout)(emitPairs(maxBucketDocs))
         .toDF()
     }
     Dedup.verifyPairs(cands.distinct(), spark.createDataset(docs).toDF(),

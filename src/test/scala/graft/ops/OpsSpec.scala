@@ -126,6 +126,28 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("banded-SimHash completeness boundary: <= nBands-1 guaranteed, " +
+      "spread bits candidate-excluded, more bands restore recall") {
+    val sigs = Seq(
+      (0L, 0L),
+      // hamming 4, ONE differing bit in EACH 16-bit band — the
+      // adversarial pair the contract documents as excluded at 4 bands
+      (1L, (1L << 0) | (1L << 16) | (1L << 32) | (1L << 48)),
+      (2L, 0xFL), // hamming 4 concentrated in band 0: 3 clean bands
+      (3L, 7L))   // hamming 3: pigeonhole guarantees a clean band
+      .toDF("doc_id", "sig")
+    def run(nBands: Int) =
+      Dedup.bandedSimhashPairs(sigs, maxHamming = 18, nBands = nBands)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val p4 = run(4)
+    assert(!p4.contains((0L, 1L))) // documented exclusion
+    assert(p4.contains((0L, 2L)))
+    assert(p4.contains((0L, 3L)))
+    // nBands >= h+1: the same spread pair becomes guaranteed (8 bands of
+    // 8 bits — its 4 bits land in bands 0/2/4/6, leaving 1/3/5/7 clean)
+    assert(run(8).contains((0L, 1L)))
+  }
+
   test("simhashPairs is expression-only end to end (no UDF, no typed-map boundary)") {
     // a parquet-backed input: over a LocalRelation the optimizer evaluates
     // the (deterministic) signature expression at PLANNING time and it
@@ -501,6 +523,65 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.forall(_.frame_idx % 4 == 0))
     val kinds = Multimodal.decodeMeta(media).collect().map(m => m.media_id -> m.kind).toMap
     assert(byId.keySet.forall(id => kinds(id) == "video"))
+  }
+
+  test("real PNG decode recovers the exact fixture pixels") {
+    val stats = Multimodal.imageStats(Multimodal.fixtureImages(spark, 4))
+      .collect().map(s => s.media_id -> s).toMap
+    (0 until 4).foreach { id =>
+      val (w, h) = (16 + id, 12 + id)
+      var (er, eg, eb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = Multimodal.fixturePixel(id, x, y)
+        er += (p >> 16) & 0xff; eg += (p >> 8) & 0xff; eb += p & 0xff
+      }
+      val s = stats(100L + id)
+      assert((s.width, s.height) == ((w, h)))
+      assert((s.sum_r, s.sum_g, s.sum_b) == ((er, eg, eb)), s"image $id")
+    }
+  }
+
+  test("JPEG payloads take the real codec path (dims exact, pixels lossy-close)") {
+    import spark.implicits._
+    // encode one fixture image as JPEG with the JDK writer
+    val img = new java.awt.image.BufferedImage(16, 12,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 12; x <- 0 until 16)
+      img.setRGB(x, y, Multimodal.fixturePixel(0, x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val media = spark.createDataset(
+      Seq(Multimodal.MediaRow(500L, 0L, "image", bos.toByteArray)))
+    val meta = Multimodal.decodeMeta(media).collect().head
+    assert((meta.width, meta.height, meta.kind, meta.frames) == ((16, 12, "image", 1)))
+    // JPEG is lossy: per-channel MEAN must land near the source mean
+    var (er, eg, eb) = (0L, 0L, 0L)
+    for (y <- 0 until 12; x <- 0 until 16) {
+      val p = Multimodal.fixturePixel(0, x, y)
+      er += (p >> 16) & 0xff; eg += (p >> 8) & 0xff; eb += p & 0xff
+    }
+    val s = Multimodal.imageStats(media).collect().head
+    val n = 16 * 12
+    assert(math.abs(s.sum_r - er).toDouble / n < 16.0)
+    assert(math.abs(s.sum_g - eg).toDouble / n < 16.0)
+    assert(math.abs(s.sum_b - eb).toDouble / n < 16.0)
+  }
+
+  test("nearest-neighbor resize round-trips exact resampled pixels") {
+    val out = Multimodal.imageStats(Multimodal.resizeImages(
+      Multimodal.fixtureImages(spark, 2), targetW = 8, targetH = 6))
+      .collect().map(s => s.media_id -> s).toMap
+    (0 until 2).foreach { id =>
+      val (w, h) = (16 + id, 12 + id)
+      var (er, eg, eb) = (0L, 0L, 0L)
+      for (y <- 0 until 6; x <- 0 until 8) {
+        val p = Multimodal.fixturePixel(id, x * w / 8, y * h / 6)
+        er += (p >> 16) & 0xff; eg += (p >> 8) & 0xff; eb += p & 0xff
+      }
+      val s = out(100L + id)
+      assert((s.width, s.height) == ((8, 6)))
+      assert((s.sum_r, s.sum_g, s.sum_b) == ((er, eg, eb)), s"image $id")
+    }
   }
 }
 

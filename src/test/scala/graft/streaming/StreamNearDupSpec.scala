@@ -52,8 +52,8 @@ class StreamNearDupSpec extends AnyFunSuite {
           .map { case (b, band) => StreamNearDup.BucketRow(band, b, d.doc_id) }
       }
       .groupByKey(r => (r.band, r.bucket))
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(StreamNearDup.emitPairs)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        StreamNearDup.emitPairs(StreamNearDup.DefaultMaxBucketDocs))
       .toDF()
       .writeStream.format("memory").queryName(qname).outputMode("append")
       .start()
@@ -82,5 +82,37 @@ class StreamNearDupSpec extends AnyFunSuite {
         all.contains((a, b))
       })
     } finally q.stop()
+  }
+
+  test("hot bucket: state capped, overflow emits one representative edge, " +
+      "cluster stays connected") {
+    spark.sparkContext.setLogLevel("WARN")
+    // one viral duplicate: 30 identical docs — every band's bucket is the
+    // same hot bucket, the unbounded-state adversary from round 3
+    val hot = (0L until 30L).map(i =>
+      StreamNearDup.Doc(i, "alpha bravo charlie delta echo foxtrot golf " +
+        "hotel india juliet kilo lima"))
+    val cap = 4
+    val verified = StreamNearDup.replayNearDupPairs(spark, hot,
+        minJaccardBp = 2000L, maxBucketDocs = cap)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // uncapped this is C(30,2)=435 pairs; capped: C(4,2) intra-bucket +
+    // one representative edge per overflow doc = 6 + 26
+    assert(verified.size == 6 + 26, s"got ${verified.size}")
+    // overflow arrivals pair ONLY with the first-seen representative (0)
+    verified.filter { case (a, b) => b >= cap }
+      .foreach { case (a, b) => assert(a == 0L, s"($a,$b)") }
+    // connectivity preserved: union-find over the emitted edges yields ONE
+    // component containing all 30 docs — downstream dupClusters output is
+    // unchanged by the cap
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    verified.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    assert((0L until 30L).map(find).toSet == Set(0L))
   }
 }
