@@ -573,10 +573,16 @@ object SparkEntry {
       }),
       // ---- SemDeDup: IVF cells bound the pair set (sum(cell²), not n²/2),
       //      exact cosine within cells, star-contraction components, keeper
-      //      manifest per vector; oracle replays centroids + closure
-      "q57_semantic_dedup" -> ((s, d) =>
-        Similarity.semanticDedup(t(s, d, "embeddings"),
-          nLists = 16, iters = 2, minSimMicro = 400000L)),
+      //      manifest per vector; oracle replays centroids + closure.
+      //      Cell count tracks the corpus (adaptiveLists — the SemDeDup
+      //      scaling knob), and the oracle replays the same count→lists
+      //      rule in SQL, so the query is scale-robust like q19.
+      "q57_semantic_dedup" -> ((s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.semanticDedup(emb,
+          nLists = Similarity.adaptiveLists(emb.count()),
+          iters = 2, minSimMicro = 400000L)
+      }),
       // ---- bucketed co-located join: both sides written bucketed by the
       //      join key, so the sort-merge join needs ZERO shuffle exchanges
       //      (the write-once / join-free-forever layout for doc-keyed
@@ -1908,8 +1914,8 @@ object SparkEntry {
       Similarity.ivfKnnSql(queryPred = "e.vec_id < 20", k = 5, nLists = 16,
         nProbe = 4, iters = 2, dim = 64),
     "q57_semantic_dedup" ->
-      Similarity.semanticDedupSql(nLists = 16, iters = 2, dim = 64,
-        minSimMicro = 400000L),
+      Similarity.semanticDedupSql(nListsSql = Similarity.adaptiveListsSql(),
+        iters = 2, dim = 64, minSimMicro = 400000L),
     "x20_bucketed_join" ->
       """SELECT 'joined_rows' AS metric, count(*) AS n FROM documents
         |UNION ALL SELECT 'shuffle_exchanges_join', 0""".stripMargin,

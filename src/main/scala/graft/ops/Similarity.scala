@@ -127,6 +127,23 @@ object Similarity {
     math.min(maxBits, math.max(4,
       math.ceil(math.log(math.max(n, 1).toDouble / targetBucket) / math.log(2)).toInt))
 
+  /** IVF cell count that keeps expected cell size ~`targetCell` as the
+    * corpus grows (nLists ∝ n ⇒ within-cell pair work sum(cell²) stays
+    * LINEAR in n — the SemDeDup scaling knob; a fixed nLists makes it
+    * quadratic). Same contract as [[adaptiveBits]] for the hyperplane
+    * family. At 500 corpus vectors this yields 16 — the previously
+    * registered fixed knob — so the driver-scale outputs are unchanged;
+    * at 50k it yields ~1.6k cells (vs the measured-toxic fixed 16, which
+    * put 3k+ vectors in every cell). */
+  def adaptiveLists(n: Long, targetCell: Int = 32, minLists: Int = 4): Int =
+    math.max(minLists,
+      math.ceil(math.max(n, 1).toDouble / targetCell).toInt)
+
+  /** [[adaptiveLists]] replayed in DuckDB SQL over CTE `emb` — keeps the
+    * q57 oracle exact at any scale factor (the q19 `nbits` pattern). */
+  def adaptiveListsSql(targetCell: Int = 32, minLists: Int = 4): String =
+    s"(SELECT greatest($minLists, CAST(ceil(count(*) / $targetCell.0) AS INT)) FROM emb)"
+
   /** Embedding-cosine near-duplicate pairs above a threshold (brute,
     * oracle-friendly; the LSH variant above is the scale path).
     *
@@ -301,12 +318,20 @@ object Similarity {
     * from `emb` through `assigned(vec_id, emb, list_id)`, without the WITH
     * keyword, so both the kNN (q23) and semantic-dedup (q57) oracles
     * replay the identical centroid evolution. */
-  private def ivfChainCtes(nLists: Int, iters: Int, dim: Int): String = {
+  private def ivfChainCtes(nLists: Int, iters: Int, dim: Int): String =
+    ivfChainCtes(nLists.toString, iters, dim)
+
+  /** `nListsSql` is either an integer literal or a scalar subquery over
+    * CTE `emb` (see [[adaptiveListsSql]]) — the init CTE filters on
+    * row_number instead of LIMIT so both forms replay identically. */
+  private def ivfChainCtes(nListsSql: String, iters: Int, dim: Int): String = {
     val quant = "list_transform(emb, x -> CAST(floor(x*1000000.0) AS BIGINT))"
     val init =
       s"""c0 AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, $quant AS cm
-         |  FROM emb ORDER BY vec_id LIMIT $nLists)""".stripMargin
+         |  SELECT j, cm FROM (
+         |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, $quant AS cm
+         |    FROM emb)
+         |  WHERE j < $nListsSql)""".stripMargin
     val rounds = (1 to iters).map { r =>
       val prev = s"c${r - 1}"
       s"""a$r AS (
@@ -436,12 +461,19 @@ object Similarity {
     * (dot / (norm_a * norm_b), norms computed once per side), and a
     * recursive-CTE closure for the components. */
   def semanticDedupSql(nLists: Int, iters: Int, dim: Int,
+      minSimMicro: Long): String =
+    semanticDedupSql(nLists.toString, iters, dim, minSimMicro)
+
+  /** Adaptive-knob variant: `nListsSql` replays [[adaptiveLists]] in SQL
+    * (pass [[adaptiveListsSql]]()) so the oracle stays exact as the
+    * corpus — and with it the registered cell count — grows. */
+  def semanticDedupSql(nListsSql: String, iters: Int, dim: Int,
       minSimMicro: Long): String = {
     def nrm(e: String) =
       s"sqrt(list_reduce(list_transform($e, x -> x*x), (x,y) -> x+y))"
     val dot =
       "list_reduce(list_transform(list_zip(a.emb, b.emb), p2 -> p2[1]*p2[2]), (x,y) -> x+y)"
-    s"""WITH RECURSIVE ${ivfChainCtes(nLists, iters, dim)},
+    s"""WITH RECURSIVE ${ivfChainCtes(nListsSql, iters, dim)},
        |normed AS (SELECT vec_id, emb, list_id, ${nrm("emb")} AS nrm FROM assigned),
        |pairs AS (
        |  SELECT a.vec_id AS src, b.vec_id AS dst

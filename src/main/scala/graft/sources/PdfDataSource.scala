@@ -133,7 +133,21 @@ object PdfScan {
 final class PdfScan(path: String, required: StructType,
     pushed: Array[org.apache.spark.sql.sources.Filter],
     limit: Int = Int.MaxValue) extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+  /** Runtime (DPP-style) filters Spark plants at execution time from the
+    * other side of a join — e.g. `In(doc_id, <broadcast dim keys>)`. They
+    * prune whole FILES before any reader opens them, the same way x30/x47
+    * prune parquet partitions: a dim-filtered join against a 10^12-doc
+    * byte corpus reads only the matching documents' files. Dropping an
+    * untranslatable runtime filter is always safe — the join itself
+    * still applies the predicate. */
+  private var runtime: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("doc_id"))
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    runtime = filters.filter(PdfScan.supportsFilter)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   // surfaced in explain() so pushed filters are plan-auditable
@@ -163,7 +177,7 @@ final class PdfScan(path: String, required: StructType,
     val files = Option(dir.listFiles())
       .getOrElse(throw new java.io.IOException(s"cannot list graft-pdf dir: $path"))
       .filter(f => f.isFile && f.getName.endsWith(".pdf"))
-      .filter(f => pushed.forall(PdfScan.evalFilter(_, f.getName)))
+      .filter(f => (pushed ++ runtime).forall(PdfScan.evalFilter(_, f.getName)))
       .sortBy(_.getName)
     files.map(f => PdfInputPartition(f.getAbsolutePath, f.getName): InputPartition)
   }

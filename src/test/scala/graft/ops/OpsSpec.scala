@@ -404,6 +404,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.adaptiveBits(1L << 40) == 24) // cap
   }
 
+  test("adaptiveLists keeps expected IVF cell size constant as the corpus grows") {
+    assert(Similarity.adaptiveLists(500) == 16)   // sf0.001/0.01 embeddings —
+    // equals the previously registered fixed knob, so driver-scale q57
+    // output is unchanged by the adaptive default
+    assert(Similarity.adaptiveLists(2000) == 63)  // sf0.1
+    assert(Similarity.adaptiveLists(50000) == 1563)
+    assert(Similarity.adaptiveLists(10) == 4)     // floor
+    // linear in n: cell size stays ~targetCell, so sum(cell²) stays ~n·cell
+    assert(Similarity.adaptiveLists(1000000) == 10 * Similarity.adaptiveLists(100000))
+  }
+
   test("hyperplane prefix property: nBits-signature == 20-bit signature % 2^nBits") {
     // q19's scale-robust oracle depends on BOTH identities: (a) the first
     // n planes of a wider family are the same planes (sequential seeded

@@ -79,6 +79,32 @@ class PdfSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime filtering prunes pdf FILES under a dim-filtered join") {
+    import org.apache.spark.sql.functions.col
+    // poison file: unparseable bytes. The join's dim side selects only
+    // f01, so IF Spark plants the runtime doc_id filter and the scan
+    // prunes on it, the poison file is never opened; any fallback to
+    // open-then-filter throws. Files-opened count is thereby pinned at 1.
+    val d = java.nio.file.Files.createTempDirectory("graft-pdfruntime").toFile
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d.getAbsolutePath, FixtureCorpus.f01.doc_id),
+      graft.io.Pdf.write(FixtureCorpus.f01))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d.getAbsolutePath, "zz.poison.pdf"),
+      Array[Byte](1, 2, 3, 4))
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-pdfdim").toString
+    Seq((FixtureCorpus.f01.doc_id, 1), ("zz.poison.pdf", 0))
+      .toDF("doc_id", "w").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("w") > 0).select("doc_id")
+    val facts = spark.read.format("graft-pdf").load(d.getAbsolutePath)
+    val joined = facts.join(dim, "doc_id")
+    val rows = joined.collect()
+    assert(rows.length == FixtureCorpus.f01.spans.length)
+    // the planted filter is plan-auditable (dynamicpruning on the v2 scan)
+    val plan = joined.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"), plan.take(3000))
+  }
+
   test("scan statistics report the (filtered) byte size of the file listing") {
     val all = new PdfScan(dir, graft.sources.PdfDataSource.Schema, Array.empty)
       .estimateStatistics()
