@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Components, Dedup, Similarity}
+
+/** Beyond-bench scale validation for the LOOP operators (the star
+  * contraction and IVF families), whose per-run cost is dominated by a
+  * fixed job count at driver scale — the one cost shape the sf0.1 bench
+  * cannot distinguish from "grows with the data". This harness runs the
+  * same operator code over synthetic corpora of the driver tables' shape
+  * (scripts/gen_scaled_docs.py, seed-fixed) at two or more sizes and
+  * reports, per corpus:
+  *
+  *  - wall-clock (min over SPARK_GRAFT_SCALE_REPS interleaved passes) and
+  *    output rows for each operator, and
+  *  - through [[Components.connectedComponentsStar]]'s onRound observer:
+  *    the deduped edge count, the contraction's rounds-to-converge, and
+  *    the per-round surviving-edge sequence — the direct evidence that
+  *    round count tracks cluster diameter (O(log² d)), not corpus size.
+  *
+  * The n-gram pair stage runs with shingleN=5: the generator's vocabulary
+  * is CLOSED (31 words), so the 3-gram space saturates near 50k docs and
+  * candidate generation goes quadratic — the documented escape hatch
+  * (BASELINE.md, SCALING.md lesson 2) widens the shingle space to 31⁵.
+  *
+  * Usage: SPARK_GRAFT_SCALE_CPUS=8 sbt 'runMain graft.ScaleCheck DIR...'
+  * where each DIR holds documents.parquet + embeddings.parquet. Prints one
+  * JSON line per corpus; results are transcribed into BASELINE.md.
+  */
+object ScaleCheck {
+
+  private def session(cores: Int): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-scale-check")
+      .config("spark.sql.shuffle.partitions", math.max(cores, 2))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) {
+      b.config("spark.local.dir", "/dev/shm/graft-scale-shuffle")
+    }
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Collects the contraction's round trace: initial deduped edges
+    * (round -1), surviving edges after each round, and the local-tail
+    * hand-off marker (edgesLeft == -1). */
+  private final class RoundTrace {
+    val rounds = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    def hook: (Int, Long) => Unit = (r, e) => rounds.synchronized {
+      rounds += ((r, e))
+    }
+    def initialEdges: Long =
+      rounds.find(_._1 == -1).map(_._2).getOrElse(-1L)
+    def contractionRounds: Int =
+      rounds.count { case (r, e) => r >= 1 && e >= 0 }
+    def handedToLocalTail: Boolean = rounds.exists(_._2 == -1L)
+    def edgeSeq: Seq[Long] =
+      rounds.collect { case (r, e) if r >= 1 && e >= 0 => e }.toSeq
+  }
+
+  private def timed(f: () => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val n = f()
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ScaleCheck corpusDir [corpusDir...]")
+    val cores = sys.env.getOrElse("SPARK_GRAFT_SCALE_CPUS", "8").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    val spark = session(cores)
+
+    args.foreach { dir =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val nDocs = docs.count()
+      val nVecs = emb.count()
+      val nLists = Similarity.adaptiveLists(nVecs)
+
+      // one pair materialization reused by both contraction configs, like
+      // q37/q53 share the pair SQL; timed separately
+      var pairTime = Double.MaxValue
+      var nPairs = 0L
+      var distTime = Double.MaxValue
+      var nClusters = 0L
+      var hybridTime = Double.MaxValue
+      var nKeeperRows = 0L
+      var semTime = Double.MaxValue
+      var nKept = 0L
+      var distTrace = new RoundTrace
+      var semTrace = new RoundTrace
+
+      (1 to reps).foreach { _ =>
+        val (tP, cP) = timed { () =>
+          Dedup.ngramJaccardPairs(docs, minJaccardBp = 2000L, shingleN = 5)
+            .count()
+        }
+        pairTime = math.min(pairTime, tP); nPairs = cP
+
+        val trace1 = new RoundTrace
+        val (tD, cD) = timed { () =>
+          Components.dupClusters(
+            Dedup.ngramJaccardPairs(docs, minJaccardBp = 2000L, shingleN = 5),
+            localSolveEdges = 0L, onRound = trace1.hook).count()
+        }
+        if (tD < distTime) { distTime = tD; distTrace = trace1 }
+        nClusters = cD
+
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-scalecheck")
+        val (tH, cH) = timed { () =>
+          Components.dupClusters(
+            Dedup.ngramJaccardPairs(docs, minJaccardBp = 2000L, shingleN = 5),
+            includeIsolatedFrom = Some(docs.select(col("doc_id"))),
+            checkpointDir = Some(ckpt.toString)).count()
+        }
+        hybridTime = math.min(hybridTime, tH); nKeeperRows = cH
+
+        val trace2 = new RoundTrace
+        val (tS, cS) = timed { () =>
+          Similarity.semanticDedup(emb, nLists = nLists, iters = 2,
+            minSimMicro = 400000L, onRound = trace2.hook)
+            .agg(sum(col("kept"))).collect()(0).getLong(0)
+        }
+        if (tS < semTime) { semTime = tS; semTrace = trace2 }
+        nKept = cS
+      }
+
+      def f(x: Double) = f"$x%.2f"
+      println(
+        s"""{"dir":"$dir","docs":$nDocs,"vectors":$nVecs,"n_lists":$nLists,""" +
+        s""""ngram_pairs":{"sec":${f(pairTime)},"pairs":$nPairs},""" +
+        s""""contraction_distributed":{"sec":${f(distTime)},"clusters":$nClusters,""" +
+        s""""initial_edges":${distTrace.initialEdges},""" +
+        s""""rounds":${distTrace.contractionRounds},""" +
+        s""""edges_per_round":${distTrace.edgeSeq.mkString("[", ",", "]")}},""" +
+        s""""keepers_hybrid":{"sec":${f(hybridTime)},"rows":$nKeeperRows},""" +
+        s""""semantic_dedup":{"sec":${f(semTime)},"kept":$nKept,""" +
+        s""""initial_edges":${semTrace.initialEdges},""" +
+        s""""rounds":${semTrace.contractionRounds},""" +
+        s""""local_tail":${semTrace.handedToLocalTail},""" +
+        s""""edges_per_round":${semTrace.edgeSeq.mkString("[", ",", "]")}}}""")
+    }
+    spark.stop()
+  }
+}

@@ -118,11 +118,18 @@ object Components {
     * inputs finish in the local union-find tail before any distributed
     * round runs — q37 therefore registers with `localSolveEdges = 0` so
     * the contraction rounds themselves stay pinned by the cross-engine
-    * recursive-CTE oracle (q53/q57 cover the hybrid tail). */
+    * recursive-CTE oracle (q53/q57 cover the hybrid tail).
+    *
+    * `onRound(round, edgesLeft)` fires after every contraction round
+    * (round = -1 reports the initial deduped edge count; edgesLeft = -1
+    * flags the hand-off to the local union-find tail). It exists for
+    * scale evidence — BASELINE.md's rounds-to-converge tables come from
+    * it — and costs nothing when left at the no-op default. */
   def connectedComponentsStar(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", maxIter: Int = 40,
       checkpointDir: Option[String] = None,
-      localSolveEdges: Long = 200000L): DataFrame = {
+      localSolveEdges: Long = 200000L,
+      onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
     val raw = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val durable = setCheckpointDir(raw, checkpointDir)
@@ -196,7 +203,9 @@ object Components {
     }
     var e = truncate(raw.filter(col("src") =!= col("dst")).distinct(), durable)
     var prev = checksum(e)
+    onRound(-1, prev._1)
     if (prev._1 <= localSolveEdges) {
+      onRound(0, -1L)
       val out = finishLocally(e)
       e.unpersist()
       return out
@@ -210,12 +219,14 @@ object Components {
       e = next
       done = cur == prev
       prev = cur
+      it += 1
+      onRound(it, prev._1)
       if (!done && prev._1 <= localSolveEdges) {
+        onRound(it, -1L)
         val out = finishLocally(e)
         e.unpersist()
         return out
       }
-      it += 1
     }
     // star edges are (node, root) with root < node; roots + isolated
     // vertices label themselves
@@ -243,9 +254,11 @@ object Components {
       bCol: String = "doc_b",
       includeIsolatedFrom: Option[DataFrame] = None,
       checkpointDir: Option[String] = None,
-      localSolveEdges: Long = 200000L): DataFrame = {
+      localSolveEdges: Long = 200000L,
+      onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
     val clustered = connectedComponentsStar(pairs, aCol, bCol,
-      checkpointDir = checkpointDir, localSolveEdges = localSolveEdges)
+      checkpointDir = checkpointDir, localSolveEdges = localSolveEdges,
+      onRound = onRound)
       .groupBy("component")
       .agg(count(lit(1)).as("n_docs"))
     includeIsolatedFrom match {

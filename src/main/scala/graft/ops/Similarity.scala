@@ -127,22 +127,22 @@ object Similarity {
     math.min(maxBits, math.max(4,
       math.ceil(math.log(math.max(n, 1).toDouble / targetBucket) / math.log(2)).toInt))
 
-  /** IVF cell count that keeps expected cell size ~`targetCell` as the
-    * corpus grows (nLists ∝ n ⇒ within-cell pair work sum(cell²) stays
-    * LINEAR in n — the SemDeDup scaling knob; a fixed nLists makes it
-    * quadratic). Same contract as [[adaptiveBits]] for the hyperplane
+  /** IVF cell count ∝ √corpus — the balance point of the two costs the
+    * nLists knob trades: centroid assignment n·k against within-cell
+    * pair work Σcell² ≈ n²/k. k = √(n/2) makes BOTH n^1.5 (a fixed k
+    * leaves pair work quadratic — measured toxic at 20k vectors,
+    * SCALING.md; k ∝ n flips the quadratic term onto assignment
+    * instead). Same contract as [[adaptiveBits]] for the hyperplane
     * family. At 500 corpus vectors this yields 16 — the previously
-    * registered fixed knob — so the driver-scale outputs are unchanged;
-    * at 50k it yields ~1.6k cells (vs the measured-toxic fixed 16, which
-    * put 3k+ vectors in every cell). */
-  def adaptiveLists(n: Long, targetCell: Int = 32, minLists: Int = 4): Int =
+    * registered fixed knob — so driver-scale outputs are unchanged. */
+  def adaptiveLists(n: Long, minLists: Int = 4): Int =
     math.max(minLists,
-      math.ceil(math.max(n, 1).toDouble / targetCell).toInt)
+      math.ceil(math.sqrt(math.max(n, 1).toDouble / 2.0)).toInt)
 
   /** [[adaptiveLists]] replayed in DuckDB SQL over CTE `emb` — keeps the
     * q57 oracle exact at any scale factor (the q19 `nbits` pattern). */
-  def adaptiveListsSql(targetCell: Int = 32, minLists: Int = 4): String =
-    s"(SELECT greatest($minLists, CAST(ceil(count(*) / $targetCell.0) AS INT)) FROM emb)"
+  def adaptiveListsSql(minLists: Int = 4): String =
+    s"(SELECT greatest($minLists, CAST(ceil(sqrt(count(*) / 2.0)) AS INT)) FROM emb)"
 
   /** Embedding-cosine near-duplicate pairs above a threshold (brute,
     * oracle-friendly; the LSH variant above is the scale path).
@@ -409,7 +409,8 @@ object Similarity {
     * (O(log² n) rounds; `checkpointDir` makes the rounds durable). */
   def semanticDedup(embeddings: DataFrame, nLists: Int = 16, iters: Int = 2,
       minSimMicro: Long = 400000L,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
     val centroids = ivfCentroidsMicro(embeddings, nLists, iters)
     // assignment runs ONCE and the assigned corpus is materialized: three
     // consumers follow (both pair-join sides + the final manifest), and
@@ -438,7 +439,7 @@ object Similarity {
       // the assignment + cell join, the expensive part of the plan
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val comp = Components.connectedComponentsStar(pairs, "id_a", "id_b",
-      checkpointDir = checkpointDir)
+      checkpointDir = checkpointDir, onRound = onRound)
     comp.count() // force the contraction (eager anyway) before unpersist
     pairs.unpersist()
     // materialize the (3 longs/vector) manifest so the corpus cache can be

@@ -404,15 +404,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.adaptiveBits(1L << 40) == 24) // cap
   }
 
-  test("adaptiveLists keeps expected IVF cell size constant as the corpus grows") {
+  test("adaptiveLists balances assignment n·k against pair work n²/k (k ∝ √n)") {
     assert(Similarity.adaptiveLists(500) == 16)   // sf0.001/0.01 embeddings —
     // equals the previously registered fixed knob, so driver-scale q57
     // output is unchanged by the adaptive default
-    assert(Similarity.adaptiveLists(2000) == 63)  // sf0.1
-    assert(Similarity.adaptiveLists(50000) == 1563)
+    assert(Similarity.adaptiveLists(2000) == 32)  // sf0.1
+    assert(Similarity.adaptiveLists(200000) == 317) // 500k-doc validation corpus
     assert(Similarity.adaptiveLists(10) == 4)     // floor
-    // linear in n: cell size stays ~targetCell, so sum(cell²) stays ~n·cell
-    assert(Similarity.adaptiveLists(1000000) == 10 * Similarity.adaptiveLists(100000))
+    // √ scaling: 100× the corpus ⇒ 10× the cells, so BOTH assignment
+    // (n·k) and within-cell pair work (n²/k) grow as n^1.5 — neither
+    // term is ever the quadratic one
+    assert(Similarity.adaptiveLists(1000000) == 708)      // ceil(√500k)
+    assert(Similarity.adaptiveLists(100000000L) == 7072)  // ceil(√50M) ≈ 10×
   }
 
   test("hyperplane prefix property: nBits-signature == 20-bit signature % 2^nBits") {
