@@ -65,8 +65,11 @@ def main():
 
     import os
     os.makedirs(out, exist_ok=True)
-    pq.write_table(docs, f"{out}/documents.parquet")
-    pq.write_table(emb, f"{out}/embeddings.parquet")
+    # 8k-row groups: a single monolithic row group makes every Spark scan
+    # of the file ONE task (a row group is the parquet split atom) — the
+    # cluster-representative layout is many groups/files per table
+    pq.write_table(docs, f"{out}/documents.parquet", row_group_size=8192)
+    pq.write_table(emb, f"{out}/embeddings.parquet", row_group_size=8192)
     print(f"wrote {n_docs} docs, {n_vec} vecs -> {out}")
 
 

@@ -172,7 +172,13 @@ object Bench {
         .outSpans.count()
       ()
     }
-    if (warm) { try { scanJob(); mapJob(); fullJob() } catch { case _: Throwable => () } }
+    // warm-up is watchdog-bounded too: an unbounded warm-up in a loaded
+    // window could eat the whole phase budget before any timed round runs
+    if (warm) {
+      timedWithLimit(s, limits.scan)(scanJob)
+      timedWithLimit(s, limits.mapOnly)(mapJob)
+      timedWithLimit(s, limits.full)(fullJob)
+    }
     val out = (1 to reps).map { _ =>
       Timing(
         timedWithLimit(s, limits.scan)(scanJob),

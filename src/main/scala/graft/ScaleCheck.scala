@@ -20,10 +20,13 @@ import graft.ops.{Components, Dedup, Similarity}
   *    the per-round surviving-edge sequence — the direct evidence that
   *    round count tracks cluster diameter (O(log² d)), not corpus size.
   *
-  * The n-gram pair stage runs with shingleN=5: the generator's vocabulary
-  * is CLOSED (31 words), so the 3-gram space saturates near 50k docs and
-  * candidate generation goes quadratic — the documented escape hatch
-  * (BASELINE.md, SCALING.md lesson 2) widens the shingle space to 31⁵.
+  * The n-gram pair stage runs with SPARK_GRAFT_SHINGLE_N (default 5): the
+  * generator's vocabulary is CLOSED (31 words), so the shingle space must
+  * grow with the corpus — the documented escape hatch (BASELINE.md,
+  * SCALING.md lesson 2). 5-grams (31⁵ ≈ 28.6M) re-linearize 50k docs but
+  * saturate again near 500k (≈23M shingle instances drawn from that
+  * space), so the 500k run needs shingleN=7. Open-vocabulary web text
+  * does not saturate; this is a property of the 31-word synthetic corpus.
   *
   * Usage: SPARK_GRAFT_SCALE_CPUS=8 sbt 'runMain graft.ScaleCheck DIR...'
   * where each DIR holds documents.parquet + embeddings.parquet. Prints one
@@ -39,6 +42,9 @@ object ScaleCheck {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the corpora are one ~50 MB file per table: split them across all
+      // cores (default 128 MB would hand each table to a single task)
+      .config("spark.sql.files.maxPartitionBytes", s"${8 * 1024 * 1024}")
     if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) {
       b.config("spark.local.dir", "/dev/shm/graft-scale-shuffle")
     }
@@ -74,6 +80,7 @@ object ScaleCheck {
     require(args.nonEmpty, "usage: ScaleCheck corpusDir [corpusDir...]")
     val cores = sys.env.getOrElse("SPARK_GRAFT_SCALE_CPUS", "8").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    val shingleN = sys.env.getOrElse("SPARK_GRAFT_SHINGLE_N", "5").toInt
     val spark = session(cores)
 
     args.foreach { dir =>
@@ -98,7 +105,7 @@ object ScaleCheck {
 
       (1 to reps).foreach { _ =>
         val (tP, cP) = timed { () =>
-          Dedup.ngramJaccardPairs(docs, minJaccardBp = 2000L, shingleN = 5)
+          Dedup.ngramJaccardPairs(docs, minJaccardBp = 2000L, shingleN = shingleN)
             .count()
         }
         pairTime = math.min(pairTime, tP); nPairs = cP
@@ -106,7 +113,7 @@ object ScaleCheck {
         val trace1 = new RoundTrace
         val (tD, cD) = timed { () =>
           Components.dupClusters(
-            Dedup.ngramJaccardPairs(docs, minJaccardBp = 2000L, shingleN = 5),
+            Dedup.ngramJaccardPairs(docs, minJaccardBp = 2000L, shingleN = shingleN),
             localSolveEdges = 0L, onRound = trace1.hook).count()
         }
         if (tD < distTime) { distTime = tD; distTrace = trace1 }
@@ -115,7 +122,7 @@ object ScaleCheck {
         val ckpt = java.nio.file.Files.createTempDirectory("graft-scalecheck")
         val (tH, cH) = timed { () =>
           Components.dupClusters(
-            Dedup.ngramJaccardPairs(docs, minJaccardBp = 2000L, shingleN = 5),
+            Dedup.ngramJaccardPairs(docs, minJaccardBp = 2000L, shingleN = shingleN),
             includeIsolatedFrom = Some(docs.select(col("doc_id"))),
             checkpointDir = Some(ckpt.toString)).count()
         }
@@ -133,7 +140,7 @@ object ScaleCheck {
 
       def f(x: Double) = f"$x%.2f"
       println(
-        s"""{"dir":"$dir","docs":$nDocs,"vectors":$nVecs,"n_lists":$nLists,""" +
+        s"""{"dir":"$dir","docs":$nDocs,"vectors":$nVecs,"n_lists":$nLists,"shingle_n":$shingleN,""" +
         s""""ngram_pairs":{"sec":${f(pairTime)},"pairs":$nPairs},""" +
         s""""contraction_distributed":{"sec":${f(distTime)},"clusters":$nClusters,""" +
         s""""initial_edges":${distTrace.initialEdges},""" +
