@@ -642,6 +642,26 @@ object SparkEntry {
           includeIsolatedFrom = Some(t(s, d, "documents").select(col("doc_id"))),
           checkpointDir = Some(ckpt.toString))
       }),
+      // ---- incremental clustering: fold a delta's near-dup pairs into a
+      //      STANDING component labeling without re-clustering the corpus —
+      //      the daily-ingest composition (q55 finds the delta's pairs
+      //      without re-pairing the corpus; this folds them in without
+      //      re-labeling it). prior = components over corpus-only (doc_id %
+      //      7 != 3) minhash pairs; delta pairs = q55's output; result must
+      //      equal a FROM-SCRATCH closure over the full q15 pair set — the
+      //      oracle recomputes exactly that in DuckDB.
+      "q58_incremental_components" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+        val corpus = docs.filter(col("doc_id") % 7 =!= 3)
+        val delta = docs.filter(col("doc_id") % 7 === 3)
+        val prior = graft.ops.Components.connectedComponentsStar(
+          graft.ops.Dedup.minhashLshPairs(corpus, minJaccardBp = 2000L),
+          "doc_a", "doc_b")
+        graft.ops.Components.incrementalComponents(prior,
+          graft.ops.Dedup.incrementalMinhashPairs(corpus, delta,
+            minJaccardBp = 2000L),
+          "doc_a", "doc_b")
+      }),
       // ---- Gopher-style word-repetition quality metrics, expression-only
       //      (map-side inside the scan stage; integral basis points)
       "q38_repetition_profile" -> ((s, d) =>
@@ -1720,6 +1740,24 @@ object SparkEntry {
     "q55_incremental_neardup" ->
       s"""SELECT * FROM ($minhashPairsSql) AS p
          |WHERE p.doc_a % 7 = 3 OR p.doc_b % 7 = 3""".stripMargin,
+    // incremental components: the labeling produced by merging q55's delta
+    // pairs into the corpus-only prior must be ROW-IDENTICAL to a
+    // from-scratch min-label closure over the FULL q15 pair graph (corpus
+    // pairs are already inside prior; every pair touching the delta is in
+    // q55's output, so the union IS the full graph)
+    "q58_incremental_components" ->
+      s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |verts AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM verts
+         |  UNION
+         |  SELECT e.dst AS id, r.lbl AS lbl
+         |  FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id, min(lbl) AS component FROM reach GROUP BY id""".stripMargin,
     "q16_simhash_pairs" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest($toks) AS tok FROM documents),

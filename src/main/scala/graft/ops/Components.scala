@@ -130,8 +130,15 @@ object Components {
       checkpointDir: Option[String] = None,
       localSolveEdges: Long = 200000L,
       onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
+    // The input pair frame is typically the EXPENSIVE end of a dedup
+    // pipeline (shingle/LSH candidate join + exact verify), and this
+    // function materializes two frames from it (verts, then the deduped
+    // edge set). Without a cache each materialization re-runs the whole
+    // pair dataflow — measured as ~2 s per extra pass on q37/q53's n-gram
+    // pairs at sf0.1. Cache the tiny (long, long) projection once.
     val raw = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val durable = setCheckpointDir(raw, checkpointDir)
     val verts = truncate(raw.select(col("src").as("id"))
       .union(raw.select(col("dst").as("id"))).distinct(), durable)
@@ -202,6 +209,7 @@ object Components {
         .getOrElse(java.math.BigDecimal.ZERO))
     }
     var e = truncate(raw.filter(col("src") =!= col("dst")).distinct(), durable)
+    raw.unpersist() // verts and e are checkpoint-backed now
     var prev = checksum(e)
     onRound(-1, prev._1)
     if (prev._1 <= localSolveEdges) {
@@ -241,6 +249,74 @@ object Components {
     out
   }
 
+  /** Merge a DELTA of new edges into an EXISTING component labeling
+    * without re-clustering the corpus — the daily-ingest shape of fuzzy
+    * dedup at 100 TB. Pairs with [[graft.ops.Dedup.incrementalMinhashPairs]]:
+    * that operator finds the pairs a new batch introduces without
+    * re-pairing the corpus; this one folds those pairs into the standing
+    * keeper manifest without re-clustering it. Together an ingest costs
+    * O(|delta|), never O(|corpus|).
+    *
+    * `prior` must be an (id, component) frame whose component labels are
+    * the MIN id of each component — the invariant every variant in this
+    * file establishes — and self-consistent (each label is itself an id
+    * in the frame). Output has the same shape over prior's vertices plus
+    * every vertex of `newEdges`, and is row-identical to re-running
+    * connected components over (prior-as-edges ∪ newEdges) from scratch
+    * (property-pinned in CurationSpec): merging components can only
+    * lower a label to the min of the merged member labels, and each
+    * member label is already the min id of its old sub-component, so the
+    * remapped label is the global min id — exactly what a full recompute
+    * assigns.
+    *
+    * Plan shape (the point of the operator): `prior` — the only
+    * corpus-sized frame — is touched by exactly two BROADCAST joins (a
+    * semi-join extracting the delta endpoints' labels, and the final
+    * relabel against the remap), so it never shuffles; both are pinned in
+    * PlanAuditSpec. The contraction itself runs on the SUPER-NODE graph —
+    * one node per touched component or new vertex, one edge per delta
+    * pair — whose size is delta-bounded, never corpus-bounded. The two
+    * delta-sized persists stay cached for the life of the returned plan
+    * (they are re-read by both output legs). */
+  def incrementalComponents(prior: DataFrame, newEdges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      checkpointDir: Option[String] = None): DataFrame = {
+    val p = prior.select(col(prior.columns.head).cast("long").as("id"),
+      col(prior.columns(1)).cast("long").as("component"))
+    val e0 = newEdges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val endpoints = e0.select(col("src").as("id"))
+      .union(e0.select(col("dst").as("id"))).distinct()
+    // prior labels of the touched endpoints: map-side over `p`, output
+    // delta-sized
+    val touched = p.join(broadcast(endpoints), Seq("id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // endpoint -> super-node id (its prior component, or itself if new)
+    val lblOf = endpoints.join(touched, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("lbl"))
+    val superEdges = e0
+      .join(lblOf.toDF("src", "sl"), Seq("src"))
+      .join(lblOf.toDF("dst", "dl"), Seq("dst"))
+      .select(col("sl").as("src"), col("dl").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // contraction on the delta-sized super graph; identity rows add
+    // nothing to the remap (coalesce falls back to the old label)
+    val remap = connectedComponentsStar(superEdges,
+        checkpointDir = checkpointDir)
+      .filter(col("id") =!= col("component"))
+      .toDF("old_lbl", "new_lbl")
+    // relabel the corpus: ONE broadcast join keyed on the old component
+    val relabeled = p.join(broadcast(remap),
+        p("component") === remap("old_lbl"), "left")
+      .select(p("id"), coalesce(col("new_lbl"), p("component")).as("component"))
+    // vertices new to the graph (their super-node id is their own id)
+    val newVerts = endpoints.join(touched.select("id"), Seq("id"), "left_anti")
+      .join(broadcast(remap), col("id") === col("old_lbl"), "left")
+      .select(col("id"), coalesce(col("new_lbl"), col("id")).as("component"))
+    relabeled.unionByName(newVerts)
+  }
+
   /** Cluster summary for a near-dup pair set: one row per component with
     * its size. The component label IS the keeper (min doc id — the
     * deterministic survivor a dedup pass retains). By default only
@@ -256,20 +332,20 @@ object Components {
       checkpointDir: Option[String] = None,
       localSolveEdges: Long = 200000L,
       onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
-    val clustered = connectedComponentsStar(pairs, aCol, bCol,
+    val cc = connectedComponentsStar(pairs, aCol, bCol,
       checkpointDir = checkpointDir, localSolveEdges = localSolveEdges,
       onRound = onRound)
-      .groupBy("component")
-      .agg(count(lit(1)).as("n_docs"))
+    val clustered = cc.groupBy("component").agg(count(lit(1)).as("n_docs"))
     includeIsolatedFrom match {
       case None => clustered
       case Some(all) =>
-        // isolated = ids never seen in any pair: one anti-join on the
-        // (small) paired-vertex set, then a constant-1 row each
-        val paired = pairs.select(col(aCol).cast("long").as("id"))
-          .union(pairs.select(col(bCol).cast("long").as("id"))).distinct()
+        // isolated = ids never seen in any pair. The component output's id
+        // column IS the paired-vertex set, and it reads from the
+        // contraction's checkpointed frames — re-deriving the set from
+        // `pairs` instead would re-run the whole (expensive) pair dataflow
+        // a third time.
         val ids = all.select(col(all.columns.head).cast("long").as("id"))
-        val isolated = ids.join(paired, Seq("id"), "left_anti")
+        val isolated = ids.join(cc.select("id"), Seq("id"), "left_anti")
           .select(col("id").as("component"), lit(1L).as("n_docs"))
         clustered.unionByName(isolated)
     }

@@ -145,6 +145,43 @@ class PlanAuditSpec extends AnyFunSuite {
       : Seq[(String, org.apache.spark.sql.types.DataType)] =
     shuffleOutputSets(name).flatten
 
+  test("q58 incremental components: the corpus-scale prior never shuffles " +
+      "(both prior joins broadcast; total shuffle records are delta-bounded)") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import spark.implicits._
+    // prior: 50k vertices in groups of 5, labels already at the min-id
+    // invariant. If EITHER of the two prior-touching joins stopped being
+    // broadcast, ~50k records would cross an exchange and the record bound
+    // below would trip — this pins both joins at once, quantitatively.
+    val prior = spark.range(50000L).select(col("id"),
+      (col("id") - pmod(col("id"), lit(5L))).as("component"))
+    val delta = Seq((3L, 7L), (10000L, 20002L), (20003L, 30001L),
+      (60001L, 60002L), (60002L, 10001L)).toDF("src", "dst")
+    val out = graft.ops.Components.incrementalComponents(prior, delta)
+    out.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val self = p match { case _: ShuffleExchangeLike => Seq(p); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      self ++ kids.flatMap(walk)
+    }
+    val exchanges = walk(out.queryExecution.executedPlan)
+    val shuffledRecords = exchanges.flatMap(_.metrics.collect {
+      case (k, m) if k.toLowerCase.contains("recordswritten") => m.value
+    }).sum
+    assert(shuffledRecords < 5000,
+      s"prior leaked into a shuffle: $shuffledRecords records across " +
+        s"${exchanges.size} exchanges")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   test("near-dup bucket joins: no shuffle carries an array or raw-text column") {
     // the 100 TB contract for q14/q15/q19: candidate generation shuffles
     // ONLY small fixed-width keys + ids; shingle sets / minhash signatures /
