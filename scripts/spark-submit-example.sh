@@ -1,9 +1,12 @@
 #!/usr/bin/env bash
 # How this library launches on a REAL multi-executor cluster (the north
-# rule's spark-submit path). This sandbox has no cluster manager — the
-# in-repo evidence for the N vs 4N criterion comes from graft.Bench at
-# local[2] vs local[8] (see BASELINE.md) — but the code is written for
-# this invocation: nothing in graft.* assumes local mode.
+# rule's spark-submit path). This sandbox has no cluster manager, but it
+# ships /opt/spark/bin/spark-submit: scripts/spark_submit_scaling.sh runs
+# THIS entrypoint through the real launcher at --master local[2] vs
+# local[8] (separate JVM per run, same jar/class/args as below) and
+# measures the N vs 4N efficiency criterion on the reported job seconds;
+# graft.Bench holds the in-process min-of-rounds protocol (BASELINE.md
+# has both). Nothing in graft.* assumes local mode.
 #
 #   sbt package                        # -> target/scala-2.13/*.jar
 #

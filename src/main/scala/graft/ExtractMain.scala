@@ -110,6 +110,12 @@ object ExtractMain {
       saltPages: Int = 64, audit: Boolean = false): (Long, Long) = {
     import spark.implicits._
     import graft.pipeline.Checkpointing
+    // job wall clock from first plan to committed truth, excluding JVM +
+    // SparkSession startup — the time a cluster bills to the JOB, and the
+    // number the two-cluster-size scaling comparison divides (a fixed
+    // ~10 s of driver spin-up added to both sides would understate the
+    // ratio at small t and has nothing to do with the pipeline)
+    val t0 = System.nanoTime()
     val statsDir = s"$out/stats"
     val docs = spark.read.parquet(input).as[graft.layout.DocRow]
     val pending = Checkpointing.resumeFilter(spark, docs, statsDir)
@@ -156,8 +162,10 @@ object ExtractMain {
     val total = if (snaps.isEmpty) 0L else graft.pipeline.Checkpointing
       .readAt(spark, statsDir, snaps.last.seq).count()
     val nSnaps = snaps.size
+    val secs = (System.nanoTime() - t0) / 1e9
     println(s"""{"run":"$runId","docs_committed":$committed,""" +
-      s""""total_committed":$total,"snapshots":$nSnaps}""")
+      s""""total_committed":$total,"snapshots":$nSnaps,""" +
+      f""""seconds":$secs%.3f}""")
     (committed, total)
   }
 }

@@ -504,6 +504,20 @@ object SparkEntry {
             .as[graft.streaming.StreamNearDup.Doc].collect().toSeq,
           minJaccardBp = 2000L)
       }),
+      // ---- live dedup-cluster manifest: the streaming pair stream folded
+      //      into a standing labeling per micro-batch (foreachBatch +
+      //      incrementalComponents over a versioned manifest table); the
+      //      final manifest must equal the from-scratch closure over the
+      //      full q15 pair graph
+      "x55_stream_live_clusters" -> ((s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-x55-").toString
+        graft.streaming.StreamNearDup.replayLiveClusters(s,
+          t(s, d, "documents").select("doc_id", "text")
+            .as[graft.streaming.StreamNearDup.Doc].collect().toSeq,
+          dir, minJaccardBp = 2000L)
+      }),
       // ---- n-gram Jaccard near-dup pairs on a cheap blocking key
       "q14_ngram_jaccard_pairs" -> ((s, d) =>
         Dedup.ngramJaccardPairs(t(s, d, "documents"), minJaccardBp = 2000L)),
@@ -662,6 +676,12 @@ object SparkEntry {
             minJaccardBp = 2000L),
           "doc_a", "doc_b")
       }),
+      // ---- vocabulary coverage: minimal frequency-ranked vocab prefix
+      //      covering 95% of token instances — the global cumulative sum
+      //      runs on Packing's two-pass distributed prefix scan, never a
+      //      SinglePartition window
+      "q59_vocab_coverage" -> ((s, d) =>
+        TextAnalysis.vocabCoverage(t(s, d, "documents"), coverageBp = 9500L)),
       // ---- Gopher-style word-repetition quality metrics, expression-only
       //      (map-side inside the scan stage; integral basis points)
       "q38_repetition_profile" -> ((s, d) =>
@@ -1746,6 +1766,42 @@ object SparkEntry {
     // pairs are already inside prior; every pair touching the delta is in
     // q55's output, so the union IS the full graph)
     "q58_incremental_components" ->
+      s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |verts AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM verts
+         |  UNION
+         |  SELECT e.dst AS id, r.lbl AS lbl
+         |  FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id, min(lbl) AS component FROM reach GROUP BY id""".stripMargin,
+    // vocab coverage: exclusive cumulative token-instance share over the
+    // (cnt desc, token asc) ranking, integer basis points, prefix below 95%
+    "q59_vocab_coverage" ->
+      s"""WITH tok AS (
+         |  SELECT unnest($toks) AS token FROM documents),
+         |cnt AS (
+         |  SELECT token, count(*) AS cnt FROM tok WHERE token <> ''
+         |  GROUP BY 1),
+         |c AS (
+         |  SELECT token, cnt,
+         |    coalesce(sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum_before,
+         |    sum(cnt) OVER () AS total
+         |  FROM cnt)
+         |SELECT token, cnt,
+         |  CAST(cum_before AS BIGINT) AS cum_before,
+         |  CAST(cum_before * 10000 // total AS BIGINT) AS cum_before_bp
+         |FROM c WHERE cum_before * 10000 < 9500 * total""".stripMargin,
+    // x55 is the STREAMING route to the same labeling: per-micro-batch
+    // incrementalComponents folds over a versioned manifest; every pair
+    // surfaces exactly once across the replay, so the final manifest must
+    // equal the identical full-graph closure
+    "x55_stream_live_clusters" ->
       s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
          |edges AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM pairs

@@ -143,4 +143,49 @@ object TextAnalysis {
         (l, col(s"score_$l"))
       }).as("lang_pred"))
   }
+
+  /** Vocabulary coverage: the minimal frequency-ranked vocabulary prefix
+    * whose tokens cover `coverageBp`/10000 of all token INSTANCES in the
+    * corpus — the tokenizer-design question ("how large a vocab for 95%
+    * coverage?") answered as one distributed pass.
+    *
+    * The cumulative sum over the (count desc, token asc) ranking is a
+    * global prefix sum — which `sum() OVER (ORDER BY ...)` computes on a
+    * SinglePartition exchange, the same 100 TB cliff [[Packing]] exists to
+    * avoid. So this reuses exactly that two-pass primitive: tokens shuffle
+    * once to count (vocab-sized output), then the counts frame range-
+    * partitions on a fixed-width sortable key encoding the ranking and
+    * prefix-sums per partition against broadcast partition bases. Total
+    * token count is a scalar aggregate of the vocab-sized counts frame.
+    *
+    * Output: (token, cnt, cum_before, cum_before_bp) for every token whose
+    * EXCLUSIVE cumulative share is below the threshold — i.e. the prefix
+    * including the token that crosses it. All-integer outputs (counts and
+    * basis points via integer division) for bit-exact cross-engine
+    * comparison. */
+  def vocabCoverage(docs: DataFrame, coverageBp: Long = 9500L,
+      textCol: String = "text"): DataFrame = {
+    require(coverageBp >= 0L && coverageBp <= 10000L, s"bad bp $coverageBp")
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    // one row; vocab-sized input — not a corpus-scale collect
+    val total = counts.agg(sum(col("cnt"))).collect()(0).getLong(0)
+    // fixed-width sortable rank key: (cnt desc, token asc) as ONE string:
+    // zero-padded (Long.MaxValue - cnt) sorts descending counts ascending
+    // lexicographically, with the token tiebreak (and the token itself,
+    // since the packing pass keeps only key + weight) behind the fixed-
+    // width count field
+    val ranked = counts.select(
+      concat(lpad((lit(Long.MaxValue) - col("cnt")).cast("string"), 19, "0"),
+        col("token")).as("__rk"),
+      col("cnt"))
+    Packing.packSequencesBy(ranked, "__rk", "cnt", budget = Long.MaxValue)
+      .select(expr("substring(__rk, 20)").as("token"),
+        col("n_tokens").as("cnt"),
+        col("stream_offset").as("cum_before"),
+        expr("stream_offset * 10000 div " + total).as("cum_before_bp"))
+      .where(col("cum_before") * lit(10000L) < lit(coverageBp * total))
+  }
 }

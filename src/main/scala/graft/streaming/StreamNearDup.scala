@@ -105,4 +105,76 @@ object StreamNearDup {
     Dedup.verifyPairs(cands.distinct(), spark.createDataset(docs).toDF(),
       minJaccardBp)
   }
+
+  /** Live dedup-cluster manifest: the pair stream above folded into a
+    * STANDING component labeling per micro-batch — the streaming capstone
+    * of the incremental-ingest story (q55 finds a delta's pairs without
+    * re-pairing the corpus; q58 folds them in without re-clustering it;
+    * this runs that fold continuously). Inside `foreachBatch` each batch's
+    * candidates verify with exact Jaccard and merge into the manifest via
+    * [[graft.ops.Components.incrementalComponents]] — the manifest (the
+    * only corpus-scale frame) is touched by two broadcast joins and never
+    * shuffles, so each micro-batch costs O(batch), never O(corpus).
+    *
+    * The manifest is a VERSIONED table (one parquet dir per batch id,
+    * latest wins — the snapshot-log shape in miniature): the new version
+    * is fully written before it becomes current, so a batch that dies
+    * mid-write leaves the previous version intact, and re-processing the
+    * batch after restart is idempotent (same fold, same output).
+    *
+    * On a finite two-batch replay every pair surfaces exactly once (in
+    * its later doc's batch), so the final manifest must equal the
+    * from-scratch min-label closure over the FULL batch pair graph —
+    * q15's graph — which is driver query x55's DuckDB oracle. */
+  def replayLiveClusters(spark: SparkSession, docs: Seq[Doc],
+      manifestDir: String,
+      nHashes: Int = 32, bands: Int = 8, minJaccardBp: Long = 7000L,
+      seed: Long = 42L,
+      maxBucketDocs: Int = DefaultMaxBucketDocs): DataFrame = {
+    import spark.implicits._
+    val params = Dedup.hashParams(nHashes, seed)
+    val rowsPerBand = nHashes / bands
+    val corpus = spark.createDataset(docs).toDF()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(manifestDir))
+    def versions: Seq[Long] = {
+      val d = new java.io.File(manifestDir)
+      Option(d.list()).toSeq.flatten.collect {
+        case n if n.startsWith("v") => n.drop(1).toLong
+      }.sorted
+    }
+    def current: DataFrame = versions.lastOption match {
+      case Some(v) => spark.read.parquet(s"$manifestDir/v$v")
+      case None => spark.emptyDataset[(Long, Long)].toDF("id", "component")
+    }
+    Events.withReplayPartitions(spark) {
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc](spark)
+      val q = input.toDS()
+        .flatMap { d =>
+          Dedup.minhashBuckets(d.text, 3, params, bands, rowsPerBand)
+            .iterator.zipWithIndex
+            .map { case (b, band) => BucketRow(band, b, d.doc_id) }
+        }
+        .groupByKey(r => (r.band, r.bucket))
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(emitPairs(maxBucketDocs))
+        .toDF()
+        .writeStream
+        .foreachBatch { (cands: DataFrame, batchId: Long) =>
+          val pairs = Dedup.verifyPairs(cands.distinct(), corpus, minJaccardBp)
+          graft.ops.Components
+            .incrementalComponents(current, pairs, "doc_a", "doc_b")
+            .write.mode("overwrite").parquet(s"$manifestDir/v$batchId")
+        }
+        .start()
+      try {
+        val (first, second) = docs.splitAt(docs.length / 2)
+        input.addData(first)
+        q.processAllAvailable()
+        input.addData(second)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    current
+  }
 }

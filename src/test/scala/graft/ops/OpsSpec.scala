@@ -49,6 +49,22 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(q >= 0 && q <= 10000)
     }
   }
+
+  test("vocabCoverage: exclusive cumulative ranking, threshold edge exact") {
+    // counts a=5 b=3 c=1 d=1, total 10; ranking (cnt desc, token asc)
+    val corpus = Seq((0L, "a a a b c"), (1L, "a a b b d"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(corpus, coverageBp = 9000L)
+      .orderBy("cum_before")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // d has cum_before 9 -> 9*10000 == 9000*10: NOT below the bar — the
+    // threshold is exclusive, so the prefix stops at c
+    assert(got == Seq(("a", 5L, 0L, 0L), ("b", 3L, 5L, 5000L),
+      ("c", 1L, 8L, 8000L)))
+    val all = TextAnalysis.vocabCoverage(corpus, coverageBp = 10000L)
+      .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._3)
+    assert(all.map(_._1) == Seq("a", "b", "c", "d"))
+  }
 }
 
 class DedupSpec extends AnyFunSuite {

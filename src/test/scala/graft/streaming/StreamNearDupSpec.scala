@@ -115,4 +115,24 @@ class StreamNearDupSpec extends AnyFunSuite {
     }
     assert((0L until 30L).map(find).toSet == Set(0L))
   }
+
+  test("live cluster manifest == batch closure over the full pair graph; " +
+      "one manifest version per micro-batch") {
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft-x55-spec-")
+    val got = StreamNearDup.replayLiveClusters(spark, docs, dir.toString,
+        minJaccardBp = 2000L)
+      .as[(Long, Long)].collect().toMap
+    val want = graft.ops.Components.connectedComponentsStar(
+        Dedup.minhashLshPairs(spark.createDataset(docs).toDF(),
+          minJaccardBp = 2000L), "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == want && want.nonEmpty)
+    // cross-split families merged: batch-2 docs labeled by batch-1 minima
+    assert(got.exists { case (id, c) => id >= 50 && c < 50 })
+    // versioned manifest: one dir per micro-batch, latest is current
+    val versions = new java.io.File(dir.toString).list().toSeq.sorted
+    assert(versions == Seq("v0", "v1"), versions.toString)
+  }
 }
