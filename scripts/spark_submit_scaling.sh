@@ -31,28 +31,45 @@ NSMALL=${3:-2}
 NBIG=$((NSMALL * 4))
 JAR=target/scala-2.13/intelligientpdfparserspark_2.13-0.1.0.jar
 SUBMIT=${SPARK_HOME:-/opt/spark}/bin/spark-submit
-SCRATCH=/dev/shm/graft-submit-scaling
+SCRATCH=/dev/shm/graft-submit-scaling-$$   # per-invocation: concurrent runs must not share
 [ -f "$JAR" ] || { echo "missing $JAR — run: sbt package" >&2; exit 1; }
 [ -d "$CORPUS" ] || { echo "missing corpus $CORPUS (graft.Bench materializes it)" >&2; exit 1; }
 
-run_one() { # cores -> echoes job seconds (in-JVM, excludes session startup)
-  local cores=$1
+# MODE=bench (default): extract -> merge -> count, the same job shape the
+# in-process graft.Bench scaling protocol times — the criterion number.
+# MODE=sink: the full committed-sink pipeline (spans + stats tables) — also
+# reported, but on ONE box its parquet encode of every span row crosses a
+# single memory bus; a cluster brings that bandwidth per node, so the
+# sink-bound ratio here is a floor, not the cluster number.
+# Either way each launch runs the job REPS times in its one JVM and
+# reports the min AFTER the first rep: a fresh JVM's ~10 s of JIT/codegen
+# is a constant a multi-hour 100 TB job amortizes to nothing, but at probe
+# scale it alone drags the ratio from ~0.88 to ~0.47.
+MODE=${GRAFT_SUBMIT_MODE:-bench}
+REPS=${GRAFT_SUBMIT_REPS:-3}
+
+run_one() { # cores [reps] -> echoes warm job seconds (post-first-rep min)
+  local cores=$1 reps=${2:-$REPS}
   rm -rf "$SCRATCH"
   mkdir -p "$SCRATCH/shuffle"
+  local -a job_args
+  if [ "$MODE" = sink ]; then job_args=(bench "$CORPUS" 64 "$reps" "$SCRATCH/out")
+  else job_args=(bench "$CORPUS" 64 "$reps"); fi
   "$SUBMIT" --master "local[$cores]" --class graft.ExtractMain \
+    --driver-memory "${GRAFT_SUBMIT_MEM:-16g}" \
     --conf spark.sql.shuffle.partitions=$((cores * 4)) \
     --conf spark.sql.adaptive.enabled=true \
     --conf spark.sql.session.timeZone=UTC \
     --conf spark.ui.enabled=false \
     --conf spark.local.dir="$SCRATCH/shuffle" \
-    "$JAR" "$CORPUS" "$SCRATCH/out" 64 2>/dev/null |
+    "$JAR" "${job_args[@]}" 2>/dev/null |
     sed -n 's/.*"seconds":\([0-9.]*\).*/\1/p' | tail -1
 }
 
-echo "corpus=$CORPUS rounds=$ROUNDS pair=local[$NSMALL] vs local[$NBIG]"
+echo "corpus=$CORPUS rounds=$ROUNDS pair=local[$NSMALL] vs local[$NBIG] mode=$MODE"
 SMALLS=() BIGS=()
-# one discarded warm-up pair: first-touch page-cache fill for the corpus
-run_one "$NBIG" >/dev/null
+# one discarded single-rep warm-up: first-touch page-cache fill for the corpus
+run_one "$NBIG" 1 >/dev/null
 for r in $(seq 1 "$ROUNDS"); do
   TB=$(run_one "$NBIG")
   TS=$(run_one "$NSMALL")

@@ -32,17 +32,57 @@ object ExtractMain {
       "       ExtractMain maintain <outputDir> compact [partitions]\n" +
       "       ExtractMain maintain <outputDir> vacuum\n" +
       "       ExtractMain maintain <outputDir> delete <doc_id>[,<doc_id>...]\n" +
-      "       ExtractMain maintain <outputDir> snapshots")
+      "       ExtractMain maintain <outputDir> snapshots\n" +
+      "       ExtractMain bench <inputDir> [saltPages]")
     val spark = SparkSession.builder()
       .appName("graft-extract")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     try {
       if (args(0) == "maintain") maintain(spark, args(1), args.drop(2))
+      else if (args(0) == "bench") bench(spark, args(1),
+        if (args.length > 2) args(2).toInt else 64,
+        reps = if (args.length > 3) args(3).toInt else 3,
+        sinkDir = if (args.length > 4) Some(args(4)) else None)
       else run(spark, args(0), args(1),
         if (args.length > 2) args(2).toInt else 64,
         audit = args.length > 3 && args(3) == "audit")
     } finally spark.stop()
+  }
+
+  /** Launcher-path scaling probe: the extract -> merge -> count job —
+    * exactly the shape graft.Bench's in-process scaling protocol times —
+    * run through THIS entrypoint so the spark-submit N vs 4N comparison
+    * measures the same work (scripts/spark_submit_scaling.sh). With a
+    * sinkDir, each rep instead runs the FULL committed-sink pipeline into
+    * its own scratch table. The job runs `reps` times in the one JVM and
+    * "seconds" is the min AFTER the first rep: a fresh JVM spends ~10 s
+    * in JIT/codegen/footer warm-up, a CONSTANT that a multi-hour 100 TB
+    * run amortizes to nothing but that at probe scale would otherwise
+    * swamp the ratio (measured: it alone drags 0.88 to 0.47). */
+  def bench(spark: SparkSession, input: String, saltPages: Int,
+      reps: Int = 3, sinkDir: Option[String] = None): Unit = {
+    import spark.implicits._
+    val times = (1 to reps).map { rep =>
+      val t0 = System.nanoTime()
+      val r = graft.pipeline.ExtractionPipeline.run(spark,
+        spark.read.parquet(input).as[graft.layout.DocRow],
+        saltPages = Some(saltPages), persistIntermediate = false)
+      sinkDir match {
+        case Some(base) =>
+          val runId = f"bench$rep%02d"
+          graft.pipeline.Checkpointing.commit(
+            r.outSpans.toDF(), s"$base/rep$rep/spans", runId)
+          graft.pipeline.Checkpointing.commit(
+            r.stats.toDF(), s"$base/rep$rep/stats", runId)
+        case None => r.outSpans.count()
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val warm = if (times.length > 1) times.drop(1).min else times.head
+    println(s"""{"mode":"bench","sink":${sinkDir.nonEmpty},""" +
+      times.map(t => f"$t%.3f").mkString(""""rounds":[""", ",", "],") +
+      f""""seconds":$warm%.3f}""")
   }
 
   /** Table maintenance on BOTH committed tables (stats + spans) — the ops

@@ -140,4 +140,21 @@ class ExtractMainAuditSpec extends AnyFunSuite {
     assert(graft.pipeline.Checkpointing.vacuum(statsDir).isEmpty)
     assert(graft.pipeline.Checkpointing.readAt(spark, statsDir, 1).count() == 4)
   }
+
+  test("bench probe: count mode commits nothing, sink mode one table per rep") {
+    spark.sparkContext.setLogLevel("WARN")
+    val base = java.nio.file.Files.createTempDirectory("graft-ebench").toString
+    val input = s"$base/in"
+    spark.createDataset(graft.layout.FixtureCorpus.fixtureDocs.take(6))
+      .write.parquet(input)
+    ExtractMain.bench(spark, input, saltPages = 16, reps = 2)
+    assert(!new java.io.File(s"$base/out").exists())
+    ExtractMain.bench(spark, input, saltPages = 16, reps = 2,
+      sinkDir = Some(s"$base/out"))
+    (1 to 2).foreach { rep =>
+      assert(graft.pipeline.Checkpointing
+        .snapshots(s"$base/out/rep$rep/spans").size == 1)
+      assert(spark.read.parquet(s"$base/out/rep$rep/stats").count() == 6)
+    }
+  }
 }
