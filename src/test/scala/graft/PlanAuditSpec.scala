@@ -53,6 +53,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles("q13_exact_dup_groups") == 1)
   }
 
+  test("q59 vocab coverage: the global prefix sum never runs a " +
+      "SinglePartition window") {
+    val plan = planOf("q59_vocab_coverage")
+    // the 100 TB cliff this operator avoids: sum() OVER (ORDER BY) plans
+    // as Window over Exchange SinglePartition — q59 must use Packing's
+    // two-pass scan instead (range repartition + broadcast bases)
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("SinglePartition"), plan.take(3000))
+  }
+
   test("q16 simhash: signature + banding + verify stay out of UDF land") {
     val plan = planOf("q16_simhash_pairs")
     assert(plan.contains("graft_simhash64") || plan.contains("simhash"), plan.take(2000))
