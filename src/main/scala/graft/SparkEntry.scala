@@ -545,6 +545,13 @@ object SparkEntry {
       //      contract scaladoc + DedupSpec's completeness-boundary pin
       "q16_simhash_pairs" -> ((s, d) =>
         Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 18)),
+      // ---- EXHAUSTIVE SimHash: band count derived from maxHamming
+      //      (8 bands for h=6, pigeonhole-complete), so the oracle is the
+      //      brute-force all-pairs scan with NO band predicate — recall
+      //      1.0 is part of the cross-engine contract, closing the q16
+      //      candidate-semantics boundary
+      "q60_simhash_exact" -> ((s, d) =>
+        Dedup.simhashPairsExact(t(s, d, "documents"), maxHamming = 6)),
       // ---- cross-document duplicate substrings (hash-shuffle analog of
       //      suffix-array substring dedup): k-token windows fingerprinted
       //      map-side, cross-doc fingerprints marked, overlapping windows
@@ -1068,6 +1075,34 @@ object SparkEntry {
   }
 
   private val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+  /** SimHash 64-bit signature chain (token hash -> per-bit votes -> sign
+    * bits) replayed in HUGEINT mod 2^64, yielding s2(doc_id, sigu, sig) —
+    * shared by the q16 (banded-candidate) and q60 (exhaustive) oracles. */
+  private lazy val simhashSigsSql =
+    s"""tok AS (
+       |  SELECT doc_id, unnest($toks) AS tok FROM documents),
+       |th AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(3421674724 AS HUGEINT),
+       |      list_transform(split(tok, ''), c -> CAST(ord(c) AS HUGEINT))),
+       |      (h, c) -> (h * 1000003 + c) % (CAST(1 AS HUGEINT) << 64)) AS hu
+       |  FROM tok),
+       |bitcnt AS (
+       |  SELECT doc_id, t.bit,
+       |    sum(CASE WHEN (hu >> t.bit) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
+       |  FROM th CROSS JOIN (SELECT CAST(range AS INTEGER) AS bit FROM range(64)) t
+       |  GROUP BY doc_id, t.bit),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN cnt > 0 THEN CAST(CAST(1 AS HUGEINT) << bit AS HUGEINT)
+       |             ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS sigu
+       |  FROM bitcnt GROUP BY doc_id),
+       |s2 AS (
+       |  SELECT doc_id, sigu,
+       |    CAST(CASE WHEN sigu >= (CAST(1 AS HUGEINT) << 63)
+       |         THEN sigu - (CAST(1 AS HUGEINT) << 64) ELSE sigu END AS BIGINT) AS sig
+       |  FROM sigs)""".stripMargin
 
   /** q38's full repetition-profile SELECT, shared with q47's funnel
     * oracle. Word/bigram/trigram repetition in integral basis points;
@@ -1815,29 +1850,7 @@ object SparkEntry {
          |  FROM reach r JOIN edges e ON e.src = r.id)
          |SELECT id, min(lbl) AS component FROM reach GROUP BY id""".stripMargin,
     "q16_simhash_pairs" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest($toks) AS tok FROM documents),
-         |th AS (
-         |  SELECT doc_id,
-         |    list_reduce(list_prepend(CAST(3421674724 AS HUGEINT),
-         |      list_transform(split(tok, ''), c -> CAST(ord(c) AS HUGEINT))),
-         |      (h, c) -> (h * 1000003 + c) % (CAST(1 AS HUGEINT) << 64)) AS hu
-         |  FROM tok),
-         |bitcnt AS (
-         |  SELECT doc_id, t.bit,
-         |    sum(CASE WHEN (hu >> t.bit) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
-         |  FROM th CROSS JOIN (SELECT CAST(range AS INTEGER) AS bit FROM range(64)) t
-         |  GROUP BY doc_id, t.bit),
-         |sigs AS (
-         |  SELECT doc_id,
-         |    CAST(sum(CASE WHEN cnt > 0 THEN CAST(CAST(1 AS HUGEINT) << bit AS HUGEINT)
-         |             ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS sigu
-         |  FROM bitcnt GROUP BY doc_id),
-         |s2 AS (
-         |  SELECT doc_id, sigu,
-         |    CAST(CASE WHEN sigu >= (CAST(1 AS HUGEINT) << 63)
-         |         THEN sigu - (CAST(1 AS HUGEINT) << 64) ELSE sigu END AS BIGINT) AS sig
-         |  FROM sigs)
+      s"""WITH $simhashSigsSql
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
          |FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
@@ -1846,6 +1859,15 @@ object SparkEntry {
          |    OR ((a.sigu >> 16) % 65536) = ((b.sigu >> 16) % 65536)
          |    OR ((a.sigu >> 32) % 65536) = ((b.sigu >> 32) % 65536)
          |    OR ((a.sigu >> 48) % 65536) = ((b.sigu >> 48) % 65536))""".stripMargin,
+    // q60 is the same signature chain with NO band predicate: brute-force
+    // all-pairs truth at hamming <= 6 — the engine's derived-band (8-band)
+    // blocking must reproduce it exactly (pigeonhole completeness)
+    "q60_simhash_exact" ->
+      s"""WITH $simhashSigsSql
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         |FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 6""".stripMargin,
     // q56: same fingerprint fold as q20 applied per k-token window, so
     // Spark and the oracle agree BY CONSTRUCTION even on hash collisions;
     // the interval merge is the same lag-gap sum the Spark plan uses

@@ -399,6 +399,24 @@ object Dedup {
     bandedSimhashPairs(sigs, maxHamming, nBands)
   }
 
+  /** EXHAUSTIVE SimHash near-dup: the band count is DERIVED from
+    * maxHamming — the smallest divisor of 64 that is >= maxHamming+1 — so
+    * by pigeonhole every pair at hamming <= maxHamming shares at least one
+    * untouched band. Recall is 1.0 BY CONSTRUCTION (the oracle is the
+    * brute-force all-pairs scan, no band predicate), closing the q16
+    * contract boundary: q16 keeps the standard candidate semantics at a
+    * caller-chosen band count; this variant trades candidate volume
+    * (narrower bands -> more bucket collisions) for the guarantee. */
+  def simhashPairsExact(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    simhashPairs(docs, maxHamming, exactBands(maxHamming))
+  }
+
+  /** Smallest divisor of 64 with nBands >= maxHamming+1 (pigeonhole). */
+  private[ops] def exactBands(maxHamming: Int): Int =
+    Seq(1, 2, 4, 8, 16, 32, 64).find(_ >= maxHamming + 1).get
+
   /** Band-join + exact-verify core over precomputed (doc_id, sig) rows —
     * split out so the band-completeness boundary is unit-testable on
     * hand-built signatures. */

@@ -164,6 +164,27 @@ class DedupSpec extends AnyFunSuite {
     assert(run(8).contains((0L, 1L)))
   }
 
+  test("simhashPairsExact: derived band count == brute force at every hamming") {
+    // band derivation: smallest divisor of 64 covering h+1
+    assert(Seq(0, 1, 3, 6, 7, 15, 16, 31, 63).map(Dedup.exactBands)
+      == Seq(1, 2, 4, 8, 8, 16, 32, 32, 64))
+    // adversarial signatures incl. the 4-band-spread pair; exhaustive
+    // truth is the all-pairs scan — the derived-band join must match it
+    val sigRows = Seq((0L, 0L),
+      (1L, (1L << 0) | (1L << 16) | (1L << 32) | (1L << 48)),
+      (2L, 0xFL), (3L, 7L), (4L, -1L), (5L, 0x3F0L))
+    for (h <- Seq(3, 4, 6, 10)) {
+      val got = Dedup.bandedSimhashPairs(sigRows.toDF("doc_id", "sig"),
+          maxHamming = h, nBands = Dedup.exactBands(h))
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (a, sa) <- sigRows; (b, sb) <- sigRows if a < b
+        if Dedup.hamming64(sa, sb) <= h
+      } yield (a, b)).toSet
+      assert(got == want, s"h=$h")
+    }
+  }
+
   test("simhashPairs is expression-only end to end (no UDF, no typed-map boundary)") {
     // a parquet-backed input: over a LocalRelation the optimizer evaluates
     // the (deterministic) signature expression at PLANNING time and it
