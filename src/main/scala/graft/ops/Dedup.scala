@@ -217,8 +217,15 @@ object Dedup {
       nHashes: Int = 32,
       bands: Int = 8,
       minJaccardBp: Long = 7000L,
-      seed: Long = 42L): DataFrame = {
-    val index = bandBuckets(corpus, nHashes, bands, seed)
+      seed: Long = 42L,
+      prebuiltIndex: Option[DataFrame] = None): DataFrame = {
+    // prebuiltIndex is the production path: the (band, bucket, doc_id)
+    // table a deployment persists and appends each ingest's rows to —
+    // passing it makes the per-ingest cost a SCAN of the index, never a
+    // recompute of every corpus signature (ScaleCheck measures this path
+    // at 100x corpus growth with a fixed delta)
+    val index = prebuiltIndex
+      .getOrElse(bandBuckets(corpus, nHashes, bands, seed))
       .unionByName(bandBuckets(delta, nHashes, bands, seed))
     val probe = bandBuckets(delta, nHashes, bands, seed)
       .select(col("band"), col("bucket"), col("doc_id").as("probe_id"))
