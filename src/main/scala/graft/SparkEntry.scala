@@ -997,6 +997,15 @@ object SparkEntry {
       //      corpus vocabulary never shuffles, yet the output is exact
       "q45_heavy_hitters" -> ((s, d) =>
         graft.ops.HeavyHitters.frequentTokens(t(s, d, "documents"), "text")),
+      // ---- STREAMING heavy hitters: the Misra-Gries sketch as sharded
+      //      streaming state; per-batch candidate emission is a superset,
+      //      the exact recount collapses it to q45's output exactly
+      "x56_stream_heavy_hitters" -> ((s, d) => {
+        import s.implicits._
+        graft.streaming.StreamHeavyHitters.replayFrequentTokens(s,
+          t(s, d, "documents").select("doc_id", "text")
+            .as[graft.streaming.StreamNearDup.Doc].collect().toSeq)
+      }),
       // ---- JSONL ingest round trip: the interchange format training
       //      corpora actually arrive in. Read back with the EXPLICIT
       //      schema (no inference pass — at 100 TB schema inference is a
@@ -1758,6 +1767,14 @@ object SparkEntry {
         |FROM events WHERE event_type IN ('purchase', 'view')
         |GROUP BY 1""".stripMargin,
     "q45_heavy_hitters" ->
+      s"""WITH w AS (SELECT unnest($toks) AS term FROM documents),
+         |tot AS (SELECT count(*) AS n FROM w),
+         |c AS (SELECT term, count(*) AS cnt FROM w GROUP BY 1)
+         |SELECT term, cnt FROM c, tot WHERE cnt * 400 > n""".stripMargin,
+    // x56 is the STREAMING sketch route to the same exact output: the
+    // emitted candidate union is a superset by the per-shard MG guarantee,
+    // and the exact recount + threshold collapse it to precisely this set
+    "x56_stream_heavy_hitters" ->
       s"""WITH w AS (SELECT unnest($toks) AS term FROM documents),
          |tot AS (SELECT count(*) AS n FROM w),
          |c AS (SELECT term, count(*) AS cnt FROM w GROUP BY 1)
