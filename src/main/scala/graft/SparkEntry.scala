@@ -558,6 +558,12 @@ object SparkEntry {
       //      merged per doc via a lag window — no array ever shuffles
       "q56_dup_substrings" -> ((s, d) =>
         Dedup.dupSubstrings(t(s, d, "documents"), k = 8)),
+      // ---- the ACT half of substring dedup: every cross-doc duplicated
+      //      window scrubbed from every doc's text; only int position
+      //      arrays shuffle, reconstruction is map-side against the
+      //      original text
+      "q61_dedup_scrub" -> ((s, d) =>
+        Dedup.scrubDupSubstrings(t(s, d, "documents"), k = 8)),
       // ---- brute-force cosine top-k (exactness baseline)
       "q17_knn_bruteforce" -> ((s, d) => {
         val emb = t(s, d, "embeddings")
@@ -1084,6 +1090,26 @@ object SparkEntry {
   }
 
   private val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+  /** Cross-document duplicated k-token windows (k=8): tk -> per-window
+    * rolling-hash fingerprint in HUGEINT mod 2^64 -> windows whose hash
+    * spans >1 doc, yielding marked(doc_id, total_tokens, pos, h) — shared
+    * by the q56 (measure) and q61 (scrub) oracles. */
+  private lazy val dupWindowsSql =
+    s"""tk AS (
+       |  SELECT doc_id, $toks AS tk FROM documents),
+       |wins AS (
+       |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS total_tokens,
+       |    CAST(i AS BIGINT) AS pos,
+       |    list_reduce(list_prepend(CAST(3421674724 AS HUGEINT),
+       |      list_transform(
+       |        split(array_to_string(tk[CAST(i+1 AS BIGINT):CAST(i+8 AS BIGINT)], ' '), ''),
+       |        c -> CAST(ord(c) AS HUGEINT))),
+       |      (h, c) -> (h * 1000003 + c) % (CAST(1 AS HUGEINT) << 64)) AS h
+       |  FROM tk, UNNEST(range(0, len(tk)-8+1)) AS t(i)
+       |  WHERE len(tk) >= 8),
+       |dupg AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+       |marked AS (SELECT w.* FROM wins w JOIN dupg USING (h))""".stripMargin
 
   /** SimHash 64-bit signature chain (token hash -> per-bit votes -> sign
     * bits) replayed in HUGEINT mod 2^64, yielding s2(doc_id, sigu, sig) —
@@ -1889,20 +1915,7 @@ object SparkEntry {
     // Spark and the oracle agree BY CONSTRUCTION even on hash collisions;
     // the interval merge is the same lag-gap sum the Spark plan uses
     "q56_dup_substrings" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id, $toks AS tk FROM documents),
-         |wins AS (
-         |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS total_tokens,
-         |    CAST(i AS BIGINT) AS pos,
-         |    list_reduce(list_prepend(CAST(3421674724 AS HUGEINT),
-         |      list_transform(
-         |        split(array_to_string(tk[CAST(i+1 AS BIGINT):CAST(i+8 AS BIGINT)], ' '), ''),
-         |        c -> CAST(ord(c) AS HUGEINT))),
-         |      (h, c) -> (h * 1000003 + c) % (CAST(1 AS HUGEINT) << 64)) AS h
-         |  FROM tk, UNNEST(range(0, len(tk)-8+1)) AS t(i)
-         |  WHERE len(tk) >= 8),
-         |dupg AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) > 1),
-         |marked AS (SELECT w.* FROM wins w JOIN dupg USING (h)),
+      s"""WITH $dupWindowsSql,
          |gaps AS (
          |  SELECT doc_id, total_tokens, pos,
          |    pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
@@ -1915,6 +1928,27 @@ object SparkEntry {
          |  CAST(floor(sum(CASE WHEN gap IS NULL OR gap >= 8 THEN 8 ELSE gap END)
          |       * 10000.0 / any_value(total_tokens)) AS BIGINT) AS dup_frac_bp
          |FROM gaps GROUP BY doc_id""".stripMargin,
+    // q61: tokens covered by ANY marked window are dropped from EVERY doc;
+    // clean text rebuilt from the survivors (whitespace-normalized like
+    // every tokens() consumer on both engines)
+    "q61_dedup_scrub" ->
+      s"""WITH $dupWindowsSql,
+         |cov AS (
+         |  SELECT DISTINCT doc_id, pos + o AS p
+         |  FROM marked, UNNEST(range(0, 8)) AS t(o)),
+         |covl AS (SELECT doc_id, list(p) AS drops FROM cov GROUP BY 1),
+         |outp AS (
+         |  SELECT tk.doc_id,
+         |    list_transform(
+         |      list_filter(range(0, CAST(len(tk.tk) AS BIGINT)),
+         |        p -> covl.drops IS NULL OR NOT list_contains(covl.drops, p)),
+         |      p -> tk.tk[CAST(p AS BIGINT) + 1]) AS keptl,
+         |    CAST(len(tk.tk) AS BIGINT) AS n_total
+         |  FROM tk LEFT JOIN covl USING (doc_id))
+         |SELECT doc_id, array_to_string(keptl, ' ') AS clean_text,
+         |  CAST(len(keptl) AS BIGINT) AS n_kept,
+         |  n_total - CAST(len(keptl) AS BIGINT) AS n_dropped
+         |FROM outp""".stripMargin,
     "q36_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  1 AS approx_within_2pct

@@ -342,21 +342,7 @@ object Dedup {
     */
   def dupSubstrings(docs: DataFrame, k: Int = 8): DataFrame = {
     require(k > 0, s"window size must be positive, got $k")
-    val toked = docs
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
-      .filter(size(col("tk")) >= k)
-    // one row per k-token window: (doc_id, total_tokens, pos, h)
-    val wins = toked.select(
-        col("doc_id"), size(col("tk")).cast("long").as("total_tokens"),
-        posexplode(transform(sequence(lit(0), size(col("tk")) - k),
-          i => graft.functions.RollingHash64.fingerprint64(
-            concat_ws(" ", slice(col("tk"), i + 1, lit(k)))))))
-      .toDF("doc_id", "total_tokens", "pos", "h")
-    val dupH = wins.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1)
-      .select("h")
-    val marked = wins.join(dupH, "h")
+    val marked = markedDupWindows(docs, k)
     // merged coverage of overlapping fixed-width intervals == sum over the
     // per-doc position order of min(k, pos - previous pos); first window
     // contributes k
@@ -374,6 +360,65 @@ object Dedup {
         first("total_tokens").as("total_tokens"))
       .withColumn("dup_frac_bp",
         floor(col("dup_tokens") * 10000 / col("total_tokens")).cast("long"))
+  }
+
+  /** The shared front half of the substring-dedup family: one row per
+    * k-token window whose fingerprint appears in MORE THAN ONE document —
+    * (doc_id, total_tokens, pos, h). The window hash is computed inside
+    * the projection that slices it (gram text never leaves its mapper);
+    * the distinct-doc count and the mark-back join shuffle fixed-width
+    * scalars only. */
+  private[ops] def markedDupWindows(docs: DataFrame, k: Int): DataFrame = {
+    val toked = docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= k)
+    val wins = toked.select(
+        col("doc_id"), size(col("tk")).cast("long").as("total_tokens"),
+        posexplode(transform(sequence(lit(0), size(col("tk")) - k),
+          i => graft.functions.RollingHash64.fingerprint64(
+            concat_ws(" ", slice(col("tk"), i + 1, lit(k)))))))
+      .toDF("doc_id", "total_tokens", "pos", "h")
+    val dupH = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select("h")
+    wins.join(dupH, "h")
+  }
+
+  /** The ACT half of substring dedup (q56 finds, this removes): every
+    * cross-document duplicated k-token window is scrubbed from EVERY
+    * document's text — the boilerplate-removal semantics, with no
+    * winner-resolution ambiguity. Output one row per input doc:
+    * (doc_id, clean_text, n_kept, n_dropped), clean text rebuilt from the
+    * surviving tokens (whitespace-normalized, like every tokens() consumer).
+    *
+    * Plan shape: the marked windows expand to COVERED TOKEN POSITIONS
+    * (k ints per window, deduped) and aggregate to one int array per
+    * affected doc — the only thing the join back to the corpus carries.
+    * Reconstruction is MAP-SIDE: the original text re-tokenizes in the
+    * same projection that filters positions against the broadcast-joined
+    * drop array, so no exchange ever carries token text. */
+  def scrubDupSubstrings(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k > 0, s"window size must be positive, got $k")
+    val covered = markedDupWindows(docs, k)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .distinct()
+    val drops = covered.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("p"))).as("drops"))
+    val tk = tokens(col("text"))
+    val dropsA = coalesce(col("drops"),
+      array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType)))
+    docs.join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"), tk.as("tk"), dropsA.as("da"))
+      .select(col("doc_id"),
+        filter(col("tk"), (_, i) => !array_contains(col("da"), i)).as("kept"),
+        size(col("tk")).cast("long").as("n_total"))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (col("n_total") - size(col("kept"))).cast("long").as("n_dropped"))
   }
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)

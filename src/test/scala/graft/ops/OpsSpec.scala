@@ -228,6 +228,28 @@ class DedupSpec extends AnyFunSuite {
     assert(out(5L) == ((2L, 9L, 9L, 10000L)))
   }
 
+  test("dedup scrub removes exactly the covered tokens from every doc") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),             // run [0,8) dropped
+      (2L, "x a b c d e f g h y z"),           // run [1,9) dropped
+      (3L, "p q r s t u v w p q r s t u v w"), // self-repeat only: untouched
+      (4L, "m n o p q r s t u"),               // identical to 5: fully dropped
+      (5L, "m n o p q r s t u"),
+      (6L, "lone short doc")                   // < k tokens: untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubDupSubstrings(docs, k = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_dropped")))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L)) // one row per input doc
+    assert(out(1L) == (("i j", 2L, 8L)))
+    assert(out(2L) == (("x y z", 3L, 8L)))
+    assert(out(3L) == (("p q r s t u v w p q r s t u v w", 16L, 0L)))
+    assert(out(4L) == (("", 0L, 9L)))
+    assert(out(5L) == (("", 0L, 9L)))
+    assert(out(6L) == (("lone short doc", 3L, 0L)))
+  }
+
   test("approx distinct (HLL) tracks exact distinct within tolerance") {
     // the reference has no approx-distinct; the engine gets HLL++ free —
     // pin that the plan uses the approximate aggregate and lands within
