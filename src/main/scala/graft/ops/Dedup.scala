@@ -394,10 +394,15 @@ object Dedup {
     *
     * Plan shape: the marked windows expand to COVERED TOKEN POSITIONS
     * (k ints per window, deduped) and aggregate to one int array per
-    * affected doc — the only thing the join back to the corpus carries.
-    * Reconstruction is MAP-SIDE: the original text re-tokenizes in the
-    * same projection that filters positions against the broadcast-joined
-    * drop array, so no exchange ever carries token text. */
+    * AFFECTED doc — the only new thing the join back to the corpus
+    * carries. Reconstruction happens in the projection over that join, so
+    * token text never enters an exchange PROVIDED the join itself is
+    * co-located: at driver scale AQE broadcasts the drop arrays (they are
+    * dup-density-bounded, far smaller than the corpus); at cluster scale
+    * with a heavy-dup corpus, read the input from a doc_id-bucketed /
+    * doc_ord-clustered table (io.Bucketed / the committed sink's
+    * clustered compaction) and the doc_id join is exchange-free on the
+    * corpus side. */
   def scrubDupSubstrings(docs: DataFrame, k: Int = 8): DataFrame = {
     require(k > 0, s"window size must be positive, got $k")
     val covered = markedDupWindows(docs, k)

@@ -63,6 +63,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), plan.take(3000))
   }
 
+  test("q61 scrub: the drops join back to the corpus is broadcast — " +
+      "corpus text stays out of every exchange") {
+    val plan = planOf("q61_dedup_scrub")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // belt and braces: no sort-merge join anywhere in the scrub plan (the
+    // corpus side would sort-shuffle its text column through an exchange)
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("q16 simhash: signature + banding + verify stay out of UDF land") {
     val plan = planOf("q16_simhash_pairs")
     assert(plan.contains("graft_simhash64") || plan.contains("simhash"), plan.take(2000))
