@@ -130,7 +130,9 @@ object StreamNearDup {
       manifestDir: String,
       nHashes: Int = 32, bands: Int = 8, minJaccardBp: Long = 7000L,
       seed: Long = 42L,
-      maxBucketDocs: Int = DefaultMaxBucketDocs): DataFrame = {
+      maxBucketDocs: Int = DefaultMaxBucketDocs,
+      nBatches: Int = 2): DataFrame = {
+    require(nBatches >= 1, s"need at least one batch, got $nBatches")
     import spark.implicits._
     val params = Dedup.hashParams(nHashes, seed)
     val rowsPerBand = nHashes / bands
@@ -168,11 +170,14 @@ object StreamNearDup {
         }
         .start()
       try {
-        val (first, second) = docs.splitAt(docs.length / 2)
-        input.addData(first)
-        q.processAllAvailable()
-        input.addData(second)
-        q.processAllAvailable()
+        // nBatches even slices, each its own micro-batch -> its own fold
+        // and manifest version (every pair still surfaces exactly once,
+        // in its later doc's batch)
+        val per = math.max(1, (docs.length + nBatches - 1) / nBatches)
+        docs.grouped(per).foreach { batch =>
+          input.addData(batch)
+          q.processAllAvailable()
+        }
       } finally q.stop()
     }
     current

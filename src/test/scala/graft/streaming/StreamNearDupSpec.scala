@@ -134,5 +134,13 @@ class StreamNearDupSpec extends AnyFunSuite {
     // versioned manifest: one dir per micro-batch, latest is current
     val versions = new java.io.File(dir.toString).list().toSeq.sorted
     assert(versions == Seq("v0", "v1"), versions.toString)
+    // FIVE batches: four successive folds over the standing manifest must
+    // still land on the identical closure (fold associativity end to end)
+    val dir5 = java.nio.file.Files.createTempDirectory("graft-x55-spec5-")
+    val got5 = StreamNearDup.replayLiveClusters(spark, docs, dir5.toString,
+        minJaccardBp = 2000L, nBatches = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got5 == want)
+    assert(new java.io.File(dir5.toString).list().toSeq.sorted.size == 5)
   }
 }
