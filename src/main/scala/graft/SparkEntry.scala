@@ -318,6 +318,15 @@ object SparkEntry {
             size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
         graft.ops.Packing.packSequences(docs, "doc_id", "n_tokens", budget = 4096)
       }),
+      // ---- the packed layout split into per-(doc, sequence) segments —
+      //      boundary-straddling docs included, the step q33 defers to
+      //      the trainer; budget 64 so most docs straddle at least once
+      "q62_pack_segments" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"),
+            size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+        graft.ops.Packing.packSegments(docs, "doc_id", "n_tokens", budget = 64)
+      }),
       // ---- the curation funnel: the training-data ops COMPOSED the way a
       //      real corpus build runs them — language gate -> quality gate ->
       //      exact-dedup keeper — with per-stage survivor counts (the
@@ -1462,6 +1471,30 @@ object SparkEntry {
          |  stream_offset // 4096 AS seq_id,
          |  stream_offset % 4096 AS offset_in_seq
          |FROM p""".stripMargin,
+    // q62: q33's prefix sum expanded to (doc, sequence) overlaps — a doc
+    // at [off, off+w) intersects sequences off/B .. (off+w-1)/B
+    "q62_pack_segments" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+         |p AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS stream_offset
+         |  FROM w),
+         |seg AS (
+         |  SELECT doc_id, n_tokens, stream_offset, CAST(s AS BIGINT) AS seq_id
+         |  FROM p, UNNEST(range(stream_offset // 64,
+         |    (stream_offset + n_tokens - 1) // 64 + 1)) AS t(s)
+         |  WHERE n_tokens > 0)
+         |SELECT doc_id, seq_id,
+         |  CAST(greatest(0, seq_id * 64 - stream_offset) AS BIGINT)
+         |    AS doc_token_start,
+         |  CAST(greatest(0, stream_offset - seq_id * 64) AS BIGINT)
+         |    AS offset_in_seq,
+         |  CAST(least(stream_offset + n_tokens, (seq_id + 1) * 64)
+         |    - greatest(stream_offset, seq_id * 64) AS BIGINT) AS seg_len
+         |FROM seg""".stripMargin,
     "q31_distinctive_terms" ->
       s"""WITH dt AS (
          |  SELECT doc_id, unnest(list_distinct($toks)) AS term FROM documents),

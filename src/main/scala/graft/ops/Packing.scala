@@ -50,6 +50,38 @@ object Packing {
       budget: Long, partitions: Int = 0): DataFrame =
     pack(docs, orderCol, weightCol, budget, partitions)
 
+  /** The packed layout expanded to PER-SEQUENCE SEGMENTS — the split step
+    * [[packSequences]]'s scaladoc defers to the trainer: one row per
+    * (document, training sequence) overlap, including documents that
+    * straddle sequence boundaries. Pure arithmetic on the prefix-sum
+    * output, exploded map-side (a doc spans sequences off/B ..
+    * (off+w-1)/B) — no shuffle beyond the packing pass itself.
+    *
+    * Output per row: the key column, seq_id, doc_token_start (first token
+    * of the doc inside this sequence), offset_in_seq (where in the
+    * sequence the segment begins), seg_len. Zero-weight docs occupy no
+    * stream space and emit no segment. Invariants (spec-pinned): per doc,
+    * seg_len sums to the doc's weight and segments tile contiguously; per
+    * sequence, segments tile [0, budget) without overlap. */
+  def packSegments(docs: DataFrame, orderCol: String, weightCol: String,
+      budget: Long, partitions: Int = 0): DataFrame = {
+    val packed = packSequencesBy(docs, orderCol, weightCol, budget, partitions)
+    packed.filter(col("n_tokens") > 0)
+      .select(col(orderCol), col("n_tokens"), col("stream_offset"),
+        explode(sequence(
+          expr(s"stream_offset div $budget"),
+          expr(s"(stream_offset + n_tokens - 1) div $budget"))).as("seq_id"))
+      .select(col(orderCol), col("seq_id"),
+        greatest(lit(0L), col("seq_id") * budget - col("stream_offset"))
+          .as("doc_token_start"),
+        greatest(lit(0L), col("stream_offset") - col("seq_id") * budget)
+          .as("offset_in_seq"),
+        (least(col("stream_offset") + col("n_tokens"),
+            (col("seq_id") + 1) * budget)
+          - greatest(col("stream_offset"), col("seq_id") * budget))
+          .as("seg_len"))
+  }
+
   private def pack(docs: DataFrame, orderCol: String, weightCol: String,
       budget: Long, partitions: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")

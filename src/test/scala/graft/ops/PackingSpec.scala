@@ -52,4 +52,44 @@ class PackingSpec extends AnyFunSuite {
       expect += n
     }
   }
+
+  test("packSegments: straddling docs split exactly; docs and sequences tile") {
+    import spark.implicits._
+    // weights 5,3,10 at budget 4: offsets 0,5,8; doc 3 spans seqs 2..4
+    val docs = Seq((1L, 5L), (2L, 3L), (3L, 10L), (4L, 0L))
+      .toDF("doc_id", "n_tokens")
+    val segs = graft.ops.Packing
+      .packSegments(docs, "doc_id", "n_tokens", budget = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val want = Set(
+      (1L, 0L, 0L, 0L, 4L), (1L, 1L, 4L, 0L, 1L),
+      (2L, 1L, 0L, 1L, 3L),
+      (3L, 2L, 0L, 0L, 4L), (3L, 3L, 4L, 0L, 4L), (3L, 4L, 8L, 0L, 2L))
+    assert(segs == want) // zero-weight doc 4 emits nothing
+    // invariants on a bigger deterministic corpus: per doc, segments tile
+    // the doc; per sequence, segments tile [0, budget) with no overlap
+    val big = (0L until 200L).map(i => (i, (i * 7 % 23) + 1)).toDF("doc_id", "n_tokens")
+    val rows = graft.ops.Packing
+      .packSegments(big, "doc_id", "n_tokens", budget = 16)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.head._3 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._5 == b._3); case _ => ()
+      }
+      assert(sorted.map(_._5).sum == (id * 7 % 23) + 1)
+    }
+    val total = (0L until 200L).map(i => (i * 7 % 23) + 1).sum
+    rows.groupBy(_._2).foreach { case (seq, ss) =>
+      val sorted = ss.sortBy(_._4)
+      assert(sorted.head._4 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._5 == b._4); case _ => ()
+      }
+      val filled = sorted.map(_._5).sum
+      // every sequence is full except the stream's last
+      assert(filled == 16L || seq == (total - 1) / 16)
+    }
+  }
 }
