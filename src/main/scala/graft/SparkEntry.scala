@@ -752,6 +752,17 @@ object SparkEntry {
         graft.ops.TopK.topKByValueStr(
           t(s, d, "documents").select(col("source"), col("n_chars"), col("doc_id")),
           "source", "n_chars", "doc_id", k = 10)),
+      // ---- token-budgeted mixture: per-source greedy prefix in doc_id
+      //      order until the source's TOKEN budget is spent (budgets are
+      //      floors — the crossing doc is kept); one stratum-partitioned
+      //      window, append-stable under corpus growth
+      "q63_token_budget_mix" -> ((s, d) =>
+        graft.ops.Curation.tokenBudgetMix(
+          t(s, d, "documents").select(col("doc_id"), col("source"),
+            size(Dedup.tokens(col("text"))).cast("long").as("n_tokens")),
+          "source", "doc_id", "n_tokens",
+          budgets = Map("src0" -> 500L, "src1" -> 900L),
+          defaultBudget = 700L)),
       // ---- benchmark-contamination scan: exact-phrase hits per benchmark
       //      string. The phrase table broadcasts; the corpus is scanned
       //      once, map-side (substring test inside codegen) — the fuzzy
@@ -1471,6 +1482,22 @@ object SparkEntry {
          |  stream_offset // 4096 AS seq_id,
          |  stream_offset % 4096 AS offset_in_seq
          |FROM p""".stripMargin,
+    // q63: per-source exclusive token cumsum in doc_id order; kept iff
+    // under that source's budget (the crossing doc included)
+    "q63_token_budget_mix" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before
+         |  FROM w)
+         |SELECT doc_id, source, n_tokens, cum_before FROM p
+         |WHERE cum_before < CASE source WHEN 'src0' THEN 500
+         |  WHEN 'src1' THEN 900 ELSE 700 END""".stripMargin,
     // q62: q33's prefix sum expanded to (doc, sequence) overlaps — a doc
     // at [off, off+w) intersects sequences off/B .. (off+w-1)/B
     "q62_pack_segments" ->

@@ -255,4 +255,34 @@ object Curation {
       concat(col(idCol).cast("string"), lit(salt))), lit(100L))
     docs.withColumn("sample_rate", rate).filter(bucket < col("sample_rate"))
   }
+
+  /** Token-budgeted mixture: per stratum (crawl source), keep documents in
+    * deterministic id order until the stratum's TOKEN budget is spent —
+    * how a training mixture is actually specified ("B tokens of source s"),
+    * where [[stratifiedSample]] speaks in row percentages. A doc is kept
+    * iff the tokens BEFORE it in its stratum are under budget, so the
+    * first doc to cross the line is included (budgets are floors, not
+    * caps) and a later doc can never evict an earlier one — append-stable
+    * under corpus growth.
+    *
+    * One window partitioned BY STRATUM (dozens of partitions, each
+    * distributed — not the SinglePartition global-sum cliff; a skewed
+    * giant stratum can range-partition by id within source via the
+    * Packing primitive if it ever dominates). Output: kept docs with
+    * their stratum-cumulative token position. */
+  def tokenBudgetMix(docs: DataFrame, stratumCol: String, idCol: String,
+      weightCol: String, budgets: Map[String, Long],
+      defaultBudget: Long): DataFrame = {
+    require(defaultBudget >= 0L && budgets.values.forall(_ >= 0L))
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (s, b)) =>
+      when(col(stratumCol) === s, lit(b)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .withColumn("cum_before",
+        coalesce(sum(col(weightCol)).over(w), lit(0L)).cast("long"))
+      .filter(col("cum_before") < budget)
+  }
 }

@@ -100,6 +100,25 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Map(10L -> 3L, 13L -> 1L, 14L -> 1L, 15L -> 1L))
   }
 
+  test("tokenBudgetMix: budget is a floor, append-stable, per-stratum") {
+    val docs = Seq(
+      (1L, "a", 40L), (2L, "a", 40L), (3L, "a", 40L), // a: 40+40 < 100 -> 3 kept (crossing doc included), 4 not
+      (4L, "a", 40L),
+      (1L, "b", 500L), (2L, "b", 1L))                 // b: first doc alone crosses -> only it
+      .toDF("doc_id", "source", "n_tokens")
+    val kept = Curation.tokenBudgetMix(docs, "source", "doc_id", "n_tokens",
+        budgets = Map("b" -> 100L), defaultBudget = 100L)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    assert(kept == Set(("a", 1L), ("a", 2L), ("a", 3L), ("b", 1L)))
+    // append-stability: new higher-id docs never change the kept set
+    val grown = docs.union(Seq((9L, "a", 5L), (9L, "b", 5L))
+      .toDF("doc_id", "source", "n_tokens"))
+    val kept2 = Curation.tokenBudgetMix(grown, "source", "doc_id", "n_tokens",
+        budgets = Map("b" -> 100L), defaultBudget = 100L)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    assert(kept2 == kept)
+  }
+
   test("incrementalComponents == full recompute over the edge union (property)") {
     val rnd = new scala.util.Random(31)
     for (_ <- 1 to 3) {
