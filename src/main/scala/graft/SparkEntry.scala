@@ -763,6 +763,18 @@ object SparkEntry {
           "source", "doc_id", "n_tokens",
           budgets = Map("src0" -> 500L, "src1" -> 900L),
           defaultBudget = 700L)),
+      // ---- STREAMING token-budget mixture: one running token total per
+      //      stratum as state; the budgets-are-floors contract makes the
+      //      emitted union equal the batch operator exactly
+      "x57_stream_budget_mix" -> ((s, d) => {
+        import s.implicits._
+        graft.streaming.StreamCuration.replayTokenBudgetMix(s,
+          t(s, d, "documents").select(col("doc_id"), col("source"),
+              size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+            .as[graft.streaming.StreamCuration.MixDoc].collect().toSeq,
+          budgets = Map("src0" -> 500L, "src1" -> 900L),
+          defaultBudget = 700L)
+      }),
       // ---- benchmark-contamination scan: exact-phrase hits per benchmark
       //      string. The phrase table broadcasts; the corpus is scanned
       //      once, map-side (substring test inside codegen) — the fuzzy
@@ -1110,6 +1122,24 @@ object SparkEntry {
   }
 
   private val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+  /** Token-budget mixture: per-source exclusive token cumsum in doc_id
+    * order; kept iff under that source's budget (the crossing doc
+    * included) — shared by q63 (batch) and x57 (streaming shadow). */
+  private lazy val tokenBudgetMixSql =
+    s"""WITH w AS (
+       |  SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cum_before
+       |  FROM w)
+       |SELECT doc_id, source, n_tokens, cum_before FROM p
+       |WHERE cum_before < CASE source WHEN 'src0' THEN 500
+       |  WHEN 'src1' THEN 900 ELSE 700 END""".stripMargin
 
   /** Cross-document duplicated k-token windows (k=8): tk -> per-window
     * rolling-hash fingerprint in HUGEINT mod 2^64 -> windows whose hash
@@ -1484,20 +1514,11 @@ object SparkEntry {
          |FROM p""".stripMargin,
     // q63: per-source exclusive token cumsum in doc_id order; kept iff
     // under that source's budget (the crossing doc included)
-    "q63_token_budget_mix" ->
-      s"""WITH w AS (
-         |  SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens
-         |  FROM documents),
-         |p AS (
-         |  SELECT doc_id, source, n_tokens,
-         |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source
-         |      ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |      AS BIGINT) AS cum_before
-         |  FROM w)
-         |SELECT doc_id, source, n_tokens, cum_before FROM p
-         |WHERE cum_before < CASE source WHEN 'src0' THEN 500
-         |  WHEN 'src1' THEN 900 ELSE 700 END""".stripMargin,
+    "q63_token_budget_mix" -> tokenBudgetMixSql,
+    // x57 is the STREAMING shadow: one running token total per stratum as
+    // state; on the ordered finite replay the emitted union must equal
+    // the batch operator — the same SQL
+    "x57_stream_budget_mix" -> tokenBudgetMixSql,
     // q62: q33's prefix sum expanded to (doc, sequence) overlaps — a doc
     // at [off, off+w) intersects sequences off/B .. (off+w-1)/B
     "q62_pack_segments" ->

@@ -49,4 +49,27 @@ class StreamCurationSpec extends AnyFunSuite {
     // the dup pair must have merged across the batch split
     assert(want.exists(_._2 == 2L))
   }
+
+  test("streaming token-budget mix: state carries the running total " +
+      "across the batch split; equals batch exactly") {
+    import graft.streaming.StreamCuration.MixDoc
+    // stratum a: budget crossed only by a doc in BATCH 2 (ids 1..4 split
+    // 2/2) — the keep decision for id 3 depends on batch-1 state
+    val docs = Seq(MixDoc(1L, "a", 30L), MixDoc(2L, "a", 30L),
+      MixDoc(3L, "a", 50L), MixDoc(4L, "a", 1L),
+      MixDoc(5L, "b", 999L))
+    val got = StreamCuration.replayTokenBudgetMix(spark, docs,
+        budgets = Map("a" -> 100L), defaultBudget = 10L)
+      .as[(Long, String, Long, Long)].collect().toSet
+    // a: cum_before 0,30,60,110 -> ids 1-3 kept (3 crosses the floor), 4 out
+    // b: first doc crosses alone -> kept
+    assert(got == Set((1L, "a", 30L, 0L), (2L, "a", 30L, 30L),
+      (3L, "a", 50L, 60L), (5L, "b", 999L, 0L)))
+    val want = graft.ops.Curation.tokenBudgetMix(
+        docs.toDF(), "source", "doc_id", "n_tokens",
+        budgets = Map("a" -> 100L), defaultBudget = 10L)
+      .select("doc_id", "source", "n_tokens", "cum_before")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == want)
+  }
 }
