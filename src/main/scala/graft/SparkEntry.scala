@@ -573,6 +573,13 @@ object SparkEntry {
       //      original text
       "q61_dedup_scrub" -> ((s, d) =>
         Dedup.scrubDupSubstrings(t(s, d, "documents"), k = 8)),
+      // ---- C4-style sentence-level exact dedup: non-overlapping 12-token
+      //      units, each duplicated unit keeps exactly its FIRST corpus
+      //      occurrence (globally smallest (doc_id, pos)); winner election
+      //      is one shuffle on the unit fingerprint, reconstruction is
+      //      map-side against the original text
+      "q64_sentence_dedup" -> ((s, d) =>
+        Dedup.sentenceDedup(t(s, d, "documents"), unitTokens = 12)),
       // ---- brute-force cosine top-k (exactness baseline)
       "q17_knn_bruteforce" -> ((s, d) => {
         val emb = t(s, d, "embeddings")
@@ -763,6 +770,29 @@ object SparkEntry {
           "source", "doc_id", "n_tokens",
           budgets = Map("src0" -> 500L, "src1" -> 900L),
           defaultBudget = 700L)),
+      // ---- unicode cleaning: NFC canonical composition (native codegen
+      //      expression — Spark has no built-in normalizer), control-char
+      //      strip, whitespace collapse. The corpus is ASCII, so the query
+      //      wraps each doc in a deterministic payload exercising a
+      //      combining sequence (e+U+0301), a bell control, and A+U+030A;
+      //      the oracle replays the chain through DuckDB's nfc_normalize —
+      //      two independent UAX #15 implementations must agree byte-wise
+      "q65_unicode_clean" -> ((s, d) => {
+        val payload = t(s, d, "documents").filter(col("doc_id") < 60)
+          .select(col("doc_id"),
+            concat(lit("Café du "), substring(col("text"), 1, 20),
+              lit("  Å  fin")).as("payload"))
+        graft.ops.Curation.unicodeClean(payload, "payload")
+          .select("doc_id", "clean_text", "n_chars_before", "n_chars_after",
+            "changed")
+      }),
+      // ---- deterministic seeded corpus shuffle: salted-hash permutation
+      //      + epoch shards, no rand() — stable across runs, retries, and
+      //      engines; per-shard windows, no global sort
+      "q67_corpus_shuffle" -> ((s, d) =>
+        graft.ops.Curation.corpusShuffle(
+          t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", nShards = 8, seed = 1L)),
       // ---- STREAMING token-budget mixture: one running token total per
       //      stratum as state; the budgets-are-floors contract makes the
       //      emitted union equal the batch operator exactly
@@ -2030,6 +2060,86 @@ object SparkEntry {
          |  CAST(len(keptl) AS BIGINT) AS n_kept,
          |  n_total - CAST(len(keptl) AS BIGINT) AS n_dropped
          |FROM outp""".stripMargin,
+    // q64: non-overlapping 12-token units fingerprinted with the same
+    // HUGEINT fold; keep-first = row_number over (doc_id, pos) per hash;
+    // reconstruction drops every token whose unit index is marked
+    "q64_sentence_dedup" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, $toks AS tk FROM documents),
+         |units AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    list_reduce(list_prepend(CAST(3421674724 AS HUGEINT),
+         |      list_transform(
+         |        split(array_to_string(
+         |          tk[CAST(i*12+1 AS BIGINT):CAST(i*12+12 AS BIGINT)], ' '), ''),
+         |        c -> CAST(ord(c) AS HUGEINT))),
+         |      (h, c) -> (h * 1000003 + c) % (CAST(1 AS HUGEINT) << 64)) AS h
+         |  FROM tk, UNNEST(range(0, (len(tk)-1)//12 + 1)) AS t(i)),
+         |r AS (
+         |  SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         |    count(*) OVER (PARTITION BY h) AS occ
+         |  FROM units),
+         |drops AS (
+         |  SELECT doc_id, list(pos ORDER BY pos) AS drops
+         |  FROM r WHERE occ > 1 AND rn > 1 GROUP BY 1),
+         |outp AS (
+         |  SELECT tk.doc_id,
+         |    list_transform(
+         |      list_filter(range(0, CAST(len(tk.tk) AS BIGINT)),
+         |        p -> drops.drops IS NULL
+         |          OR NOT list_contains(drops.drops, p // 12)),
+         |      p -> tk.tk[CAST(p AS BIGINT) + 1]) AS keptl,
+         |    CAST((len(tk.tk)-1)//12 + 1 AS BIGINT) AS n_units,
+         |    CAST(coalesce(len(drops.drops), 0) AS BIGINT) AS n_dropped
+         |  FROM tk LEFT JOIN drops USING (doc_id))
+         |SELECT doc_id, array_to_string(keptl, ' ') AS clean_text,
+         |  n_units, n_dropped,
+         |  CAST(len(keptl) AS BIGINT) AS n_kept_tokens
+         |FROM outp""".stripMargin,
+    // q65: DuckDB's nfc_normalize (utf8proc) vs the engine's JDK
+    // Normalizer — two independent UAX #15 implementations must agree
+    // byte-wise on the composed output; same control-strip + whitespace
+    // collapse chain on both sides
+    "q65_unicode_clean" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    'Café du ' || substr(text, 1, 20) || '  Å  fin'
+         |      AS payload
+         |  FROM documents WHERE doc_id < 60),
+         |c AS (
+         |  SELECT doc_id, payload,
+         |    trim(regexp_replace(
+         |      regexp_replace(nfc_normalize(payload),
+         |        '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+         |      '\\s+', ' ', 'g')) AS clean_text
+         |  FROM p)
+         |SELECT doc_id, clean_text,
+         |  CAST(length(payload) AS BIGINT) AS n_chars_before,
+         |  CAST(length(clean_text) AS BIGINT) AS n_chars_after,
+         |  CAST(clean_text <> payload AS INTEGER) AS changed
+         |FROM c""".stripMargin,
+    // q67: the q35 salted-hash idiom over ':shuf:<seed>'; shard = pmod,
+    // pos = dense 0-based rank within shard by (signed key, doc_id)
+    "q67_corpus_shuffle" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, n_chars,
+         |    list_reduce(list_prepend(CAST(3421674724 AS HUGEINT),
+         |      list_transform(split(CAST(doc_id AS VARCHAR) || ':shuf:1', ''),
+         |        c -> CAST(ord(c) AS HUGEINT))),
+         |      (h, c) -> (h * 1000003 + c) % (CAST(1 AS HUGEINT) << 64)) AS hu
+         |  FROM documents),
+         |k AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(CASE WHEN hu >= (CAST(1 AS HUGEINT) << 63)
+         |         THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END AS BIGINT)
+         |      AS shuffle_key
+         |  FROM f)
+         |SELECT doc_id, n_chars, shuffle_key,
+         |  ((shuffle_key % 8) + 8) % 8 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY ((shuffle_key % 8) + 8) % 8
+         |    ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS pos
+         |FROM k""".stripMargin,
     "q36_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  1 AS approx_within_2pct

@@ -285,4 +285,58 @@ object Curation {
         coalesce(sum(col(weightCol)).over(w), lit(0L)).cast("long"))
       .filter(col("cum_before") < budget)
   }
+
+  /** Unicode cleaning pass — the first thing a web-crawl corpus goes
+    * through before hashing/dedup sees it, as one codegen'd projection:
+    *
+    *  1. NFC canonical composition ([[graft.functions.NfcNormalize]],
+    *     native expression — combining sequences compose so byte-level
+    *     fingerprints downstream agree on canonically-equal text);
+    *  2. control characters stripped (C0 minus tab/newline/CR, plus DEL
+    *     — the mojibake bytes PDF/HTML extraction leaves behind);
+    *  3. whitespace runs collapsed to one space, ends trimmed (the
+    *     normalization every tokens() consumer in this library assumes).
+    *
+    * Map-side only: no shuffle, no UDF boundary. Output adds clean_text,
+    * n_chars_before/n_chars_after (code points), changed (0/1). */
+  def unicodeClean(docs: DataFrame, textCol: String): DataFrame = {
+    val nfc = graft.functions.NfcNormalize.nfcCol(col(textCol))
+    val noCtl = regexp_replace(nfc, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val collapsed = trim(regexp_replace(noCtl, "\\s+", " "))
+    docs
+      .withColumn("clean_text", collapsed)
+      .withColumn("n_chars_before", length(col(textCol)).cast("long"))
+      .withColumn("n_chars_after", length(col("clean_text")).cast("long"))
+      .withColumn("changed", (col("clean_text") =!= col(textCol)).cast("int"))
+  }
+
+  /** Deterministic seeded corpus shuffle + epoch sharding: the global
+    * permutation a trainer consumes, computed without rand() so it is
+    * stable across runs, partitionings, retries, and engines. Each row's
+    * shuffle key is a salted content hash of its id; the row lands in
+    * shard = key mod nShards and takes its position from the key order
+    * WITHIN that shard (ties broken by id — hash collisions stay
+    * deterministic). A different seed is a different epoch's permutation:
+    * re-run with seed+1, nothing is stored.
+    *
+    * 100 TB shape: one shuffle on (shard, key) — the same exchange the
+    * shard files need anyway — then a per-shard window for the position.
+    * nShards in the thousands (training shard files) keeps every window
+    * partition bounded at corpus/nShards; there is no global sort and no
+    * SinglePartition stage. The hash is uniform over shards, so shard
+    * sizes concentrate tightly around corpus/nShards (no skew by
+    * construction — the whole point of shuffling). */
+  def corpusShuffle(docs: DataFrame, idCol: String, nShards: Int,
+      seed: Long): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val key = TextAnalysis.fingerprint64(
+      concat(col(idCol).cast("string"), lit(s":shuf:$seed")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("shuffle_key"), col(idCol))
+    docs
+      .withColumn("shuffle_key", key)
+      .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
+      .withColumn("pos",
+        (row_number().over(w) - 1).cast("long"))
+  }
 }

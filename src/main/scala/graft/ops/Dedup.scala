@@ -426,6 +426,71 @@ object Dedup {
         (col("n_total") - size(col("kept"))).cast("long").as("n_dropped"))
   }
 
+  // ---------------------------------------- sentence-level exact dedup
+
+  /** C4-style exact sentence-level deduplication (after Raffel et al. 2020
+    * §2.2's "three-sentence span" dedup and RefinedWeb's line dedup): the
+    * corpus text is segmented into consecutive `unitTokens`-token units
+    * ("sentences" — the synthetic corpus carries no newline/period
+    * structure, so segmentation is positional; pass pre-split lines
+    * through the same fingerprint path when the corpus has them), every
+    * unit occurring in the corpus MORE THAN ONCE keeps exactly its FIRST
+    * occurrence — globally smallest (doc_id, unit index) — and every other
+    * occurrence is removed from its document's text.
+    *
+    * Differs from [[scrubDupSubstrings]] (q61) on both axes: units are
+    * non-overlapping (no interval merge), and the semantics are
+    * keep-first rather than scrub-everywhere — the C4 contract that the
+    * corpus retains exactly one copy of each duplicated sentence.
+    *
+    * Output: one row per input doc —
+    * (doc_id, clean_text, n_units, n_dropped, n_kept_tokens).
+    *
+    * 100 TB shape: unit text is fingerprinted to a single long inside the
+    * projection that slices it (graft_fingerprint64, codegen'd), so the
+    * winner-election shuffle (groupBy h -> min struct(doc_id, pos)) and
+    * the mark-back join carry fixed-width scalars only. Per-doc dropped
+    * unit indexes aggregate to one small int array per AFFECTED doc
+    * (dup-density-bounded); reconstruction is map-side against the
+    * original text exactly like q61 — at cluster scale read the corpus
+    * from a doc_id-bucketed table and the join back is exchange-free on
+    * the corpus side. */
+  def sentenceDedup(docs: DataFrame, unitTokens: Int = 12): DataFrame = {
+    require(unitTokens > 0, s"unit size must be positive, got $unitTokens")
+    val toked = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    val units = toked.select(
+        col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(col("tk")) - 1) / unitTokens).cast("int")),
+          i => graft.functions.RollingHash64.fingerprint64(
+            concat_ws(" ", slice(col("tk"), i * unitTokens + 1, lit(unitTokens)))))))
+      .toDF("doc_id", "pos", "h")
+    // one 12-byte-key shuffle elects the keeper occurrence per unit hash
+    val winners = units.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"),
+        count(lit(1)).as("occ"))
+    val dropped = units.join(winners, "h")
+      .filter(col("occ") > 1 &&
+        !(col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos")))
+      .select(col("doc_id"), col("pos"))
+    val drops = dropped.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("drops"))
+    val emptyInts = array().cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType))
+    docs.join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"), tokens(col("text")).as("tk"),
+        coalesce(col("drops"), emptyInts).as("da"))
+      .select(col("doc_id"),
+        filter(col("tk"), (_, i) =>
+          !array_contains(col("da"), floor(i / unitTokens).cast("int"))).as("kept"),
+        (floor((size(col("tk")) - 1) / unitTokens) + 1).cast("long").as("n_units"),
+        size(col("da")).cast("long").as("n_dropped"))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        col("n_units"), col("n_dropped"),
+        size(col("kept")).cast("long").as("n_kept_tokens"))
+  }
+
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
   /** BANDED SimHash near-dup candidate pairs: nBands equal-width band

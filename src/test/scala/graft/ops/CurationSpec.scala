@@ -406,6 +406,31 @@ class CurationSpec extends AnyFunSuite {
     assert(got.values.toSeq.sorted == Seq(1, 2, 3))
   }
 
+  test("corpusShuffle: deterministic permutation, dense per-shard positions") {
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = Curation.corpusShuffle(docs, "doc_id", nShards = 4, seed = 7L)
+      .select("doc_id", "shard", "pos", "shuffle_key")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1).toSet == (0L until 200L).toSet)
+    assert(out.forall(r => r._2 >= 0 && r._2 < 4))
+    // positions dense 0..size-1 per shard, ordered by (key, id)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._4, r._1))
+      assert(sorted.map(_._3) == rows.indices.map(_.toLong))
+    }
+    // run-to-run and partitioning-invariant: same result from a repartition
+    val again = Curation.corpusShuffle(docs.repartition(13), "doc_id",
+        nShards = 4, seed = 7L)
+      .select("doc_id", "shard", "pos", "shuffle_key")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(again.sortBy(_._1) == out.sortBy(_._1))
+    // a different seed is a different permutation
+    val other = Curation.corpusShuffle(docs, "doc_id", nShards = 4, seed = 8L)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(other != out.map(r => (r._1, r._2, r._3)).sortBy(_._1))
+  }
+
   test("bm25: rarer term carries a higher idf weight") {
     val corpus = (1L to 9L).map(i => (i, "common common filler")) :+
       (10L, "rare common")

@@ -250,6 +250,37 @@ class DedupSpec extends AnyFunSuite {
     assert(out(6L) == (("lone short doc", 3L, 0L)))
   }
 
+  test("sentence dedup keeps exactly the first occurrence of each dup unit") {
+    val docs = Seq(
+      (1L, "a b c d e f"),       // both units first occurrences: untouched
+      (2L, "a b c x y z"),       // [a b c] already owned by doc 1: dropped
+      (3L, "d e f"),             // whole doc owned by doc 1 pos 1: emptied
+      (4L, "p q r p q r"),       // WITHIN-doc dup: keep-first applies too
+      (5L, "a b c d")            // dup full unit + unique partial tail [d]
+    ).toDF("doc_id", "text")
+    val out = Dedup.sentenceDedup(docs, unitTokens = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_units"),
+          r.getAs[Long]("n_dropped"), r.getAs[Long]("n_kept_tokens")))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L)) // one row per input doc
+    assert(out(1L) == (("a b c d e f", 2L, 0L, 6L)))
+    assert(out(2L) == (("x y z", 2L, 1L, 3L)))
+    assert(out(3L) == (("", 1L, 1L, 0L)))
+    assert(out(4L) == (("p q r", 2L, 1L, 3L)))
+    assert(out(5L) == (("d", 2L, 1L, 1L)))
+  }
+
+  test("sentence dedup winner is the globally smallest (doc_id, pos) pair") {
+    // the dup unit sits at pos 1 in doc 1 but pos 0 in doc 2: doc-id order
+    // dominates position order, so doc 1 keeps it
+    val docs = Seq((1L, "u v w a b c"), (2L, "a b c x y z"))
+      .toDF("doc_id", "text")
+    val out = Dedup.sentenceDedup(docs, unitTokens = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(out(1L) == "u v w a b c")
+    assert(out(2L) == "x y z")
+  }
+
   test("approx distinct (HLL) tracks exact distinct within tolerance") {
     // the reference has no approx-distinct; the engine gets HLL++ free —
     // pin that the plan uses the approximate aggregate and lands within
@@ -683,5 +714,39 @@ class ExpressionSpec extends AnyFunSuite {
     // the `*(n)` prefix marks operators fused into a WholeStageCodegen stage
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [graft_fingerprint64"))
+  }
+
+  test("NfcNormalize composes combining sequences; NFC not NFKC; codegens") {
+    val decomposed = "Café Å"      // e + U+0301, A + U+030A
+    val composed = "Café Å"          // é, Å precomposed
+    val ligature = "ﬁsh"                  // fi ligature: NFC keeps it
+    val df = Seq(decomposed, composed, ligature, "plain ascii").toDF("t")
+    val got = df.select(graft.functions.NfcNormalize.nfcCol(col("t")))
+      .as[String].collect().toSeq
+    assert(got(0) == composed)                 // composition happened
+    assert(got(1) == composed)                 // already-NFC passes through
+    assert(got(2) == ligature)                 // compatibility chars untouched
+    assert(got(3) == "plain ascii")
+    // plan check over a non-constant source (a constant frame folds into
+    // the LocalTableScan before the projection exists)
+    val plan = spark.range(3)
+      .select(graft.functions.NfcNormalize.nfcCol(col("id").cast("string")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_nfc"))
+    graft.functions.NfcNormalize.register(spark)
+    assert(spark.sql("SELECT graft_nfc('Café') AS t").as[String]
+      .collect().head == "Café")
+  }
+
+  test("unicodeClean: NFC + control strip + whitespace collapse, counters exact") {
+    val df = Seq((1L, "Café du  monde\t x "), (2L, "already clean"))
+      .toDF("doc_id", "t")
+    val out = Curation.unicodeClean(df, "t").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_chars_before"),
+          r.getAs[Long]("n_chars_after"), r.getAs[Int]("changed")))).toMap
+    // before: C,a,f,e,U+0301,sp,BEL,d,u,sp,sp,m..e(5),TAB,sp,x,sp = 20
+    assert(out(1L) == (("Café du monde x", 20L, 15L, 1)))
+    assert(out(2L) == (("already clean", 13L, 13L, 0)))
   }
 }
