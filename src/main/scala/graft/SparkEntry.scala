@@ -770,6 +770,12 @@ object SparkEntry {
           "source", "doc_id", "n_tokens",
           budgets = Map("src0" -> 500L, "src1" -> 900L),
           defaultBudget = 700L)),
+      // ---- CCNet-shaped LM fluency: bigram LM estimated from the corpus,
+      //      every doc scored by avg conditional probability in integral
+      //      microunits; docs pre-aggregate to distinct (doc, bigram)
+      //      before the LM join — see TextAnalysis.lmFluency
+      "q66_lm_fluency" -> ((s, d) =>
+        TextAnalysis.lmFluency(t(s, d, "documents"))),
       // ---- unicode cleaning: NFC canonical composition (native codegen
       //      expression — Spark has no built-in normalizer), control-char
       //      strip, whitespace collapse. The corpus is ASCII, so the query
@@ -2097,6 +2103,33 @@ object SparkEntry {
          |  n_units, n_dropped,
          |  CAST(len(keptl) AS BIGINT) AS n_kept_tokens
          |FROM outp""".stripMargin,
+    // q66: same bigram LM chain in SQL — doc bigram counts, corpus bigram
+    // counts, prefix (conditioning) counts, integer-division microunits
+    "q66_lm_fluency" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, $toks AS tk FROM documents),
+         |bi AS (
+         |  SELECT doc_id,
+         |    tk[CAST(i+1 AS BIGINT)] || ' ' || tk[CAST(i+2 AS BIGINT)] AS bg
+         |  FROM tk, UNNEST(range(0, greatest(len(tk)-1, 0))) AS t(i)
+         |  WHERE len(tk) >= 2),
+         |docbi AS (SELECT doc_id, bg, count(*) AS k FROM bi GROUP BY 1, 2),
+         |bic AS (SELECT bg, sum(k) AS c12 FROM docbi GROUP BY 1),
+         |pre AS (
+         |  SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
+         |  FROM bic GROUP BY 1),
+         |lm AS (
+         |  SELECT bg, c12, c1 FROM bic
+         |  JOIN pre ON split_part(bg, ' ', 1) = w1),
+         |sc AS (
+         |  SELECT d.doc_id, sum(d.k) AS nb,
+         |    sum(d.k * ((c12 * 1000000) // c1)) AS sm
+         |  FROM docbi d JOIN lm USING (bg) GROUP BY 1)
+         |SELECT tk.doc_id,
+         |  CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(sm, 0) AS BIGINT) AS sum_cond_micro,
+         |  CAST(coalesce(sm // nb, 0) AS BIGINT) AS avg_cond_micro
+         |FROM tk LEFT JOIN sc USING (doc_id)""".stripMargin,
     // q65: DuckDB's nfc_normalize (utf8proc) vs the engine's JDK
     // Normalizer — two independent UAX #15 implementations must agree
     // byte-wise on the composed output; same control-strip + whitespace

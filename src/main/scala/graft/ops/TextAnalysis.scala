@@ -163,6 +163,55 @@ object TextAnalysis {
     * including the token that crosses it. All-integer outputs (counts and
     * basis points via integer division) for bit-exact cross-engine
     * comparison. */
+  /** CCNet-shaped LM fluency scoring (Wenzek et al. 2020 filter corpora by
+    * language-model perplexity; the KenLM there is a web-trained n-gram
+    * model): a bigram LM is estimated from a reference corpus — here the
+    * corpus itself — and every document is scored by its average bigram
+    * conditional probability p(w2|w1) = c(w1 w2) / c(w1 ·), in integral
+    * microunits so the cross-engine compare is exact (true -log-prob
+    * perplexity is a float fold over the same joined counts — omitted
+    * from the CONTRACT because libm log is not bit-stable across engines,
+    * not because the plan can't produce it). Low avg_cond_micro = the
+    * doc's word transitions are rare in the reference corpus = the
+    * CCNet "tail" bucket.
+    *
+    * 100 TB shape: documents pre-aggregate to DISTINCT (doc, bigram,
+    * count) rows before anything joins, so the LM join carries one row
+    * per distinct bigram per doc, not one per token. The LM itself is
+    * two aggregations over the same pre-aggregated rows (bigram counts;
+    * prefix counts from the bigram table — c(w1 ·) sums to exactly the
+    * conditioning mass, no separate unigram scan). All shuffles carry
+    * (hash-sized key, long); with a bounded vocabulary the LM table is
+    * broadcast-sized and AQE picks the map-side join. */
+  def lmFluency(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    val docBi = base
+      .select(col("doc_id"),
+        explode(when(size(col("tk")) >= 2,
+          transform(sequence(lit(0), size(col("tk")) - 2),
+            i => concat_ws(" ", element_at(col("tk"), i + 1),
+              element_at(col("tk"), i + 2))))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("k"))
+    val biCnt = docBi.groupBy("bg").agg(sum("k").as("c12"))
+    val pre = biCnt
+      .select(substring_index(col("bg"), " ", 1).as("w1"), col("c12"))
+      .groupBy("w1").agg(sum("c12").as("c1"))
+    val lm = biCnt
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(pre, "w1")
+      .select(col("bg"), col("c12"), col("c1"))
+    val scored = docBi.join(lm, "bg")
+      .withColumn("contrib", col("k") * expr("(c12 * 1000000) div c1"))
+      .groupBy("doc_id")
+      .agg(sum("k").as("nb"), sum("contrib").as("sm"))
+    base.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sm"), lit(0L)).as("sum_cond_micro"),
+        coalesce(expr("sm div nb"), lit(0L)).as("avg_cond_micro"))
+  }
+
   def vocabCoverage(docs: DataFrame, coverageBp: Long = 9500L,
       textCol: String = "text"): DataFrame = {
     require(coverageBp >= 0L && coverageBp <= 10000L, s"bad bp $coverageBp")

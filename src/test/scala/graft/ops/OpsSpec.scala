@@ -250,6 +250,20 @@ class DedupSpec extends AnyFunSuite {
     assert(out(6L) == (("lone short doc", 3L, 0L)))
   }
 
+  test("lmFluency: bigram conditional probabilities exact in microunits") {
+    // corpus bigram counts: "a b"->3, "b a"->1, "b c"->1
+    // prefix mass: a->3, b->2  =>  p(b|a)=1.0, p(a|b)=p(c|b)=0.5
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.lmFluency(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_cond_micro"),
+          r.getAs[Long]("avg_cond_micro")))).toMap
+    assert(out(1L) == ((3L, 2500000L, 833333L)))
+    assert(out(2L) == ((2L, 1500000L, 750000L)))
+    assert(out(3L) == ((0L, 0L, 0L))) // bigram-less docs still emit a row
+  }
+
   test("sentence dedup keeps exactly the first occurrence of each dup unit") {
     val docs = Seq(
       (1L, "a b c d e f"),       // both units first occurrences: untouched
