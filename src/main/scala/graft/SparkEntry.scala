@@ -970,6 +970,46 @@ object SparkEntry {
                    AS toklen_sq
                  FROM graft_docs_x37""")
       }),
+      // ---- z-order (Morton) file clustering vs the linear sort: both
+      //      layouts built with the SAME deterministic rank-bucket
+      //      machinery (quantize -> interleave via the native
+      //      graft_zvalue expression -> distributed prefix-sum rank), then
+      //      per-bucket min/max stats answer three probes. The payoff row
+      //      is dimB: the linear layout reads EVERY file, z-order reads a
+      //      handful — one layout serving predicates on either dimension
+      //      is the whole point of ZORDER BY. Oracle replays quantization,
+      //      bit-spreading, ranking, and pruning in SQL.
+      "x58_zorder_skipping" -> ((s, d) => {
+        import s.implicits._
+        val ev = t(s, d, "events").select(
+          col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"),
+          unix_timestamp(col("ts")).as("tsec"))
+        val zb = graft.ops.ZOrder
+          .zbucketed(ev, "user_id", "tsec", "event_id", nBuckets = 16)
+          .persist()
+        val lin = graft.ops.ZOrder
+          .linearBucketed(zb, "qa", "event_id", nBuckets = 16)
+        val zstats = graft.ops.ZOrder.bucketStats(zb, "zbucket")
+        val lstats = graft.ops.ZOrder.bucketStats(lin, "linbucket")
+        val probes = Seq(("dimA", 16384L, 24575L, 0L, 65535L),
+          ("dimB", 0L, 65535L, 16384L, 24575L),
+          ("box", 16384L, 24575L, 16384L, 24575L))
+        val rowsM = probes.map { case (p, al, ah, bl, bh) =>
+          p -> zb.filter(col("qa").between(al, ah) &&
+            col("qb").between(bl, bh)).count()
+        }.toMap
+        val out = for {
+          (layout, st) <- Seq(("zorder", zstats), ("linear", lstats))
+          (p, al, ah, bl, bh) <- probes
+        } yield {
+          val hit = st.agg(graft.ops.ZOrder.bucketsHit(al, ah, bl, bh)
+            .as("h")).collect()(0).getLong(0)
+          (layout, p, hit, 16L, rowsM(p))
+        }
+        zb.unpersist()
+        out.toDF("layout", "probe", "files_hit", "files_total", "rows_match")
+      }),
       // ---- int8 embedding quantization (the storage layout trained
       //      retrieval corpora ship in): per-vector max-abs scale,
       //      symmetric round-half-up to [-127, 127]. floor(x+0.5) instead
@@ -2103,6 +2143,62 @@ object SparkEntry {
          |  n_units, n_dropped,
          |  CAST(len(keptl) AS BIGINT) AS n_kept_tokens
          |FROM outp""".stripMargin,
+    // x58: full replay of the layout math — epoch-second quantization,
+    // magic-mask bit spreading, rank over (zval, event_id), bucket =
+    // rank*16 div n, per-bucket stats, box-intersection pruning
+    "x58_zorder_skipping" ->
+      s"""WITH b AS (
+         |  SELECT CAST(min(user_id) AS BIGINT) alo, CAST(max(user_id) AS BIGINT) ahi,
+         |         CAST(floor(epoch(min(ts))) AS BIGINT) blo, CAST(floor(epoch(max(ts))) AS BIGINT) bhi
+         |  FROM events),
+         |q AS (
+         |  SELECT event_id,
+         |    CASE WHEN ahi = alo THEN 0
+         |         ELSE ((CAST(user_id AS BIGINT) - alo) * 65535) // (ahi - alo) END AS qa,
+         |    CASE WHEN bhi = blo THEN 0
+         |         ELSE ((CAST(floor(epoch(ts)) AS BIGINT) - blo) * 65535) // (bhi - blo) END AS qb
+         |  FROM events, b),
+         |z0 AS (SELECT event_id, qa, qb,
+         |    (qa | (qa << 8)) & 16711935 AS sa, (qb | (qb << 8)) & 16711935 AS sb FROM q),
+         |z1 AS (SELECT event_id, qa, qb,
+         |    (sa | (sa << 4)) & 252645135 AS sa, (sb | (sb << 4)) & 252645135 AS sb FROM z0),
+         |z2 AS (SELECT event_id, qa, qb,
+         |    (sa | (sa << 2)) & 858993459 AS sa, (sb | (sb << 2)) & 858993459 AS sb FROM z1),
+         |z3 AS (SELECT event_id, qa, qb,
+         |    (sa | (sa << 1)) & 1431655765 AS sa, (sb | (sb << 1)) & 1431655765 AS sb FROM z2),
+         |z AS (SELECT event_id, qa, qb, sa | (sb << 1) AS zval FROM z3),
+         |n AS (SELECT count(*) AS total FROM z),
+         |zb AS (SELECT qa, qb,
+         |    ((row_number() OVER (ORDER BY zval, event_id) - 1) * 16) // total AS bucket
+         |  FROM z, n),
+         |lb AS (SELECT qa, qb,
+         |    ((row_number() OVER (ORDER BY qa, event_id) - 1) * 16) // total AS bucket
+         |  FROM z, n),
+         |stats AS (
+         |  SELECT 'zorder' AS layout, bucket, min(qa) AS qa_min, max(qa) AS qa_max,
+         |         min(qb) AS qb_min, max(qb) AS qb_max FROM zb GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'linear' AS layout, bucket, min(qa), max(qa), min(qb), max(qb)
+         |  FROM lb GROUP BY 2),
+         |probes AS (SELECT * FROM (VALUES
+         |  ('dimA', 16384, 24575, 0, 65535),
+         |  ('dimB', 0, 65535, 16384, 24575),
+         |  ('box',  16384, 24575, 16384, 24575)) p(probe, qalo, qahi, qblo, qbhi)),
+         |hits AS (
+         |  SELECT s.layout, p.probe,
+         |    CAST(sum(CASE WHEN s.qa_max >= p.qalo AND s.qa_min <= p.qahi
+         |                   AND s.qb_max >= p.qblo AND s.qb_min <= p.qbhi
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS files_hit
+         |  FROM stats s CROSS JOIN probes p GROUP BY 1, 2),
+         |rowsm AS (
+         |  SELECT p.probe, CAST(count(*) AS BIGINT) AS rows_match
+         |  FROM probes p JOIN q
+         |    ON q.qa BETWEEN p.qalo AND p.qahi AND q.qb BETWEEN p.qblo AND p.qbhi
+         |  GROUP BY 1)
+         |SELECT h.layout, h.probe, h.files_hit,
+         |  CAST(16 AS BIGINT) AS files_total,
+         |  coalesce(r.rows_match, 0) AS rows_match
+         |FROM hits h LEFT JOIN rowsm r USING (probe)""".stripMargin,
     // q66: same bigram LM chain in SQL — doc bigram counts, corpus bigram
     // counts, prefix (conditioning) counts, integer-division microunits
     "q66_lm_fluency" ->
