@@ -770,6 +770,12 @@ object SparkEntry {
           "source", "doc_id", "n_tokens",
           budgets = Map("src0" -> 500L, "src1" -> 900L),
           defaultBudget = 700L)),
+      // ---- BPE merge learning (tokenizer training): 8 rounds of
+      //      most-frequent-adjacent-pair election + greedy merge over the
+      //      marker-encoded vocabulary; one corpus-scale word count, then
+      //      vocab-bounded shuffles and a 1-row argmax per round
+      "q68_bpe_merges" -> ((s, d) =>
+        graft.ops.Bpe.learnMerges(t(s, d, "documents"), nMerges = 8)),
       // ---- CCNet-shaped LM fluency: bigram LM estimated from the corpus,
       //      every doc scored by avg conditional probability in integral
       //      microunits; docs pre-aggregate to distinct (doc, bigram)
@@ -2199,6 +2205,10 @@ object SparkEntry {
          |  CAST(16 AS BIGINT) AS files_total,
          |  coalesce(r.rows_match, 0) AS rows_match
          |FROM hits h LEFT JOIN rowsm r USING (probe)""".stripMargin,
+    // q68: the N-round BPE chain generated from the same constants as the
+    // engine (Bpe.learnMergesSql) — chained CTEs electing and applying the
+    // identical winner each round
+    "q68_bpe_merges" -> graft.ops.Bpe.learnMergesSql(8),
     // q66: same bigram LM chain in SQL — doc bigram counts, corpus bigram
     // counts, prefix (conditioning) counts, integer-division microunits
     "q66_lm_fluency" ->
