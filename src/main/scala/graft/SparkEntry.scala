@@ -776,6 +776,11 @@ object SparkEntry {
       //      vocab-bounded shuffles and a 1-row argmax per round
       "q68_bpe_merges" -> ((s, d) =>
         graft.ops.Bpe.learnMerges(t(s, d, "documents"), nMerges = 8)),
+      // ---- BPE tokenize (the apply half of q68): learned merges inlined
+      //      as an 8-deep literal replace chain, one map-side projection
+      //      over the corpus; per-doc BPE token counts + compression
+      "q69_bpe_tokenize" -> ((s, d) =>
+        graft.ops.Bpe.bpeTokenProfile(t(s, d, "documents"), nMerges = 8)),
       // ---- CCNet-shaped LM fluency: bigram LM estimated from the corpus,
       //      every doc scored by avg conditional probability in integral
       //      microunits; docs pre-aggregate to distinct (doc, bigram)
@@ -2209,6 +2214,8 @@ object SparkEntry {
     // engine (Bpe.learnMergesSql) — chained CTEs electing and applying the
     // identical winner each round
     "q68_bpe_merges" -> graft.ops.Bpe.learnMergesSql(8),
+    // q69: merge chain + corpus-wide apply, generated by the same builder
+    "q69_bpe_tokenize" -> graft.ops.Bpe.bpeProfileSql(8),
     // q66: same bigram LM chain in SQL — doc bigram counts, corpus bigram
     // counts, prefix (conditioning) counts, integer-division microunits
     "q66_lm_fluency" ->

@@ -90,11 +90,92 @@ object Bpe {
         col("merged"), col("cnt"))
   }
 
+  /** Apply learned merges to the corpus — the tokenize step a trained BPE
+    * vocabulary exists for. Re-learns `nMerges` merges, then encodes every
+    * token and applies the merges in rank order as chained literal
+    * replaces (all codegen'd; the 8-deep replace chain is one projection).
+    * Output per doc: (doc_id, n_tokens, n_chars_tok, n_bpe_tokens,
+    * chars_per_bpe_micro) — the compression the learned vocab achieves.
+    *
+    * The merge table is collected to the driver and inlined as literals
+    * (nMerges rows — broadcast-sized by definition); the corpus pass is
+    * map-side only. */
+  def bpeTokenProfile(docs: DataFrame, nMerges: Int): DataFrame = {
+    val ms = learnMerges(docs, nMerges)
+      .select("rank", "left_sym", "right_sym")
+      .collect().sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+    def encode(tok: org.apache.spark.sql.Column) = {
+      val enc0 = regexp_replace(tok, "(.)", S + "$1" + E)
+      ms.foldLeft(enc0) { case (acc, (l, r)) =>
+        replace(acc, lit(S + l + E + S + r + E), lit(S + l + r + E))
+      }
+    }
+    def symCount(tok: org.apache.spark.sql.Column) = {
+      val enc = encode(tok)
+      (length(enc) - length(replace(enc, lit(S), lit("")))).cast("long")
+    }
+    val tk = filter(Dedup.tokens(col("text")), t => t =!= "")
+    docs.select(col("doc_id"),
+      size(tk).cast("long").as("n_tokens"),
+      aggregate(tk, lit(0L), (a, t) => a + length(t).cast("long"))
+        .as("n_chars_tok"),
+      aggregate(tk, lit(0L), (a, t) => a + symCount(t)).as("n_bpe_tokens"))
+      .withColumn("chars_per_bpe_micro",
+        when(col("n_bpe_tokens") > 0,
+          expr("n_chars_tok * 1000000 div n_bpe_tokens")).otherwise(lit(0L)))
+  }
+
   /** The identical chain as DuckDB SQL: `nMerges` chained CTE rounds, each
     * extracting pairs from the encoded vocab, electing the same
     * (cnt desc, l asc, r asc) winner, and applying it with replace().
     * Generated from the same constants so engine and oracle cannot drift. */
-  def learnMergesSql(nMerges: Int): String = {
+  def learnMergesSql(nMerges: Int): String =
+    mergeChainSql(nMerges) +
+      (1 to nMerges).map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS rank, l AS left_sym, r AS right_sym,
+           |  l || r AS merged, CAST(c AS BIGINT) AS cnt FROM m$r""".stripMargin)
+        .mkString("\n", "\nUNION ALL\n", "")
+
+  /** The q69 oracle: the same merge chain, then every corpus token is
+    * encoded and run through the nMerges-deep replace chain (referencing
+    * the m1..mN winner CTEs) and per-doc symbol counts aggregate. */
+  def bpeProfileSql(nMerges: Int): String = {
+    require(nMerges > 0)
+    val applied = (1 to nMerges).foldLeft("e") { case (acc, r) =>
+      s"replace($acc, '$S' || m$r.l || '$E$S' || m$r.r || '$E', " +
+        s"'$S' || m$r.l || m$r.r || '$E')"
+    }
+    val mrefs = (1 to nMerges).map("m" + _).mkString(", ")
+    mergeChainSql(nMerges) +
+      s""",
+         |tok2 AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+         |  FROM documents),
+         |enc0 AS (
+         |  SELECT doc_id, tok, regexp_replace(tok, '(.)', '$S\\1$E', 'g') AS e
+         |  FROM tok2 WHERE tok <> ''),
+         |encn AS (
+         |  SELECT doc_id, tok, $applied AS e
+         |  FROM enc0, $mrefs),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(len(tok)) AS BIGINT) AS n_chars_tok,
+         |    CAST(sum(len(e) - len(replace(e, '$S', ''))) AS BIGINT) AS n_bpe_tokens
+         |  FROM encn GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(n_tokens, 0) AS n_tokens,
+         |  coalesce(n_chars_tok, 0) AS n_chars_tok,
+         |  coalesce(n_bpe_tokens, 0) AS n_bpe_tokens,
+         |  CASE WHEN coalesce(n_bpe_tokens, 0) > 0
+         |       THEN (n_chars_tok * 1000000) // n_bpe_tokens
+         |       ELSE 0 END AS chars_per_bpe_micro
+         |FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)""".stripMargin
+  }
+
+  /** Shared WITH chain: word counts, initial encoding, and per-round
+    * (pair counts, winner, applied vocab) CTEs p1/m1/v1 .. pN/mN/vN. */
+  private def mergeChainSql(nMerges: Int): String = {
     require(nMerges > 0)
     val sb = new StringBuilder
     sb.append(
@@ -120,11 +201,7 @@ object Bpe {
            |                 '$S' || m$r.l || m$r.r || '$E') AS enc, cnt
            |  FROM v${r - 1}, m$r)""".stripMargin)
     }
-    sb.append(
-      (1 to nMerges).map(r =>
-        s"""SELECT CAST($r AS BIGINT) AS rank, l AS left_sym, r AS right_sym,
-           |  l || r AS merged, CAST(c AS BIGINT) AS cnt FROM m$r""".stripMargin)
-        .mkString("\n", "\nUNION ALL\n", ""))
+    sb.append("\n")
     sb.toString
   }
 }

@@ -32,6 +32,22 @@ class BpeSpec extends AnyFunSuite {
       (2L, "aa", "a", "aaa", 2L)))
   }
 
+  test("bpeTokenProfile: symbol counts reflect the learned merges") {
+    // merges (from the first spec's corpus): ab, abab, cd
+    // "abab" -> 1 symbol, "ab" -> 1, "cd" -> 1 after 3 merges
+    val docs = Seq(
+      (1L, "abab abab abab ab ab cd"),
+      (2L, "abab xy")).toDF("doc_id", "text")
+    val got = Bpe.bpeTokenProfile(docs, nMerges = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // doc 1: 6 tokens, 18 chars; abab x3 -> 1 sym each? merges learned on
+    // THIS corpus: (a,b) cnt 10, then (ab,ab) cnt 4, then (c,d) 1 — so
+    // abab=1 sym, ab=1, cd=1 -> 6 bpe tokens, 18 chars -> 3.0 chars/tok
+    assert(got(0) == ((1L, 6L, 18L, 6L, 3000000L)))
+    // doc 2: abab -> 1 sym; xy stays 2 chars -> x,y unmerged = 2 syms
+    assert(got(1) == ((2L, 2L, 6L, 3L, 2000000L)))
+  }
+
   test("corpus exhaustion fails loudly instead of emitting short results") {
     val docs = Seq((1L, "ab")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
