@@ -981,6 +981,44 @@ object SparkEntry {
                    AS toklen_sq
                  FROM graft_docs_x37""")
       }),
+      // ---- partition-spec evolution on the committed table: commit 1
+      //      tracks doc_ord (the original spec), commits 2-3 track `temp`
+      //      (the evolved spec) — nothing rewritten. A temp-range read
+      //      prunes commit-3's files by their temp stats, keeps commit-1's
+      //      files CONSERVATIVELY (old spec never tracked temp — Iceberg's
+      //      cross-spec scan rule), and the skip is pinned the x49 way:
+      //      every pruned file is poisoned before the scan
+      "x59_spec_evolution" -> ((s, _) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-x59").toString + "/t"
+        def frame(lo: Long, hi: Long,
+            temp: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+          s.range(lo, hi + 1).select(col("id").as("doc_ord"))
+            .withColumn("temp", temp(col("doc_ord")).cast("long"))
+            .repartitionByRange(2, col("doc_ord"))
+        graft.pipeline.Checkpointing.commit(
+          frame(1, 100, o => o * 3), dir, "c1")
+        graft.pipeline.Checkpointing.commitWithSpec(
+          frame(101, 200, o => o + lit(900L)), dir, "c2", "temp")
+        graft.pipeline.Checkpointing.commitWithSpec(
+          frame(201, 300, o => o + lit(1800L)), dir, "c3", "temp")
+        val (kept, skipped) = graft.pipeline.Checkpointing
+          .pruneInfoBy(dir, 3, "temp", 1000L, 1100L)
+        val c1Files = graft.pipeline.Checkpointing.snapshots(dir)
+          .find(_.runId == "c1").get.files.toSet
+        require(c1Files.subsetOf(kept.toSet),
+          s"old-spec files must be kept conservatively: kept=$kept")
+        skipped.foreach(n => java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/$n"), "poison".getBytes("UTF-8")))
+        val rows = graft.pipeline.Checkpointing
+          .readRangeBy(s, dir, 3, "temp", 1000L, 1100L).count()
+        Seq(
+          ("files_total", 6L), ("files_kept", kept.size.toLong),
+          ("files_skipped", skipped.size.toLong),
+          ("old_spec_files_kept", c1Files.count(kept.contains).toLong),
+          ("rows_after_filter", rows)).toDF("metric", "n")
+      }),
       // ---- z-order (Morton) file clustering vs the linear sort: both
       //      layouts built with the SAME deterministic rank-bucket
       //      machinery (quantize -> interleave via the native
@@ -2210,6 +2248,15 @@ object SparkEntry {
          |  CAST(16 AS BIGINT) AS files_total,
          |  coalesce(r.rows_match, 0) AS rows_match
          |FROM hits h LEFT JOIN rowsm r USING (probe)""".stripMargin,
+    // x59: layout metrics are fixed by the synthetic frame construction —
+    // 3 commits x 2 range files; temp in [1000,1100] selects exactly
+    // commit 2's 100 rows (temps 1001..1100), prunes commit 3's 2 files
+    // (2001..2100), keeps commit 1's 2 old-spec files conservatively
+    "x59_spec_evolution" ->
+      """SELECT * FROM (VALUES
+        |  ('files_total', 6), ('files_kept', 4), ('files_skipped', 2),
+        |  ('old_spec_files_kept', 2), ('rows_after_filter', 100)
+        |) t(metric, n)""".stripMargin,
     // q68: the N-round BPE chain generated from the same constants as the
     // engine (Bpe.learnMergesSql) — chained CTEs electing and applying the
     // identical winner each round

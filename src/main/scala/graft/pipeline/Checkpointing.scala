@@ -39,13 +39,24 @@ object Checkpointing {
     * ADDED — merge-on-read row-level deletes, applied at scan time to rows
     * committed by EARLIER snapshots only (Iceberg's sequence-number rule),
     * so a doc re-extracted after its takedown is visible again. */
-  /** `stats` = per-FILE doc_ord (min, max) ranges for the files this
-    * snapshot added, when known — the Iceberg manifest column-stats analog
-    * that [[readRange]] prunes with. Files without an entry (no doc_ord
-    * column, legacy adoption) are conservatively never pruned. */
+  /** `stats` = per-FILE (min, max) ranges on this snapshot's `spec`
+    * column for the files it added, when known — the Iceberg manifest
+    * column-stats analog that [[readRange]] prunes with. Files without an
+    * entry (no spec column, legacy adoption) are conservatively never
+    * pruned.
+    *
+    * `spec` = WHICH column the ranges describe (default doc_ord —
+    * snapshots written before spec evolution carry no key and parse as
+    * doc_ord). Different snapshots of one table may use different spec
+    * columns — Iceberg's partition-spec evolution: each file prunes under
+    * the spec it was WRITTEN with, and a predicate on a column some
+    * snapshot never tracked keeps that snapshot's files conservatively
+    * ([[pruneInfoBy]]). Old data is never rewritten when the spec
+    * changes. */
   final case class Snapshot(seq: Int, runId: String, files: Seq[String],
       rows: Long, full: Boolean, deletes: Seq[String] = Nil,
-      stats: Map[String, (Long, Long)] = Map.empty)
+      stats: Map[String, (Long, Long)] = Map.empty,
+      spec: String = "doc_ord")
 
   private def parquetNames(dir: String): Set[String] =
     Option(new java.io.File(dir).listFiles())
@@ -60,18 +71,20 @@ object Checkpointing {
 
   private def writeSnapshot(dir: String, runId: String, added: Seq[String],
       rows: Long, full: Boolean = false, deletes: Seq[String] = Nil,
-      stats: Map[String, (Long, Long)] = Map.empty): Snapshot = {
+      stats: Map[String, (Long, Long)] = Map.empty,
+      spec: String = "doc_ord"): Snapshot = {
     val manifestDir = Paths.get(dir + "_manifest")
     Files.createDirectories(manifestDir)
     val seq = snapshots(dir).lastOption.map(_.seq).getOrElse(0) + 1
     val statsJson = stats.toSeq.sortBy(_._1)
       .map { case (f, (mn, mx)) => s""""$f":[$mn,$mx]""" }.mkString(",")
     val json = s"""{"seq":$seq,"run":"$runId","rows":$rows,"full":$full,""" +
+      s""""spec":"$spec",""" +
       s""""deletes":[${deletes.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""files":[${added.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""stats":{$statsJson}}"""
     Files.writeString(manifestDir.resolve(f"snapshot-$seq%05d-$runId.json"), json)
-    Snapshot(seq, runId, added.sorted, rows, full, deletes.sorted, stats)
+    Snapshot(seq, runId, added.sorted, rows, full, deletes.sorted, stats, spec)
   }
 
   /** The snapshot log, oldest first (empty when the dir has no commits). */
@@ -100,7 +113,11 @@ object Checkpointing {
             .map(e => e.group(1) -> (e.group(2).toLong, e.group(3).toLong))
             .toMap)
           .getOrElse(Map.empty[String, (Long, Long)])
-        Snapshot(seq, run, list(files), rows, full, dels, stats)
+        // pre-spec-evolution snapshots have no "spec" key — they tracked
+        // doc_ord by construction
+        val spec = """"spec":"([^"]*)"""".r.findFirstMatchIn(s)
+          .map(_.group(1)).getOrElse("doc_ord")
+        Snapshot(seq, run, list(files), rows, full, dels, stats, spec)
       }.toSeq
   }
 
@@ -181,19 +198,36 @@ object Checkpointing {
     * happened (the poison-file proof: a skipped file can be garbage on
     * disk and the range read must still succeed). */
   def pruneInfo(dir: String, version: Int, loOrd: Long, hiOrd: Long)
-      : (Seq[String], Seq[String]) = {
-    require(loOrd <= hiOrd, s"empty ord range [$loOrd, $hiOrd]")
+      : (Seq[String], Seq[String]) =
+    pruneInfoBy(dir, version, "doc_ord", loOrd, hiOrd)
+
+  /** [[pruneInfo]] under partition-spec evolution: each file prunes by
+    * the stats of the SNAPSHOT THAT WROTE IT, and only when that
+    * snapshot's spec column matches the predicate column — files written
+    * under a different (older/newer) spec are kept conservatively, which
+    * is exactly Iceberg's cross-spec scan behavior: evolving the spec
+    * never rewrites old data, it changes how NEW files prune. */
+  def pruneInfoBy(dir: String, version: Int, specCol: String,
+      lo: Long, hi: Long): (Seq[String], Seq[String]) = {
+    require(lo <= hi, s"empty $specCol range [$lo, $hi]")
     val effective = effectiveSnaps(dir, version)
-    val stats = effective.map(s => s.stats).reduceOption(_ ++ _)
-      .getOrElse(Map.empty)
-    val all = effective.flatMap(_.files).distinct
-    val (kept, skipped) = all.partition { f =>
-      stats.get(f) match {
-        case Some((mn, mx)) => mx >= loOrd && mn <= hiOrd
-        case None => true
+    val kept = Seq.newBuilder[String]
+    val skipped = Seq.newBuilder[String]
+    val seen = scala.collection.mutable.Set[String]()
+    effective.foreach { s =>
+      s.files.foreach { f =>
+        if (seen.add(f)) {
+          val keep =
+            if (s.spec != specCol) true
+            else s.stats.get(f) match {
+              case Some((mn, mx)) => mx >= lo && mn <= hi
+              case None => true
+            }
+          if (keep) kept += f else skipped += f
+        }
       }
     }
-    (kept, skipped)
+    (kept.result(), skipped.result())
   }
 
   /** Range scan with Iceberg-style manifest pruning: read version `version`
@@ -204,13 +238,20 @@ object Checkpointing {
     * exact filter still applies (file ranges are coarse); merge-on-read
     * deletes still apply (see [[assemble]]). */
   def readRange(spark: SparkSession, dir: String, version: Int,
-      loOrd: Long, hiOrd: Long): DataFrame = {
-    val (kept, _) = pruneInfo(dir, version, loOrd, hiOrd)
+      loOrd: Long, hiOrd: Long): DataFrame =
+    readRangeBy(spark, dir, version, "doc_ord", loOrd, hiOrd)
+
+  /** [[readRange]] on an arbitrary spec column — the spec-evolution read
+    * path: files prune under whatever spec they were written with
+    * ([[pruneInfoBy]]); the residual exact filter still applies. */
+  def readRangeBy(spark: SparkSession, dir: String, version: Int,
+      specCol: String, lo: Long, hi: Long): DataFrame = {
+    val (kept, _) = pruneInfoBy(dir, version, specCol, lo, hi)
     val keptSet = kept.toSet
     val pruned = effectiveSnaps(dir, version)
       .map(s => s.copy(files = s.files.filter(keptSet)))
     assemble(spark, dir, version, pruned)
-      .filter(col("doc_ord").between(loOrd, hiOrd))
+      .filter(col(specCol).between(lo, hi))
   }
 
   /** Incremental read: the rows ADDED by snapshots `fromExclusive+1 ..
@@ -496,10 +537,30 @@ object Checkpointing {
     rows
   }
 
+  /** [[commit]] under an EVOLVED partition spec: per-file stats are
+    * captured on `specCol` instead of doc_ord and the snapshot records
+    * which spec its files prune under. Earlier commits keep their own
+    * spec — nothing is rewritten; [[readRangeBy]] prunes each file under
+    * the spec it was written with. */
+  def commitWithSpec(df: DataFrame, dir: String, runId: String,
+      specCol: String): Long = {
+    require(df.schema.fieldNames.contains(specCol),
+      s"spec column $specCol absent from commit schema " +
+        df.schema.fieldNames.mkString("[", ",", "]"))
+    require(df.schema(specCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"spec column $specCol must be BIGINT (stats are long ranges), got " +
+        df.schema(specCol).dataType.simpleString)
+    val (rows, added, stats) = writeInstrumented(df, dir, runId, specCol)
+    writeSnapshot(dir, runId, added, rows, stats = stats, spec = specCol)
+    rows
+  }
+
   /** The shared write half of [[commit]] and [[stage]]: instrumented append
     * + lineage manifest + legacy adoption. Returns (rows, addedFiles,
     * perFileStats) for the caller to log as a snapshot or a staged batch. */
-  private def writeInstrumented(df: DataFrame, dir: String, runId: String)
+  private def writeInstrumented(df: DataFrame, dir: String, runId: String,
+      statsCol: String = "doc_ord")
       : (Long, Seq[String], Map[String, (Long, Long)]) = {
     val spark = df.sparkSession
     val filesBefore = parquetNames(dir)
@@ -510,7 +571,7 @@ object Checkpointing {
     }
     val acc = spark.sparkContext
       .collectionAccumulator[(Int, Long, Long, Long)](s"graft-commit-$runId")
-    val ordIdx = df.schema.fieldNames.indexOf("doc_ord") // -1 when absent
+    val ordIdx = df.schema.fieldNames.indexOf(statsCol) // -1 when absent
     val instrumented = df.mapPartitions { it =>
       new Iterator[org.apache.spark.sql.Row] {
         private var n = 0L

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import graft.layout._
 
 object TestSpark {
@@ -416,7 +416,7 @@ class ResumeSpec extends AnyFunSuite {
   }
 
   test("first commit into a pre-snapshot-era dir adopts the legacy files") {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-legacy").toString + "/t"
@@ -669,6 +669,42 @@ class WapSpec extends AnyFunSuite {
     Checkpointing.publish(dir, "w3")
     val (_, after, n) = Checkpointing.compact(spark, dir, 1, "c")
     assert(after == 1 && n == 8)
+  }
+
+  test("spec evolution: per-snapshot spec round-trips; cross-spec files " +
+      "keep conservatively; readRangeBy equals the naive filtered read") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = freshDir("spec-evo")
+    def frame(lo: Long, hi: Long, off: Long) =
+      spark.range(lo, hi + 1).select(col("id").as("doc_ord"))
+        .withColumn("temp", (col("doc_ord") + off).cast("long"))
+        .repartitionByRange(2, col("doc_ord"))
+    Checkpointing.commit(frame(1, 50, 0), dir, "old")
+    Checkpointing.commitWithSpec(frame(51, 100, 1000), dir, "new1", "temp")
+    Checkpointing.commitWithSpec(frame(101, 150, 2000), dir, "new2", "temp")
+    val snaps = Checkpointing.snapshots(dir)
+    assert(snaps.map(_.spec) == Seq("doc_ord", "temp", "temp"))
+    // predicate on temp: old-spec files kept conservatively, new2 pruned
+    val (kept, skipped) = Checkpointing.pruneInfoBy(dir, 3, "temp", 1051L, 1100L)
+    val oldFiles = snaps.find(_.runId == "old").get.files.toSet
+    val new2Files = snaps.find(_.runId == "new2").get.files.toSet
+    assert(oldFiles.subsetOf(kept.toSet))
+    assert(new2Files.subsetOf(skipped.toSet))
+    // the pruned read returns exactly the naive filtered table
+    val got = Checkpointing.readRangeBy(spark, dir, 3, "temp", 1051L, 1100L)
+      .select("doc_ord").as[Long].collect().toSet
+    assert(got == (51L to 100L).toSet)
+    // predicate on doc_ord still prunes the doc_ord-spec files and keeps
+    // the temp-spec files conservatively (symmetric direction)
+    val (k2, s2) = Checkpointing.pruneInfoBy(dir, 3, "doc_ord", 1L, 25L)
+    assert(snaps.find(_.runId == "new1").get.files.toSet.subsetOf(k2.toSet))
+    assert(s2.nonEmpty) // the second half of the old commit prunes
+    // non-long spec column refused loudly
+    intercept[IllegalArgumentException] {
+      Checkpointing.commitWithSpec(
+        frame(151, 160, 0).withColumn("s", lit("x")), dir, "bad", "s")
+    }
   }
 
   test("stage/publish duplicate-run guards") {
