@@ -72,6 +72,51 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("q64 sentence dedup: winner election shuffles scalars only; the " +
+      "drops join back to the corpus is broadcast") {
+    val plan = planOf("q64_sentence_dedup")
+    // same contract as q61: corpus text never enters an exchange — the
+    // unit fingerprint (one long) carries the election, the per-doc drop
+    // list broadcasts back
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    val outs = shuffleOutputs("q64_sentence_dedup")
+    assert(!outs.exists(_._1.toLowerCase == "text"),
+      s"q64 shuffles raw text: $outs")
+  }
+
+  test("q65 unicode clean: map-only — zero shuffles, no UDF (native nfc)") {
+    val plan = planOf("q65_unicode_clean")
+    assert(shuffles("q65_unicode_clean") == 0, plan.take(3000))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      plan.take(3000))
+    assert(plan.contains("graft_nfc"), plan.take(3000))
+  }
+
+  test("q66 lm fluency: no shuffle carries the document text — only " +
+      "bigram keys and counts move") {
+    val outs = shuffleOutputs("q66_lm_fluency")
+    assert(!outs.exists(_._1.toLowerCase == "text"),
+      s"q66 shuffles raw text: $outs")
+    assert(!outs.exists(_._2.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+      s"q66 shuffles arrays: $outs")
+  }
+
+  test("q67 corpus shuffle: one exchange (the shard partitioning the " +
+      "write needs anyway), never a global sort") {
+    val plan = planOf("q67_corpus_shuffle")
+    assert(shuffles("q67_corpus_shuffle") == 1, plan.take(3000))
+    assert(!plan.contains("SinglePartition"), plan.take(3000))
+  }
+
+  test("q69 bpe tokenize: the returned corpus pass is map-only — the " +
+      "8-deep replace chain is one codegen'd projection") {
+    val plan = planOf("q69_bpe_tokenize")
+    assert(shuffles("q69_bpe_tokenize") == 0, plan.take(3000))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      plan.take(3000))
+  }
+
   test("q16 simhash: signature + banding + verify stay out of UDF land") {
     val plan = planOf("q16_simhash_pairs")
     assert(plan.contains("graft_simhash64") || plan.contains("simhash"), plan.take(2000))
