@@ -139,6 +139,21 @@ object FixtureQueries {
           graft.ops.Multimodal.fixtureImages(s), targetW = 8, targetH = 6)).toDF()
         .select(col("media_id"), col("width"), col("height"),
           col("sum_r"), col("sum_g"), col("sum_b"))),
+    // IMAGE near-dup: 8 base PNGs + 4 pixel-perturbed variants -> REAL
+    // decode -> 8x8 average-hash -> banded signature join (derived band
+    // count, pigeonhole-complete at hamming<=6). The oracle recomputes
+    // every hash from the pixel formula (no codec) and brute-forces all
+    // pairs — the engine's banded path must reproduce it exactly
+    "x60_image_neardup" -> ((s, _) => {
+      import s.implicits._
+      val media = graft.ops.Multimodal.fixtureImages(s)
+        .union(graft.ops.Multimodal.perturbedFixtureImages(s))
+      val sigs = graft.ops.Multimodal.imageAHash(media)
+        .select(col("media_id").as("doc_id"), col("ahash").as("sig"))
+      graft.ops.Dedup.signatureNearDupPairs(sigs, maxHamming = 6)
+        .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+          col("hamming"))
+    }),
     // S3/S4/S6: commit + anti-join resume round-trip; counts are the
     // observable contract (run 1 "crashes" after 9 docs; resume finishes)
     "x11_resume_counts" -> ((s, _) => {
@@ -597,6 +612,46 @@ object FixtureQueries {
         |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
         |  CAST(sum(b) AS BIGINT) AS sum_b
         |FROM px GROUP BY 1, 2, 3""".stripMargin,
+    // x60: every aHash recomputed from the pixel formula (downsample index
+    // map, gray mass, strict 64x-mean bits, HUGEINT bit assembly) and all
+    // pairs brute-forced — the engine's real-codec decode + banded join
+    // must land on identical pairs and distances
+    "x60_image_neardup" ->
+      """WITH imgs AS (
+        |  SELECT 100 + id AS media_id, CAST(id AS INTEGER) AS id, 0 AS pert
+        |  FROM (SELECT CAST(i AS INTEGER) AS id FROM range(0,8) t(i))
+        |  UNION ALL
+        |  SELECT 200 + id, CAST(id AS INTEGER), 1
+        |  FROM (SELECT CAST(i AS INTEGER) AS id FROM range(0,4) t(i))),
+        |cells AS (SELECT CAST(i AS INTEGER) AS c FROM range(0,8) t(i)),
+        |px AS (
+        |  SELECT media_id, id, pert, cx.c AS x, cy.c AS y,
+        |    (cx.c*(16+id))//8 AS sx, (cy.c*(12+id))//8 AS sy
+        |  FROM imgs, cells cx, cells cy),
+        |gr AS (
+        |  SELECT media_id, y*8+x AS bit,
+        |    ((sx*7 + sy*13 + id*31) % 256
+        |       + CASE WHEN pert = 1 AND (sx+sy) % 13 = 0 THEN 3 ELSE 0 END) % 256
+        |    + (sx*3 + sy*5 + id*17) % 256
+        |    + (sx*11 + sy*2 + id*23) % 256 AS g
+        |  FROM px),
+        |tot AS (SELECT media_id, sum(g) AS total FROM gr GROUP BY 1),
+        |sig AS (
+        |  SELECT g.media_id,
+        |    CAST(sum(CASE WHEN g.g*64 > t.total
+        |         THEN CAST(CAST(1 AS HUGEINT) << g.bit AS HUGEINT)
+        |         ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS sigu
+        |  FROM gr g JOIN tot t USING (media_id) GROUP BY 1),
+        |s2 AS (
+        |  SELECT media_id,
+        |    CAST(CASE WHEN sigu >= (CAST(1 AS HUGEINT) << 63)
+        |         THEN sigu - (CAST(1 AS HUGEINT) << 64) ELSE sigu END AS BIGINT)
+        |      AS sig
+        |  FROM sig)
+        |SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        |FROM s2 a JOIN s2 b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 6""".stripMargin,
     // x54: nearest-neighbor resize truth — out(x,y) = in(x*w//8, y*h//6),
     // formula applied to the SOURCE indices in SQL while Spark's path is
     // decode -> setRGB resample -> PNG re-encode -> decode -> sums

@@ -539,6 +539,15 @@ object Dedup {
   private[ops] def exactBands(maxHamming: Int): Int =
     Seq(1, 2, 4, 8, 16, 32, 64).find(_ >= maxHamming + 1).get
 
+  /** PUBLIC generic 64-bit-signature near-dup: banded candidate join with
+    * the band count DERIVED from maxHamming (pigeonhole-complete, q60
+    * semantics) over any (doc_id, sig) frame — the signature may come
+    * from text SimHash, image average-hash ([[Multimodal.imageAHash]]),
+    * or any other 64-bit perceptual fingerprint. Output: (doc_a, doc_b,
+    * hamming), complete for hamming <= maxHamming. */
+  def signatureNearDupPairs(sigs: DataFrame, maxHamming: Int): DataFrame =
+    bandedSimhashPairs(sigs, maxHamming, exactBands(maxHamming))
+
   /** Band-join + exact-verify core over precomputed (doc_id, sig) rows —
     * split out so the band-completeness boundary is unit-testable on
     * hand-built signatures. */

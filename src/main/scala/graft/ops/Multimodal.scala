@@ -204,6 +204,77 @@ object Multimodal {
     }
   }
 
+  /** 64-bit average-hash (aHash) of a decoded image — the classic
+    * perceptual fingerprint for image near-dup detection: nearest-neighbor
+    * downsample to 8x8 (sx = x*w/8, sy = y*h/8 — the x54 resample rule, so
+    * the hash is an exact integer function of source pixels), per-cell
+    * gray mass g = r+g+b (no division — stays integral), bit(y*8+x) set
+    * iff g*64 > total gray mass (strict; mean comparison without a
+    * fractional mean). Pairs at small hamming distance are near-identical
+    * images; feed the output to [[Dedup.signatureNearDupPairs]] for the
+    * banded (never all-pairs) candidate join.
+    *
+    * REAL codec in the loop: bytes -> javax.imageio decode -> pixel
+    * sampling; the x60 oracle recomputes the same hash from the fixture
+    * pixel formula without any codec. */
+  def imageAHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map { m =>
+        val img = decodeImage(m)
+        val g = new Array[Long](64)
+        var total = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val p = img.getRGB(x * img.getWidth / 8, y * img.getHeight / 8)
+            val gray = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).toLong
+            g(y * 8 + x) = gray
+            total += gray
+            x += 1
+          }
+          y += 1
+        }
+        var sig = 0L
+        var i = 0
+        while (i < 64) {
+          if (g(i) * 64L > total) sig |= (1L << i)
+          i += 1
+        }
+        (m.media_id, sig)
+      })
+    }.toDF("media_id", "ahash")
+  }
+
+  /** Near-duplicate variants of the first `n` fixture images: identical
+    * dimensions and pixel formula except +3 on the red channel wherever
+    * (x+y) % 13 == 0 (mod 256) — the compression-noise-sized perturbation
+    * a perceptual hash must see through. media_id 200+id. */
+  def perturbedFixtureImages(spark: SparkSession, n: Int = 4): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).map { i =>
+      val id = i.toInt
+      val w = 16 + id; val h = 12 + id
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = fixturePixel(id, x, y)
+          val r = (((p >> 16) & 0xff) + (if ((x + y) % 13 == 0) 3 else 0)) % 256
+          img.setRGB(x, y, (r << 16) | (p & 0xffff))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      MediaRow(200L + id, id.toLong, "image", bos.toByteArray)
+    }
+  }
+
   /** Pixel formula for the deterministic PNG fixtures — duplicated in the
     * x53 DuckDB oracle, so the driver recomputes the channel sums with no
     * codec in the loop. */

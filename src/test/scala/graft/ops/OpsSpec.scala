@@ -624,6 +624,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta.forall(_.payload_bytes >= 32))
   }
 
+  test("imageAHash: perceptual hash survives pixel noise, separates images") {
+    import org.apache.spark.sql.functions.col
+    val media = Multimodal.fixtureImages(spark)
+      .union(Multimodal.perturbedFixtureImages(spark))
+    val sigs = Multimodal.imageAHash(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("ahash")).toMap
+    // every perturbed variant hashes within hamming 6 of its base
+    (0 until 4).foreach { id =>
+      val d = java.lang.Long.bitCount(sigs(100L + id) ^ sigs(200L + id))
+      assert(d <= 6, s"variant $id drifted to hamming $d")
+    }
+    // the banded pair join recovers exactly those base-variant pairs
+    val pairs = Dedup.signatureNearDupPairs(
+        Multimodal.imageAHash(media)
+          .select(col("media_id").as("doc_id"), col("ahash").as("sig")),
+        maxHamming = 6)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    (0 until 4).foreach { id =>
+      assert(pairs.contains((100L + id, 200L + id)))
+    }
+  }
+
   test("featurize emits fixed-width deterministic vectors") {
     val media = Multimodal.synthCorpus(spark, 50)
     val f1 = Multimodal.featurize(media).collect().sortBy(_.media_id)
