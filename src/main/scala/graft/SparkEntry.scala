@@ -770,6 +770,16 @@ object SparkEntry {
           "source", "doc_id", "n_tokens",
           budgets = Map("src0" -> 500L, "src1" -> 900L),
           defaultBudget = 700L)),
+      // ---- n-gram cross-corpus decontamination (GPT-3 appendix-C shape):
+      //      eval docs (doc_id % 5 == 0) marked wherever an 8-gram
+      //      collides with the train split; both sides reduce to 8-byte
+      //      fingerprints in their scan projections
+      "q70_ngram_decontam" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.crossContamination(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0), k = 8)
+      }),
       // ---- BPE merge learning (tokenizer training): 8 rounds of
       //      most-frequent-adjacent-pair election + greedy merge over the
       //      marker-encoded vocabulary; one corpus-scale word count, then
@@ -2257,6 +2267,42 @@ object SparkEntry {
         |  ('files_total', 6), ('files_kept', 4), ('files_skipped', 2),
         |  ('old_spec_files_kept', 2), ('rows_after_filter', 100)
         |) t(metric, n)""".stripMargin,
+    // q70: the q56 window-fold in HUGEINT, split train/eval, collision
+    // join, lag-gap coverage merge — zero-hit eval docs kept via left join
+    "q70_ngram_decontam" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, $toks AS tk FROM documents),
+         |wins AS (
+         |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS total_tokens,
+         |    CAST(i AS BIGINT) AS pos,
+         |    list_reduce(list_prepend(CAST(3421674724 AS HUGEINT),
+         |      list_transform(
+         |        split(array_to_string(tk[CAST(i+1 AS BIGINT):CAST(i+8 AS BIGINT)], ' '), ''),
+         |        c -> CAST(ord(c) AS HUGEINT))),
+         |      (h, c) -> (h * 1000003 + c) % (CAST(1 AS HUGEINT) << 64)) AS h
+         |  FROM tk, UNNEST(range(0, len(tk)-8+1)) AS t(i)
+         |  WHERE len(tk) >= 8),
+         |trainh AS (SELECT DISTINCT h FROM wins WHERE doc_id % 5 <> 0),
+         |hit AS (
+         |  SELECT w.* FROM wins w JOIN trainh USING (h) WHERE w.doc_id % 5 = 0),
+         |gaps AS (
+         |  SELECT doc_id, pos,
+         |    pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+         |  FROM hit),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_windows,
+         |    CAST(sum(CASE WHEN gap IS NULL OR gap >= 8 THEN 8 ELSE gap END)
+         |      AS BIGINT) AS contam_tokens
+         |  FROM gaps GROUP BY 1),
+         |ev AS (
+         |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS total_tokens FROM tk
+         |  WHERE doc_id % 5 = 0)
+         |SELECT ev.doc_id, ev.total_tokens,
+         |  coalesce(n_hit_windows, 0) AS n_hit_windows,
+         |  coalesce(contam_tokens, 0) AS contam_tokens,
+         |  CAST(floor(coalesce(contam_tokens, 0) * 10000.0 / ev.total_tokens)
+         |    AS BIGINT) AS contam_bp
+         |FROM ev LEFT JOIN agg USING (doc_id)""".stripMargin,
     // q68: the N-round BPE chain generated from the same constants as the
     // engine (Bpe.learnMergesSql) — chained CTEs electing and applying the
     // identical winner each round

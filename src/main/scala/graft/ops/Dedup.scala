@@ -369,20 +369,63 @@ object Dedup {
     * the distinct-doc count and the mark-back join shuffle fixed-width
     * scalars only. */
   private[ops] def markedDupWindows(docs: DataFrame, k: Int): DataFrame = {
-    val toked = docs
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
-      .filter(size(col("tk")) >= k)
-    val wins = toked.select(
-        col("doc_id"), size(col("tk")).cast("long").as("total_tokens"),
-        posexplode(transform(sequence(lit(0), size(col("tk")) - k),
-          i => graft.functions.RollingHash64.fingerprint64(
-            concat_ws(" ", slice(col("tk"), i + 1, lit(k)))))))
-      .toDF("doc_id", "total_tokens", "pos", "h")
+    val wins = tokenWindows(docs, k)
     val dupH = wins.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1)
       .select("h")
     wins.join(dupH, "h")
+  }
+
+  /** One row per k-token window: (doc_id, total_tokens, pos, h), window
+    * text fingerprinted to one long inside the slicing projection. */
+  private[ops] def tokenWindows(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= k)
+      .select(
+        col("doc_id"), size(col("tk")).cast("long").as("total_tokens"),
+        posexplode(transform(sequence(lit(0), size(col("tk")) - k),
+          i => graft.functions.RollingHash64.fingerprint64(
+            concat_ws(" ", slice(col("tk"), i + 1, lit(k)))))))
+      .toDF("doc_id", "total_tokens", "pos", "h")
+
+  /** N-gram cross-corpus decontamination (the GPT-3 appendix-C shape:
+    * an eval document is contaminated where any of its k-grams collides
+    * with the training corpus — boundary-free, unlike q43's exact-phrase
+    * scan): every k-token window of every EVAL doc is marked when its
+    * fingerprint occurs anywhere in TRAIN; marked windows merge to a
+    * covered-token measure per eval doc (the q56 lag-gap sum). Emits one
+    * row per eval doc, zero-hit docs included — (doc_id, total_tokens,
+    * n_hit_windows, contam_tokens, contam_bp).
+    *
+    * 100 TB shape: both sides collapse to (8-byte fingerprint) rows
+    * inside their scan projections; the collision join and the per-doc
+    * merge shuffle fixed-width scalars only. The train side is distinct
+    * hashes — at web scale that is the big side, and the join is a plain
+    * hash join on longs; the eval side (benchmarks) is tiny. */
+  def crossContamination(train: DataFrame, eval: DataFrame,
+      k: Int = 8): DataFrame = {
+    require(k > 0, s"window size must be positive, got $k")
+    val trainH = tokenWindows(train, k).select("h").distinct()
+    val hit = tokenWindows(eval, k).join(trainH, "h")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val agg = hit
+      .withColumn("gap", col("pos") - lag("pos", 1).over(w))
+      .withColumn("cov",
+        when(col("gap").isNull || col("gap") >= k, lit(k.toLong))
+          .otherwise(col("gap").cast("long")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_windows"), sum("cov").as("contam_tokens"))
+    eval.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("total_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("total_tokens"),
+        coalesce(col("n_hit_windows"), lit(0L)).as("n_hit_windows"),
+        coalesce(col("contam_tokens"), lit(0L)).as("contam_tokens"),
+        floor(coalesce(col("contam_tokens"), lit(0L)) * 10000
+          / col("total_tokens")).cast("long").as("contam_bp"))
   }
 
   /** The ACT half of substring dedup (q56 finds, this removes): every

@@ -264,6 +264,24 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, 0L, 0L))) // bigram-less docs still emit a row
   }
 
+  test("crossContamination: eval k-gram collisions against train, " +
+      "zero-hit and short docs still emit rows") {
+    val train = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "a b c d e f g h x y"), // pos-0 window collides: 8 tokens
+      (101L, "p q r s t u v w z z"), // no collision
+      (102L, "tiny doc")             // shorter than k: no windows at all
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossContamination(train, eval, k = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("total_tokens"), r.getAs[Long]("n_hit_windows"),
+          r.getAs[Long]("contam_tokens"), r.getAs[Long]("contam_bp")))).toMap
+    assert(out.keySet == Set(100L, 101L, 102L))
+    assert(out(100L) == ((10L, 1L, 8L, 8000L)))
+    assert(out(101L) == ((10L, 0L, 0L, 0L)))
+    assert(out(102L) == ((2L, 0L, 0L, 0L)))
+  }
+
   test("sentence dedup keeps exactly the first occurrence of each dup unit") {
     val docs = Seq(
       (1L, "a b c d e f"),       // both units first occurrences: untouched
