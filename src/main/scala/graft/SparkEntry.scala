@@ -770,6 +770,16 @@ object SparkEntry {
           "source", "doc_id", "n_tokens",
           budgets = Map("src0" -> 500L, "src1" -> 900L),
           defaultBudget = 700L)),
+      // ---- incremental sentence dedup: the O(delta) ingest composition
+      //      of q64 — the corpus contributes distinct unit hashes only
+      //      (the standing index), the delta elects within itself, corpus
+      //      ownership wins on collision (temporal precedence)
+      "q71_incr_sentence_dedup" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.incrementalSentenceDedup(
+          docs.filter(col("doc_id") % 7 =!= 3),
+          docs.filter(col("doc_id") % 7 === 3), unitTokens = 12)
+      }),
       // ---- n-gram cross-corpus decontamination (GPT-3 appendix-C shape):
       //      eval docs (doc_id % 5 == 0) marked wherever an 8-gram
       //      collides with the train split; both sides reduce to 8-byte
@@ -2267,6 +2277,51 @@ object SparkEntry {
         |  ('files_total', 6), ('files_kept', 4), ('files_skipped', 2),
         |  ('old_spec_files_kept', 2), ('rows_after_filter', 100)
         |) t(metric, n)""".stripMargin,
+    // q71: q64's unit fold over all docs, corpus index vs delta election,
+    // drops = (hash in corpus) ∪ (not first within delta), rebuild on
+    // delta rows only
+    "q71_incr_sentence_dedup" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, $toks AS tk FROM documents),
+         |units AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    list_reduce(list_prepend(CAST(3421674724 AS HUGEINT),
+         |      list_transform(
+         |        split(array_to_string(
+         |          tk[CAST(i*12+1 AS BIGINT):CAST(i*12+12 AS BIGINT)], ' '), ''),
+         |        c -> CAST(ord(c) AS HUGEINT))),
+         |      (h, c) -> (h * 1000003 + c) % (CAST(1 AS HUGEINT) << 64)) AS h
+         |  FROM tk, UNNEST(range(0, (len(tk)-1)//12 + 1)) AS t(i)),
+         |cindex AS (SELECT DISTINCT h FROM units WHERE doc_id % 7 <> 3),
+         |du AS (SELECT * FROM units WHERE doc_id % 7 = 3),
+         |r AS (
+         |  SELECT doc_id, pos, h,
+         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         |    count(*) OVER (PARTITION BY h) AS occ
+         |  FROM du),
+         |dropped AS (
+         |  SELECT DISTINCT doc_id, pos FROM (
+         |    SELECT d.doc_id, d.pos FROM du d JOIN cindex USING (h)
+         |    UNION ALL
+         |    SELECT doc_id, pos FROM r WHERE occ > 1 AND rn > 1) t),
+         |drops AS (
+         |  SELECT doc_id, list(pos ORDER BY pos) AS drops
+         |  FROM dropped GROUP BY 1),
+         |outp AS (
+         |  SELECT tk.doc_id,
+         |    list_transform(
+         |      list_filter(range(0, CAST(len(tk.tk) AS BIGINT)),
+         |        p -> drops.drops IS NULL
+         |          OR NOT list_contains(drops.drops, p // 12)),
+         |      p -> tk.tk[CAST(p AS BIGINT) + 1]) AS keptl,
+         |    CAST((len(tk.tk)-1)//12 + 1 AS BIGINT) AS n_units,
+         |    CAST(coalesce(len(drops.drops), 0) AS BIGINT) AS n_dropped
+         |  FROM tk LEFT JOIN drops USING (doc_id)
+         |  WHERE tk.doc_id % 7 = 3)
+         |SELECT doc_id, array_to_string(keptl, ' ') AS clean_text,
+         |  n_units, n_dropped,
+         |  CAST(len(keptl) AS BIGINT) AS n_kept_tokens
+         |FROM outp""".stripMargin,
     // q70: the q56 window-fold in HUGEINT, split train/eval, collision
     // join, lag-gap coverage merge — zero-hit eval docs kept via left join
     "q70_ngram_decontam" ->

@@ -390,6 +390,65 @@ object Dedup {
             concat_ws(" ", slice(col("tk"), i + 1, lit(k)))))))
       .toDF("doc_id", "total_tokens", "pos", "h")
 
+  /** Incremental sentence-level dedup — the O(delta) ingest composition
+    * of [[sentenceDedup]]: clean a DELTA batch against a standing corpus
+    * WITHOUT re-reading corpus text. The corpus contributes only its
+    * distinct unit fingerprints (the standing index a production table
+    * persists and appends to); a delta unit is dropped when its hash is
+    * already owned by the corpus (temporal precedence — the corpus was
+    * committed first, so its copy is the keeper regardless of id order)
+    * OR it is not the first (doc_id, pos) occurrence within the delta
+    * itself. When corpus ids order before the delta's (the append-only
+    * ingest case) this equals full `sentenceDedup(corpus ∪ delta)`
+    * restricted to delta rows (spec-pinned); the q71 oracle replays the
+    * incremental rule itself.
+    *
+    * 100 TB shape: cost ∝ delta. The corpus index is hashes only
+    * (8 B/unit); the delta's winner election is the q64 plan on delta
+    * rows; the index probe is a join on longs (broadcast when the delta's
+    * distinct units fit — they do for a daily batch — else a plain hash
+    * join where only the delta side re-shuffles per ingest). */
+  def incrementalSentenceDedup(corpus: DataFrame, delta: DataFrame,
+      unitTokens: Int = 12): DataFrame = {
+    require(unitTokens > 0, s"unit size must be positive, got $unitTokens")
+    def units(docs: DataFrame) = docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(col("tk")) - 1) / unitTokens).cast("int")),
+          i => graft.functions.RollingHash64.fingerprint64(
+            concat_ws(" ", slice(col("tk"), i * unitTokens + 1, lit(unitTokens)))))))
+      .toDF("doc_id", "pos", "h")
+    val index = units(corpus).select("h").distinct()
+    val du = units(delta)
+    val winners = du.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"),
+        count(lit(1)).as("occ"))
+    val inCorpus = du.join(index, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val laterInDelta = du.join(winners, "h")
+      .filter(col("occ") > 1 &&
+        !(col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos")))
+      .select(col("doc_id"), col("pos"))
+    val drops = inCorpus.union(laterInDelta).distinct()
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("drops"))
+    val emptyInts = array().cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType))
+    delta.join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"), tokens(col("text")).as("tk"),
+        coalesce(col("drops"), emptyInts).as("da"))
+      .select(col("doc_id"),
+        filter(col("tk"), (_, i) =>
+          !array_contains(col("da"), floor(i / unitTokens).cast("int"))).as("kept"),
+        (floor((size(col("tk")) - 1) / unitTokens) + 1).cast("long").as("n_units"),
+        size(col("da")).cast("long").as("n_dropped"))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        col("n_units"), col("n_dropped"),
+        size(col("kept")).cast("long").as("n_kept_tokens"))
+  }
+
   /** N-gram cross-corpus decontamination (the GPT-3 appendix-C shape:
     * an eval document is contaminated where any of its k-grams collides
     * with the training corpus — boundary-free, unlike q43's exact-phrase

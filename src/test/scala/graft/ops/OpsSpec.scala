@@ -302,6 +302,30 @@ class DedupSpec extends AnyFunSuite {
     assert(out(5L) == (("d", 2L, 1L, 1L)))
   }
 
+  test("incremental sentence dedup: corpus owns its units; within-delta " +
+      "election; equals full dedup restricted to delta under id order") {
+    val corpus = Seq((1L, "a b c d e f"), (2L, "x y z"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "a b c q r s"),  // [a b c] owned by corpus: dropped
+      (11L, "q r s t u v"),  // [q r s] first seen in delta at doc 10: dropped
+      (12L, "fresh new unit here only once")) // untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalSentenceDedup(corpus, delta, unitTokens = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_dropped")))).toMap
+    assert(out.keySet == Set(10L, 11L, 12L)) // delta rows only
+    assert(out(10L) == (("q r s", 1L)))
+    assert(out(11L) == (("t u v", 1L)))
+    assert(out(12L) == (("fresh new unit here only once", 0L)))
+    // equivalence to the batch operator when corpus ids order first
+    val full = Dedup.sentenceDedup(corpus.union(delta), unitTokens = 3)
+      .filter(col("doc_id") >= 10L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_dropped")))).toMap
+    assert(full == out)
+  }
+
   test("sentence dedup winner is the globally smallest (doc_id, pos) pair") {
     // the dup unit sits at pos 1 in doc 1 but pos 0 in doc 2: doc-id order
     // dominates position order, so doc 1 keeps it
