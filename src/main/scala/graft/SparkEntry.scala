@@ -770,6 +770,33 @@ object SparkEntry {
           "source", "doc_id", "n_tokens",
           budgets = Map("src0" -> 500L, "src1" -> 900L),
           defaultBudget = 700L)),
+      // ---- corpus build v2: the session-2 operators composed into the
+      //      full training-data pipeline — unicode clean (map-side) ->
+      //      sentence-level exact dedup -> bigram-LM fluency gate ->
+      //      per-source token budgets -> deterministic epoch shuffle.
+      //      Every stage is one of q64/q65/q66/q63/q67; the oracle chains
+      //      the same SQL pieces end to end
+      "q72_corpus_build2" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+        val cleaned = graft.ops.Curation.unicodeClean(docs, "text")
+          .select(col("doc_id"), col("source"), col("clean_text").as("text"))
+        val deduped = Dedup.sentenceDedup(cleaned, unitTokens = 12)
+          .select(col("doc_id"), col("clean_text").as("text"),
+            col("n_kept_tokens").as("n_tokens"))
+          .join(docs.select("doc_id", "source"), "doc_id")
+        val fluent = TextAnalysis.lmFluency(deduped)
+          .filter(col("avg_cond_micro") >= 34000L).select("doc_id")
+        val kept = deduped.join(fluent, "doc_id")
+        val mixed = graft.ops.Curation.tokenBudgetMix(
+          kept.select(col("doc_id"), col("source"), col("n_tokens")),
+          "source", "doc_id", "n_tokens",
+          budgets = Map("src0" -> 500L, "src1" -> 900L),
+          defaultBudget = 700L)
+        graft.ops.Curation.corpusShuffle(
+            mixed.select(col("doc_id"), col("source"), col("n_tokens")),
+            "doc_id", nShards = 8, seed = 2L)
+          .select("doc_id", "source", "n_tokens", "shuffle_key", "shard", "pos")
+      }),
       // ---- incremental sentence dedup: the O(delta) ingest composition
       //      of q64 — the corpus contributes distinct unit hashes only
       //      (the standing index), the delta elects within itself, corpus
@@ -1064,17 +1091,24 @@ object SparkEntry {
         val probes = Seq(("dimA", 16384L, 24575L, 0L, 65535L),
           ("dimB", 0L, 65535L, 16384L, 24575L),
           ("box", 16384L, 24575L, 16384L, 24575L))
-        val rowsM = probes.map { case (p, al, ah, bl, bh) =>
-          p -> zb.filter(col("qa").between(al, ah) &&
-            col("qb").between(bl, bh)).count()
-        }.toMap
-        val out = for {
-          (layout, st) <- Seq(("zorder", zstats), ("linear", lstats))
-          (p, al, ah, bl, bh) <- probes
-        } yield {
-          val hit = st.agg(graft.ops.ZOrder.bucketsHit(al, ah, bl, bh)
-            .as("h")).collect()(0).getLong(0)
-          (layout, p, hit, 16L, rowsM(p))
+        // one action per frame: all three probes aggregate in a single
+        // pass over the rows / the 16-row stats
+        val rowsCols = probes.map { case (p, al, ah, bl, bh) =>
+          sum(when(col("qa").between(al, ah) &&
+            col("qb").between(bl, bh), 1L).otherwise(0L)).as(p)
+        }
+        val rowsRow = zb.agg(rowsCols.head, rowsCols.tail: _*).collect()(0)
+        val rowsM = probes.map(_._1).zipWithIndex
+          .map { case (p, i) => p -> rowsRow.getLong(i) }.toMap
+        val out = Seq(("zorder", zstats), ("linear", lstats)).flatMap {
+          case (layout, st) =>
+            val hitCols = probes.map { case (p, al, ah, bl, bh) =>
+              graft.ops.ZOrder.bucketsHit(al, ah, bl, bh).as(p)
+            }
+            val hitRow = st.agg(hitCols.head, hitCols.tail: _*).collect()(0)
+            probes.map(_._1).zipWithIndex.map { case (p, i) =>
+              (layout, p, hitRow.getLong(i), 16L, rowsM(p))
+            }
         }
         zb.unpersist()
         out.toDF("layout", "probe", "files_hit", "files_total", "rows_match")
@@ -2277,6 +2311,95 @@ object SparkEntry {
         |  ('files_total', 6), ('files_kept', 4), ('files_skipped', 2),
         |  ('old_spec_files_kept', 2), ('rows_after_filter', 100)
         |) t(metric, n)""".stripMargin,
+    // q72: the q65 clean, q64 dedup, q66 LM, q63 mix, and q67 shuffle
+    // SQL pieces chained end to end — one oracle for the composed funnel
+    "q72_corpus_build2" ->
+      s"""WITH cl AS (
+         |  SELECT doc_id, source,
+         |    trim(regexp_replace(
+         |      regexp_replace(nfc_normalize(text),
+         |        '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+         |      '\\s+', ' ', 'g')) AS text
+         |  FROM documents),
+         |tk AS (
+         |  SELECT doc_id, source,
+         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+         |  FROM cl),
+         |units AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    list_reduce(list_prepend(CAST(3421674724 AS HUGEINT),
+         |      list_transform(
+         |        split(array_to_string(
+         |          tk[CAST(i*12+1 AS BIGINT):CAST(i*12+12 AS BIGINT)], ' '), ''),
+         |        c -> CAST(ord(c) AS HUGEINT))),
+         |      (h, c) -> (h * 1000003 + c) % (CAST(1 AS HUGEINT) << 64)) AS h
+         |  FROM tk, UNNEST(range(0, (len(tk)-1)//12 + 1)) AS t(i)),
+         |r AS (
+         |  SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         |    count(*) OVER (PARTITION BY h) AS occ
+         |  FROM units),
+         |drops AS (
+         |  SELECT doc_id, list(pos ORDER BY pos) AS drops
+         |  FROM r WHERE occ > 1 AND rn > 1 GROUP BY 1),
+         |ded AS (
+         |  SELECT tk.doc_id, tk.source,
+         |    list_transform(
+         |      list_filter(range(0, CAST(len(tk.tk) AS BIGINT)),
+         |        p -> drops.drops IS NULL
+         |          OR NOT list_contains(drops.drops, p // 12)),
+         |      p -> tk.tk[CAST(p AS BIGINT) + 1]) AS keptl
+         |  FROM tk LEFT JOIN drops USING (doc_id)),
+         |bi AS (
+         |  SELECT doc_id, keptl[CAST(i AS BIGINT)] || ' ' || keptl[CAST(i+1 AS BIGINT)] AS bg
+         |  FROM ded, UNNEST(range(1, len(keptl))) AS t(i)
+         |  WHERE len(keptl) >= 2),
+         |docbi AS (SELECT doc_id, bg, count(*) AS k FROM bi GROUP BY 1, 2),
+         |bic AS (SELECT bg, sum(k) AS c12 FROM docbi GROUP BY 1),
+         |pre AS (
+         |  SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
+         |  FROM bic GROUP BY 1),
+         |lm AS (
+         |  SELECT bg, c12, c1 FROM bic
+         |  JOIN pre ON split_part(bg, ' ', 1) = w1),
+         |sc AS (
+         |  SELECT d.doc_id, sum(d.k) AS nb,
+         |    sum(d.k * ((c12 * 1000000) // c1)) AS sm
+         |  FROM docbi d JOIN lm USING (bg) GROUP BY 1),
+         |kept AS (
+         |  SELECT ded.doc_id, ded.source,
+         |    CAST(len(ded.keptl) AS BIGINT) AS n_tokens
+         |  FROM ded JOIN sc USING (doc_id)
+         |  WHERE sc.nb > 0 AND sm // nb >= 34000),
+         |mix AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before
+         |  FROM kept),
+         |mixed AS (
+         |  SELECT doc_id, source, n_tokens FROM mix
+         |  WHERE cum_before < CASE source WHEN 'src0' THEN 500
+         |    WHEN 'src1' THEN 900 ELSE 700 END),
+         |f AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    list_reduce(list_prepend(CAST(3421674724 AS HUGEINT),
+         |      list_transform(split(CAST(doc_id AS VARCHAR) || ':shuf:2', ''),
+         |        c -> CAST(ord(c) AS HUGEINT))),
+         |      (h, c) -> (h * 1000003 + c) % (CAST(1 AS HUGEINT) << 64)) AS hu
+         |  FROM mixed),
+         |kx AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(CASE WHEN hu >= (CAST(1 AS HUGEINT) << 63)
+         |         THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END AS BIGINT)
+         |      AS shuffle_key
+         |  FROM f)
+         |SELECT doc_id, source, n_tokens, shuffle_key,
+         |  ((shuffle_key % 8) + 8) % 8 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY ((shuffle_key % 8) + 8) % 8
+         |    ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS pos
+         |FROM kx""".stripMargin,
     // q71: q64's unit fold over all docs, corpus index vs delta election,
     // drops = (hash in corpus) ∪ (not first within delta), rebuild on
     // delta rows only
