@@ -154,6 +154,36 @@ object FixtureQueries {
         .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
           col("hamming"))
     }),
+    // MEDIA-ASSET dedup over an INTERLEAVED corpus — the multimodal
+    // composition: x60's perceptual pairs cluster into asset classes
+    // (star contraction), every media span rewrites to its class's
+    // canonical (min) media_id — the asset-dedup step that stops a
+    // multimodal corpus storing the same image once per crawl copy.
+    // Spans are a deterministic synthetic interleaving over the 12
+    // fixture images; the oracle replays hash, pairs, recursive closure,
+    // canonical election, and the span formula
+    "x61_media_dedup" -> ((s, _) => {
+      import s.implicits._
+      val media = graft.ops.Multimodal.fixtureImages(s)
+        .union(graft.ops.Multimodal.perturbedFixtureImages(s))
+      val sigs = graft.ops.Multimodal.imageAHash(media)
+        .select(col("media_id").as("doc_id"), col("ahash").as("sig"))
+      val pairs = graft.ops.Dedup.signatureNearDupPairs(sigs, maxHamming = 6)
+      val clusters = graft.ops.Components.connectedComponentsStar(
+        pairs, "doc_a", "doc_b")
+      // 20 interleaved docs x 3 media slots; slot formula picks one of
+      // the 12 fixture ids (same formula in the oracle)
+      val ids = Seq.tabulate(8)(100L + _) ++ Seq.tabulate(4)(200L + _)
+      val spans = s.range(20L).select(col("id").as("doc_id"))
+        .select(col("doc_id"), explode(array((0 until 3).map(lit): _*)).as("ord"))
+        .withColumn("media_id",
+          element_at(array(ids.map(lit): _*),
+            (pmod(col("doc_id") * 5 + col("ord") * 3, lit(12)) + 1).cast("int")))
+      spans.join(clusters.withColumnRenamed("id", "media_id"),
+          Seq("media_id"), "left")
+        .select(col("doc_id"), col("ord"), col("media_id"),
+          coalesce(col("component"), col("media_id")).as("canonical_id"))
+    }),
     // S3/S4/S6: commit + anti-join resume round-trip; counts are the
     // observable contract (run 1 "crashes" after 9 docs; resume finishes)
     "x11_resume_counts" -> ((s, _) => {
@@ -592,32 +622,10 @@ object FixtureQueries {
     HtmlFixtures.docs.map(d => s"(${q(d.doc_id)}, ${q(d.html)})").mkString(",\n  ")
   }
 
-  def oracleSql: Map[String, String] = Map(
-    // x53: the pixel FORMULA replayed in SQL — Spark's row went pixel
-    // formula -> PNG encode -> javax.imageio decode -> channel-sum loop;
-    // the oracle never touches a codec, so any decoder defect (stride,
-    // channel order, color model, lossy write) breaks the hash
-    "x53_image_pixel_stats" ->
-      """WITH ids AS (SELECT CAST(i AS INTEGER) AS id FROM range(0,8) t(i)),
-        |xs AS (SELECT CAST(i AS INTEGER) AS x FROM range(0,23) t(i)),
-        |ys AS (SELECT CAST(i AS INTEGER) AS y FROM range(0,19) t(i)),
-        |px AS (
-        |  SELECT id, x, y,
-        |    (x*7 + y*13 + id*31) % 256 AS r,
-        |    (x*3 + y*5 + id*17) % 256 AS g,
-        |    (x*11 + y*2 + id*23) % 256 AS b
-        |  FROM ids, xs, ys
-        |  WHERE x < 16 + id AND y < 12 + id)
-        |SELECT 100 + id AS media_id, 16 + id AS width, 12 + id AS height,
-        |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
-        |  CAST(sum(b) AS BIGINT) AS sum_b
-        |FROM px GROUP BY 1, 2, 3""".stripMargin,
-    // x60: every aHash recomputed from the pixel formula (downsample index
-    // map, gray mass, strict 64x-mean bits, HUGEINT bit assembly) and all
-    // pairs brute-forced — the engine's real-codec decode + banded join
-    // must land on identical pairs and distances
-    "x60_image_neardup" ->
-      """WITH imgs AS (
+  /** The x60 aHash replay (pixel formula -> downsample -> gray bits ->
+    * HUGEINT signature), shared by the x60 and x61 oracles. */
+  private lazy val imageSigSql: String =
+    """imgs AS (
         |  SELECT 100 + id AS media_id, CAST(id AS INTEGER) AS id, 0 AS pert
         |  FROM (SELECT CAST(i AS INTEGER) AS id FROM range(0,8) t(i))
         |  UNION ALL
@@ -647,11 +655,63 @@ object FixtureQueries {
         |    CAST(CASE WHEN sigu >= (CAST(1 AS HUGEINT) << 63)
         |         THEN sigu - (CAST(1 AS HUGEINT) << 64) ELSE sigu END AS BIGINT)
         |      AS sig
-        |  FROM sig)
-        |SELECT a.media_id AS media_a, b.media_id AS media_b,
-        |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
-        |FROM s2 a JOIN s2 b ON a.media_id < b.media_id
-        |WHERE bit_count(xor(a.sig, b.sig)) <= 6""".stripMargin,
+        |  FROM sig)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    // x53: the pixel FORMULA replayed in SQL — Spark's row went pixel
+    // formula -> PNG encode -> javax.imageio decode -> channel-sum loop;
+    // the oracle never touches a codec, so any decoder defect (stride,
+    // channel order, color model, lossy write) breaks the hash
+    "x53_image_pixel_stats" ->
+      """WITH ids AS (SELECT CAST(i AS INTEGER) AS id FROM range(0,8) t(i)),
+        |xs AS (SELECT CAST(i AS INTEGER) AS x FROM range(0,23) t(i)),
+        |ys AS (SELECT CAST(i AS INTEGER) AS y FROM range(0,19) t(i)),
+        |px AS (
+        |  SELECT id, x, y,
+        |    (x*7 + y*13 + id*31) % 256 AS r,
+        |    (x*3 + y*5 + id*17) % 256 AS g,
+        |    (x*11 + y*2 + id*23) % 256 AS b
+        |  FROM ids, xs, ys
+        |  WHERE x < 16 + id AND y < 12 + id)
+        |SELECT 100 + id AS media_id, 16 + id AS width, 12 + id AS height,
+        |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
+    // x60: every aHash recomputed from the pixel formula (downsample index
+    // map, gray mass, strict 64x-mean bits, HUGEINT bit assembly) and all
+    // pairs brute-forced — the engine's real-codec decode + banded join
+    // must land on identical pairs and distances
+    "x60_image_neardup" ->
+      s"""WITH $imageSigSql
+         |SELECT a.media_id AS media_a, b.media_id AS media_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         |FROM s2 a JOIN s2 b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 6""".stripMargin,
+    "x61_media_dedup" ->
+      s"""WITH RECURSIVE $imageSigSql,
+         |pairs AS (
+         |  SELECT a.media_id AS doc_a, b.media_id AS doc_b
+         |  FROM s2 a JOIN s2 b ON a.media_id < b.media_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 6),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |verts AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM verts
+         |  UNION
+         |  SELECT e.dst AS id, r.lbl AS lbl
+         |  FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY 1),
+         |spans AS (
+         |  SELECT CAST(d AS BIGINT) AS doc_id, CAST(o AS INTEGER) AS ord,
+         |    ([100,101,102,103,104,105,106,107,200,201,202,203])[
+         |      CAST((d*5 + o*3) % 12 AS BIGINT) + 1] AS media_id
+         |  FROM range(0,20) t(d), range(0,3) u(o))
+         |SELECT s.doc_id, s.ord, s.media_id,
+         |  coalesce(c.component, s.media_id) AS canonical_id
+         |FROM spans s LEFT JOIN comp c ON c.id = s.media_id""".stripMargin,
     // x54: nearest-neighbor resize truth — out(x,y) = in(x*w//8, y*h//6),
     // formula applied to the SOURCE indices in SQL while Spark's path is
     // decode -> setRGB resample -> PNG re-encode -> decode -> sums
