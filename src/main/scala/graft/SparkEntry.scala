@@ -857,6 +857,19 @@ object SparkEntry {
         graft.ops.Curation.corpusShuffle(
           t(s, d, "documents").select(col("doc_id"), col("n_chars")),
           "doc_id", nShards = 8, seed = 1L)),
+      // ---- STREAMING sentence dedup: per-micro-batch incremental clean
+      //      against a standing unit-hash index (versioned parquet, not
+      //      the state store); id-ordered batches make the replayed union
+      //      equal batch q64 exactly (shared oracle)
+      "x62_stream_sentence_dedup" -> ((s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+          .as[graft.streaming.StreamSentenceDedup.Doc].collect().toSeq
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-x62").toString
+        graft.streaming.StreamSentenceDedup.replaySentenceDedup(
+          s, docs, dir, unitTokens = 12, nBatches = 3)
+      }),
       // ---- STREAMING token-budget mixture: one running token total per
       //      stratum as state; the budgets-are-floors contract makes the
       //      emitted union equal the batch operator exactly
@@ -1301,6 +1314,43 @@ object SparkEntry {
   }
 
   private val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+  /** q64's full replay — shared with x62's streaming shadow (the replayed
+    * per-batch union must equal the batch operator exactly). */
+  private lazy val sentenceDedupSql: String =
+    s"""WITH tk AS (
+         |  SELECT doc_id, $toks AS tk FROM documents),
+         |units AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    list_reduce(list_prepend(CAST(3421674724 AS HUGEINT),
+         |      list_transform(
+         |        split(array_to_string(
+         |          tk[CAST(i*12+1 AS BIGINT):CAST(i*12+12 AS BIGINT)], ' '), ''),
+         |        c -> CAST(ord(c) AS HUGEINT))),
+         |      (h, c) -> (h * 1000003 + c) % (CAST(1 AS HUGEINT) << 64)) AS h
+         |  FROM tk, UNNEST(range(0, (len(tk)-1)//12 + 1)) AS t(i)),
+         |r AS (
+         |  SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         |    count(*) OVER (PARTITION BY h) AS occ
+         |  FROM units),
+         |drops AS (
+         |  SELECT doc_id, list(pos ORDER BY pos) AS drops
+         |  FROM r WHERE occ > 1 AND rn > 1 GROUP BY 1),
+         |outp AS (
+         |  SELECT tk.doc_id,
+         |    list_transform(
+         |      list_filter(range(0, CAST(len(tk.tk) AS BIGINT)),
+         |        p -> drops.drops IS NULL
+         |          OR NOT list_contains(drops.drops, p // 12)),
+         |      p -> tk.tk[CAST(p AS BIGINT) + 1]) AS keptl,
+         |    CAST((len(tk.tk)-1)//12 + 1 AS BIGINT) AS n_units,
+         |    CAST(coalesce(len(drops.drops), 0) AS BIGINT) AS n_dropped
+         |  FROM tk LEFT JOIN drops USING (doc_id))
+         |SELECT doc_id, array_to_string(keptl, ' ') AS clean_text,
+         |  n_units, n_dropped,
+         |  CAST(len(keptl) AS BIGINT) AS n_kept_tokens
+         |FROM outp""".stripMargin
 
   /** Token-budget mixture: per-source exclusive token cumsum in doc_id
     * order; kept iff under that source's budget (the crossing doc
@@ -2212,40 +2262,8 @@ object SparkEntry {
     // q64: non-overlapping 12-token units fingerprinted with the same
     // HUGEINT fold; keep-first = row_number over (doc_id, pos) per hash;
     // reconstruction drops every token whose unit index is marked
-    "q64_sentence_dedup" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id, $toks AS tk FROM documents),
-         |units AS (
-         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-         |    list_reduce(list_prepend(CAST(3421674724 AS HUGEINT),
-         |      list_transform(
-         |        split(array_to_string(
-         |          tk[CAST(i*12+1 AS BIGINT):CAST(i*12+12 AS BIGINT)], ' '), ''),
-         |        c -> CAST(ord(c) AS HUGEINT))),
-         |      (h, c) -> (h * 1000003 + c) % (CAST(1 AS HUGEINT) << 64)) AS h
-         |  FROM tk, UNNEST(range(0, (len(tk)-1)//12 + 1)) AS t(i)),
-         |r AS (
-         |  SELECT doc_id, pos,
-         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
-         |    count(*) OVER (PARTITION BY h) AS occ
-         |  FROM units),
-         |drops AS (
-         |  SELECT doc_id, list(pos ORDER BY pos) AS drops
-         |  FROM r WHERE occ > 1 AND rn > 1 GROUP BY 1),
-         |outp AS (
-         |  SELECT tk.doc_id,
-         |    list_transform(
-         |      list_filter(range(0, CAST(len(tk.tk) AS BIGINT)),
-         |        p -> drops.drops IS NULL
-         |          OR NOT list_contains(drops.drops, p // 12)),
-         |      p -> tk.tk[CAST(p AS BIGINT) + 1]) AS keptl,
-         |    CAST((len(tk.tk)-1)//12 + 1 AS BIGINT) AS n_units,
-         |    CAST(coalesce(len(drops.drops), 0) AS BIGINT) AS n_dropped
-         |  FROM tk LEFT JOIN drops USING (doc_id))
-         |SELECT doc_id, array_to_string(keptl, ' ') AS clean_text,
-         |  n_units, n_dropped,
-         |  CAST(len(keptl) AS BIGINT) AS n_kept_tokens
-         |FROM outp""".stripMargin,
+    "q64_sentence_dedup" -> sentenceDedupSql,
+    "x62_stream_sentence_dedup" -> sentenceDedupSql,
     // x58: full replay of the layout math — epoch-second quantization,
     // magic-mask bit spreading, rank over (zval, event_id), bucket =
     // rank*16 div n, per-bucket stats, box-intersection pruning

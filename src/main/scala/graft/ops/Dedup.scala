@@ -409,9 +409,13 @@ object Dedup {
     * distinct units fit — they do for a daily batch — else a plain hash
     * join where only the delta side re-shuffles per ingest). */
   def incrementalSentenceDedup(corpus: DataFrame, delta: DataFrame,
-      unitTokens: Int = 12): DataFrame = {
-    require(unitTokens > 0, s"unit size must be positive, got $unitTokens")
-    def units(docs: DataFrame) = docs
+      unitTokens: Int = 12): DataFrame =
+    incrementalSentenceDedupIndexed(
+      sentenceUnitIndex(corpus, unitTokens), delta, unitTokens)
+
+  /** One row per `unitTokens`-token unit: (doc_id, pos, h). */
+  private[graft] def sentenceUnits(docs: DataFrame, unitTokens: Int): DataFrame =
+    docs
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"),
         posexplode(transform(
@@ -419,8 +423,19 @@ object Dedup {
           i => graft.functions.RollingHash64.fingerprint64(
             concat_ws(" ", slice(col("tk"), i * unitTokens + 1, lit(unitTokens)))))))
       .toDF("doc_id", "pos", "h")
-    val index = units(corpus).select("h").distinct()
-    val du = units(delta)
+
+  /** The standing unit-hash index (col `h`, distinct) a production table
+    * persists and appends to per ingest batch. */
+  def sentenceUnitIndex(docs: DataFrame, unitTokens: Int = 12): DataFrame =
+    sentenceUnits(docs, unitTokens).select("h").distinct()
+
+  /** [[incrementalSentenceDedup]] against an ALREADY-MATERIALIZED index
+    * frame (one `h` column) — the entry point for a streaming/batched
+    * ingest that keeps the index as a table instead of recomputing it. */
+  def incrementalSentenceDedupIndexed(index: DataFrame, delta: DataFrame,
+      unitTokens: Int = 12): DataFrame = {
+    require(unitTokens > 0, s"unit size must be positive, got $unitTokens")
+    val du = sentenceUnits(delta, unitTokens)
     val winners = du.groupBy("h")
       .agg(min(struct(col("doc_id"), col("pos"))).as("w"),
         count(lit(1)).as("occ"))
