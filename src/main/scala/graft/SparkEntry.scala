@@ -780,13 +780,16 @@ object SparkEntry {
         val docs = t(s, d, "documents")
         val cleaned = graft.ops.Curation.unicodeClean(docs, "text")
           .select(col("doc_id"), col("source"), col("clean_text").as("text"))
-        val deduped = Dedup.sentenceDedup(cleaned, unitTokens = 12)
+        val deduped = Dedup.sentenceDedup(cleaned, unitTokens = 12,
+            carryCols = Seq("source"))
           .select(col("doc_id"), col("clean_text").as("text"),
-            col("n_kept_tokens").as("n_tokens"))
-          .join(docs.select("doc_id", "source"), "doc_id")
+            col("n_kept_tokens").as("n_tokens"), col("source"))
         val fluent = TextAnalysis.lmFluency(deduped)
           .filter(col("avg_cond_micro") >= 34000L).select("doc_id")
-        val kept = deduped.join(fluent, "doc_id")
+        // text is DROPPED before any further join — the fluency semi-join
+        // and everything downstream carry (id, source, n_tokens) only
+        val kept = deduped.select("doc_id", "source", "n_tokens")
+          .join(fluent, "doc_id")
         val mixed = graft.ops.Curation.tokenBudgetMix(
           kept.select(col("doc_id"), col("source"), col("n_tokens")),
           "source", "doc_id", "n_tokens",

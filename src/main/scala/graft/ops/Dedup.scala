@@ -572,16 +572,10 @@ object Dedup {
     * original text exactly like q61 — at cluster scale read the corpus
     * from a doc_id-bucketed table and the join back is exchange-free on
     * the corpus side. */
-  def sentenceDedup(docs: DataFrame, unitTokens: Int = 12): DataFrame = {
+  def sentenceDedup(docs: DataFrame, unitTokens: Int = 12,
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(unitTokens > 0, s"unit size must be positive, got $unitTokens")
-    val toked = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
-    val units = toked.select(
-        col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), floor((size(col("tk")) - 1) / unitTokens).cast("int")),
-          i => graft.functions.RollingHash64.fingerprint64(
-            concat_ws(" ", slice(col("tk"), i * unitTokens + 1, lit(unitTokens)))))))
-      .toDF("doc_id", "pos", "h")
+    val units = sentenceUnits(docs, unitTokens)
     // one 12-byte-key shuffle elects the keeper occurrence per unit hash
     val winners = units.groupBy("h")
       .agg(min(struct(col("doc_id"), col("pos"))).as("w"),
@@ -594,18 +588,19 @@ object Dedup {
       .agg(sort_array(collect_list(col("pos"))).as("drops"))
     val emptyInts = array().cast(org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.IntegerType))
+    val carry = carryCols.map(col)
     docs.join(drops, Seq("doc_id"), "left")
-      .select(col("doc_id"), tokens(col("text")).as("tk"),
-        coalesce(col("drops"), emptyInts).as("da"))
-      .select(col("doc_id"),
+      .select(col("doc_id") +: tokens(col("text")).as("tk") +:
+        coalesce(col("drops"), emptyInts).as("da") +: carry: _*)
+      .select(col("doc_id") +:
         filter(col("tk"), (_, i) =>
-          !array_contains(col("da"), floor(i / unitTokens).cast("int"))).as("kept"),
-        (floor((size(col("tk")) - 1) / unitTokens) + 1).cast("long").as("n_units"),
-        size(col("da")).cast("long").as("n_dropped"))
-      .select(col("doc_id"),
-        array_join(col("kept"), " ").as("clean_text"),
-        col("n_units"), col("n_dropped"),
-        size(col("kept")).cast("long").as("n_kept_tokens"))
+          !array_contains(col("da"), floor(i / unitTokens).cast("int"))).as("kept") +:
+        (floor((size(col("tk")) - 1) / unitTokens) + 1).cast("long").as("n_units") +:
+        size(col("da")).cast("long").as("n_dropped") +: carry: _*)
+      .select(col("doc_id") +:
+        array_join(col("kept"), " ").as("clean_text") +:
+        col("n_units") +: col("n_dropped") +:
+        size(col("kept")).cast("long").as("n_kept_tokens") +: carry: _*)
   }
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)

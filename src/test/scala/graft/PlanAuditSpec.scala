@@ -117,6 +117,21 @@ class PlanAuditSpec extends AnyFunSuite {
       plan.take(3000))
   }
 
+  test("q70/q71/q72: no exchange carries document text or an array " +
+      "(fingerprints, drop lists, and scalar scores only)") {
+    Seq("q70_ngram_decontam", "q71_incr_sentence_dedup",
+        "q72_corpus_build2").foreach { q =>
+      val outs = shuffleOutputs(q)
+      assert(!outs.exists(_._1.toLowerCase == "text"),
+        s"$q shuffles raw text: $outs")
+      // q71/q72 drop lists are the one allowed small-array aggregate —
+      // same contract as q61/q64 (they broadcast back; never corpus-wide)
+      if (q == "q70_ngram_decontam")
+        assert(!outs.exists(_._2.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+          s"$q shuffles arrays: $outs")
+    }
+  }
+
   test("q16 simhash: signature + banding + verify stay out of UDF land") {
     val plan = planOf("q16_simhash_pairs")
     assert(plan.contains("graft_simhash64") || plan.contains("simhash"), plan.take(2000))
