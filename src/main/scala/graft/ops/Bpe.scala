@@ -42,9 +42,12 @@ object Bpe {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
     val spark = docs.sparkSession
     // corpus -> (word, count): the single corpus-scale pass
+    // tokens carrying the marker bytes would corrupt the encoding — a
+    // cleaned corpus never has them (unicodeClean strips C0 controls),
+    // but an uncleaned one must not silently mis-merge
     val words = docs
       .select(explode(Dedup.tokens(col("text"))).as("w"))
-      .filter(col("w") =!= "")
+      .filter(col("w") =!= "" && !col("w").contains(S) && !col("w").contains(E))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
     // initial encoding: every character wrapped in markers
     var vocab = words.select(
@@ -115,7 +118,10 @@ object Bpe {
       val enc = encode(tok)
       (length(enc) - length(replace(enc, lit(S), lit("")))).cast("long")
     }
-    val tk = filter(Dedup.tokens(col("text")), t => t =!= "")
+    // same marker guard as learning: marker-bearing tokens are excluded
+    // from every count, so engine and oracle stay aligned on dirty input
+    val tk = filter(Dedup.tokens(col("text")),
+      t => t =!= "" && !t.contains(S) && !t.contains(E))
     docs.select(col("doc_id"),
       size(tk).cast("long").as("n_tokens"),
       aggregate(tk, lit(0L), (a, t) => a + length(t).cast("long"))
@@ -154,7 +160,8 @@ object Bpe {
          |  FROM documents),
          |enc0 AS (
          |  SELECT doc_id, tok, regexp_replace(tok, '(.)', '$S\\1$E', 'g') AS e
-         |  FROM tok2 WHERE tok <> ''),
+         |  FROM tok2 WHERE tok <> ''
+         |    AND NOT contains(tok, '$S') AND NOT contains(tok, '$E')),
          |encn AS (
          |  SELECT doc_id, tok, $applied AS e
          |  FROM enc0, $mrefs),
@@ -183,7 +190,8 @@ object Bpe {
          |  SELECT tok AS w, count(*) AS cnt FROM (
          |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
          |    FROM documents) t
-         |  WHERE tok <> '' GROUP BY 1),
+         |  WHERE tok <> '' AND NOT contains(tok, '$S')
+         |    AND NOT contains(tok, '$E') GROUP BY 1),
          |v0 AS (
          |  SELECT regexp_replace(w, '(.)', '$S\\1$E', 'g') AS enc, cnt FROM w)""".stripMargin)
     for (r <- 1 to nMerges) {

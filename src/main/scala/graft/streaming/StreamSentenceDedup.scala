@@ -29,6 +29,7 @@ object StreamSentenceDedup {
   def replaySentenceDedup(spark: SparkSession, docs: Seq[Doc],
       workDir: String, unitTokens: Int = 12, nBatches: Int = 3): DataFrame = {
     require(nBatches >= 1, s"need at least one batch, got $nBatches")
+    require(docs.nonEmpty, "empty replay corpus — nothing to stream")
     import spark.implicits._
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(s"$workDir/index"))

@@ -48,6 +48,17 @@ class BpeSpec extends AnyFunSuite {
     assert(got(1) == ((2L, 2L, 6L, 3L, 2000000L)))
   }
 
+  test("marker-bearing tokens are excluded from learning and counting") {
+    val docs = Seq((1L, "ab ab junk cd")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, nMerges = 1)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(merges == Seq((1L, "a", "b", "ab", 2L))) // junk never counted
+    val prof = Bpe.bpeTokenProfile(docs, nMerges = 1)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // 3 clean tokens (ab, ab, cd), 6 chars, bpe syms 1+1+2 = 4
+    assert(prof == ((1L, 3L, 6L, 4L, 1500000L)))
+  }
+
   test("corpus exhaustion fails loudly instead of emitting short results") {
     val docs = Seq((1L, "ab")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
