@@ -184,6 +184,27 @@ object FixtureQueries {
         .select(col("doc_id"), col("ord"), col("media_id"),
           coalesce(col("component"), col("media_id")).as("canonical_id"))
     }),
+    // MEDIA-REF INTEGRITY audit over an interleaved corpus: spans
+    // reference 14 ids (12 real fixture assets + 2 phantoms 900/901),
+    // the asset table holds the 12 reals + 2 never-referenced extras
+    // (300/301) — the audit must count orphan spans/refs, docs touched,
+    // and dead assets exactly; the oracle replays the span formula and
+    // both joins in SQL
+    "x63_media_integrity" -> ((s, _) => {
+      import s.implicits._
+      val media = graft.ops.Multimodal.fixtureImages(s)
+        .union(graft.ops.Multimodal.perturbedFixtureImages(s))
+      val assets = media.select(col("media_id")).as[Long]
+        .union(s.createDataset(Seq(300L, 301L))).toDF("media_id")
+      val ids = Seq.tabulate(8)(100L + _) ++ Seq.tabulate(4)(200L + _) ++
+        Seq(900L, 901L)
+      val spans = s.range(20L).select(col("id").as("doc_id"))
+        .select(col("doc_id"), explode(array((0 until 3).map(lit): _*)).as("ord"))
+        .withColumn("media_id",
+          element_at(array(ids.map(lit): _*),
+            (pmod(col("doc_id") * 5 + col("ord") * 3, lit(14)) + 1).cast("int")))
+      graft.ops.Multimodal.refIntegrity(spans, assets)
+    }),
     // S3/S4/S6: commit + anti-join resume round-trip; counts are the
     // observable contract (run 1 "crashes" after 9 docs; resume finishes)
     "x11_resume_counts" -> ((s, _) => {
@@ -712,6 +733,34 @@ object FixtureQueries {
          |SELECT s.doc_id, s.ord, s.media_id,
          |  coalesce(c.component, s.media_id) AS canonical_id
          |FROM spans s LEFT JOIN comp c ON c.id = s.media_id""".stripMargin,
+    // x63: the span formula + both integrity joins replayed in SQL; the
+    // stack order (alphabetical by metric) matches the engine's
+    "x63_media_integrity" ->
+      """WITH spans AS (
+        |  SELECT CAST(d AS BIGINT) AS doc_id, CAST(o AS INTEGER) AS ord,
+        |    ([100,101,102,103,104,105,106,107,200,201,202,203,900,901])[
+        |      CAST((d*5 + o*3) % 14 AS BIGINT) + 1] AS media_id
+        |  FROM range(0,20) t(d), range(0,3) u(o)),
+        |assets AS (
+        |  SELECT unnest([100,101,102,103,104,105,106,107,
+        |                 200,201,202,203,300,301]) AS media_id),
+        |j AS (
+        |  SELECT s.doc_id, s.media_id, a.media_id IS NOT NULL AS present
+        |  FROM spans s LEFT JOIN assets a USING (media_id))
+        |SELECT 'assets_total' AS metric,
+        |  (SELECT count(*) FROM assets) AS n
+        |UNION ALL SELECT 'assets_unreferenced',
+        |  (SELECT count(*) FROM assets
+        |   WHERE media_id NOT IN (SELECT media_id FROM spans))
+        |UNION ALL SELECT 'distinct_refs',
+        |  (SELECT count(DISTINCT media_id) FROM j)
+        |UNION ALL SELECT 'docs_with_orphans',
+        |  (SELECT count(DISTINCT doc_id) FROM j WHERE NOT present)
+        |UNION ALL SELECT 'orphan_refs',
+        |  (SELECT count(DISTINCT media_id) FROM j WHERE NOT present)
+        |UNION ALL SELECT 'orphan_spans',
+        |  (SELECT count(*) FROM j WHERE NOT present)
+        |UNION ALL SELECT 'total_spans', (SELECT count(*) FROM j)""".stripMargin,
     // x54: nearest-neighbor resize truth — out(x,y) = in(x*w//8, y*h//6),
     // formula applied to the SOURCE indices in SQL while Spark's path is
     // decode -> setRGB resample -> PNG re-encode -> decode -> sums

@@ -810,6 +810,12 @@ object SparkEntry {
           docs.filter(col("doc_id") % 7 =!= 3),
           docs.filter(col("doc_id") % 7 === 3), unitTokens = 12)
       }),
+      // ---- ingest-batch corpus drift: per-batch vocabulary novelty
+      //      (exact min-batch election over the distinct (batch, token)
+      //      set) + token-length drift; word-count-shaped scalar shuffle,
+      //      ratios in integral microunits — see ops/Drift.scala
+      "q73_vocab_drift" -> ((s, d) =>
+        graft.ops.Drift.vocabDrift(t(s, d, "documents"), nBatches = 4)),
       // ---- n-gram cross-corpus decontamination (GPT-3 appendix-C shape):
       //      eval docs (doc_id % 5 == 0) marked wherever an 8-gram
       //      collides with the train split; both sides reduce to 8-byte
@@ -2466,6 +2472,9 @@ object SparkEntry {
          |  n_units, n_dropped,
          |  CAST(len(keptl) AS BIGINT) AS n_kept_tokens
          |FROM outp""".stripMargin,
+    // q73: distinct (batch, token) -> min-batch novelty election + length
+    // drift, microunit ratios via integer division on both engines
+    "q73_vocab_drift" -> graft.ops.Drift.vocabDriftSql(4),
     // q70: the q56 window-fold in HUGEINT, split train/eval, collision
     // join, lag-gap coverage merge — zero-hit eval docs kept via left join
     "q70_ngram_decontam" ->

@@ -306,4 +306,48 @@ object Multimodal {
       MediaRow(100L + id, id.toLong, "image", bos.toByteArray)
     }
   }
+
+  /** Media-ref integrity audit for an interleaved corpus: the referential
+    * check a multimodal corpus build runs before training — a media span
+    * whose `media_id` has no asset row means a truncated crawl or a
+    * botched asset-dedup rewrite, and an asset no span references is dead
+    * weight the storage bill pays for. Returns the audit as long-format
+    * (metric, n) rows:
+    *
+    *   total_spans, distinct_refs, orphan_spans (span rows whose ref has
+    *   no asset), orphan_refs (distinct missing ids), docs_with_orphans,
+    *   assets_total, assets_unreferenced.
+    *
+    * Scale shape (10^12 docs): both passes key on the scalar `media_id` —
+    * a left join spans->assets (broadcast when the asset dictionary fits,
+    * shuffled hash join otherwise; never carries span text or payload
+    * bytes) and a left-anti assets->distinct-refs. Output is seven
+    * 1-row aggregates stacked map-side. */
+  def refIntegrity(spans: DataFrame, assets: DataFrame): DataFrame = {
+    val a = assets.select(col("media_id")).distinct()
+    val joined = spans.join(a.withColumn("present", lit(1)),
+      Seq("media_id"), "left")
+    val spanAgg = joined.agg(
+      count(lit(1)).as("total_spans"),
+      countDistinct(col("media_id")).as("distinct_refs"),
+      sum(when(col("present").isNull, 1L).otherwise(0L)).as("orphan_spans"),
+      countDistinct(when(col("present").isNull, col("media_id")))
+        .as("orphan_refs"),
+      countDistinct(when(col("present").isNull, col("doc_id")))
+        .as("docs_with_orphans"))
+    val assetAgg = a
+      .join(spans.select("media_id").distinct(), Seq("media_id"), "left_anti")
+      .agg(count(lit(1)).as("assets_unreferenced"))
+      .crossJoin(a.agg(count(lit(1)).as("assets_total")))
+    spanAgg.crossJoin(assetAgg).selectExpr(
+      """stack(7,
+        |  'assets_total', assets_total,
+        |  'assets_unreferenced', assets_unreferenced,
+        |  'distinct_refs', distinct_refs,
+        |  'docs_with_orphans', docs_with_orphans,
+        |  'orphan_refs', orphan_refs,
+        |  'orphan_spans', orphan_spans,
+        |  'total_spans', total_spans) AS (metric, n)""".stripMargin)
+      .select(col("metric"), col("n").cast("long").as("n"))
+  }
 }

@@ -765,6 +765,31 @@ class MultimodalSpec extends AnyFunSuite {
       assert((s.sum_r, s.sum_g, s.sum_b) == ((er, eg, eb)), s"image $id")
     }
   }
+
+  test("refIntegrity counts orphans, dead assets, and touched docs exactly") {
+    import spark.implicits._
+    // docs 0,1: doc 0 refs assets 1 (real), 9 (missing, twice); doc 1 refs
+    // 2 (real); asset 3 exists but is never referenced
+    val spans = Seq((0L, 0, 1L), (0L, 1, 9L), (0L, 2, 9L), (1L, 0, 2L))
+      .toDF("doc_id", "ord", "media_id")
+    val assets = Seq(1L, 2L, 3L).toDF("media_id")
+    val got = Multimodal.refIntegrity(spans, assets)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "total_spans" -> 4L, "distinct_refs" -> 3L, "orphan_spans" -> 2L,
+      "orphan_refs" -> 1L, "docs_with_orphans" -> 1L,
+      "assets_total" -> 3L, "assets_unreferenced" -> 1L))
+  }
+
+  test("refIntegrity on a fully-consistent corpus reports zeros") {
+    import spark.implicits._
+    val spans = Seq((0L, 0, 1L), (1L, 0, 2L)).toDF("doc_id", "ord", "media_id")
+    val assets = Seq(1L, 2L).toDF("media_id")
+    val got = Multimodal.refIntegrity(spans, assets)
+      .as[(String, Long)].collect().toMap
+    assert(got("orphan_spans") == 0L && got("orphan_refs") == 0L &&
+      got("docs_with_orphans") == 0L && got("assets_unreferenced") == 0L)
+  }
 }
 
 class ExpressionSpec extends AnyFunSuite {
