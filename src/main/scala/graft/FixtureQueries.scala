@@ -205,6 +205,43 @@ object FixtureQueries {
             (pmod(col("doc_id") * 5 + col("ord") * 3, lit(14)) + 1).cast("int")))
       graft.ops.Multimodal.refIntegrity(spans, assets)
     }),
+    // STRUCTURE-PRESERVING PII SCRUB over an interleaved span table:
+    // only kind='text' spans are rewritten; page markers, media spans
+    // (whose synthetic rows would otherwise match the planted patterns),
+    // and (kind, media_ref, ord) pass through byte-identical. The oracle
+    // replays the generator and the shared PiiPatterns chain in SQL.
+    "x64_interleaved_scrub" -> ((s, _) => {
+      val base = s.range(10L).select(col("id").as("doc_id"))
+        .select(col("doc_id"),
+          explode(array((0 until 5).map(lit): _*)).as("ord"))
+      val kind = when(col("ord") === 0, lit("page"))
+        .when((col("doc_id") + col("ord")) % 4 === 0, lit("media"))
+        .otherwise(lit("text"))
+      val spans = base.withColumn("kind", kind)
+        .withColumn("media_ref",
+          when(col("kind") === "media",
+            concat(lit("m"), col("doc_id"), lit("_"), col("ord"))))
+        .withColumn("text",
+          when(col("kind") === "page", lit("1"))
+            .when(col("kind") === "media", lit(""))
+            .when((col("doc_id") + col("ord")) % 3 === 0,
+              concat(lit("contact user"), col("doc_id"),
+                lit("@example.com from 10.0."), col("doc_id"), lit("."),
+                col("ord"), lit(" now")))
+            .otherwise(concat(lit("plain line "), col("doc_id"), lit(" "),
+              col("ord"))))
+        .select("doc_id", "ord", "kind", "text", "media_ref")
+      graft.ops.Spans.scrubTextSpans(spans)
+    }),
+    // CAPTION-MEDIA ALIGNMENT audit over the fixture corpus's real
+    // extracted spans: nearest preceding non-empty text span, same page,
+    // within 3 positions — the join quality a multimodal pack depends on
+    "x65_caption_align" -> ((s, _) =>
+      graft.ops.Spans.captionAlignment(
+        result(s).outSpans.toDF().select(
+          col("doc_id"), col("ord"), col("kind"), col("text"),
+          col("media_ref")),
+        maxGap = 3)),
     // S3/S4/S6: commit + anti-join resume round-trip; counts are the
     // observable contract (run 1 "crashes" after 9 docs; resume finishes)
     "x11_resume_counts" -> ((s, _) => {
@@ -761,6 +798,44 @@ object FixtureQueries {
         |UNION ALL SELECT 'orphan_spans',
         |  (SELECT count(*) FROM j WHERE NOT present)
         |UNION ALL SELECT 'total_spans', (SELECT count(*) FROM j)""".stripMargin,
+    // x64: the generator + the shared PiiPatterns chain replayed in SQL;
+    // the CASE keeps non-text spans byte-identical exactly like the engine
+    "x64_interleaved_scrub" -> {
+      val (scrub, count) = graft.ops.Curation.piiScrubSql("text")
+      s"""WITH base AS (
+         |  SELECT CAST(d AS BIGINT) AS doc_id, CAST(o AS INTEGER) AS ord
+         |  FROM range(0,10) t(d), range(0,5) u(o)),
+         |k AS (
+         |  SELECT doc_id, ord,
+         |    CASE WHEN ord = 0 THEN 'page'
+         |         WHEN (doc_id + ord) % 4 = 0 THEN 'media'
+         |         ELSE 'text' END AS kind
+         |  FROM base),
+         |sp AS (
+         |  SELECT doc_id, ord, kind,
+         |    CASE WHEN kind = 'page' THEN '1'
+         |         WHEN kind = 'media' THEN ''
+         |         WHEN (doc_id + ord) % 3 = 0 THEN
+         |           'contact user' || CAST(doc_id AS VARCHAR) ||
+         |           '@example.com from 10.0.' || CAST(doc_id AS VARCHAR) ||
+         |           '.' || CAST(ord AS VARCHAR) || ' now'
+         |         ELSE 'plain line ' || CAST(doc_id AS VARCHAR) || ' ' ||
+         |           CAST(ord AS VARCHAR) END AS text,
+         |    CASE WHEN kind = 'media' THEN
+         |      'm' || CAST(doc_id AS VARCHAR) || '_' || CAST(ord AS VARCHAR)
+         |    END AS media_ref
+         |  FROM k)
+         |SELECT doc_id, ord, kind,
+         |  CASE WHEN kind = 'text' THEN $scrub ELSE text END AS text,
+         |  media_ref,
+         |  CAST(CASE WHEN kind = 'text' THEN $count ELSE 0 END AS BIGINT)
+         |    AS n_redactions
+         |FROM sp""".stripMargin
+    },
+    // x65: the same-page nearest-preceding-text window replayed over the
+    // x05 golden span VALUES
+    "x65_caption_align" -> graft.ops.Spans.captionAlignmentSql(
+      FixtureGoldens.oracleSql("x05_fixture_spans"), maxGap = 3),
     // x54: nearest-neighbor resize truth — out(x,y) = in(x*w//8, y*h//6),
     // formula applied to the SOURCE indices in SQL while Spark's path is
     // decode -> setRGB resample -> PNG re-encode -> decode -> sums

@@ -141,22 +141,30 @@ object Curation {
     "\\+\\d{1,3}(-\\d{2,4}){2,4}" -> "<PHONE>",
     "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>")
 
-  /** Redact PII from `text`, appending a redaction count. The regexp
-    * chain is plain codegen'd expressions; counting uses the SAME patterns
-    * so count and replacement can never disagree. */
-  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
-    val scrubbed = PiiPatterns.foldLeft(col(textCol)) {
+  /** The scrub + count expressions over a text column — shared by the
+    * doc-level [[piiScrub]] and the span-level [[Spans.scrubTextSpans]] so
+    * the two surfaces can never drift. The regexp chain is plain codegen'd
+    * expressions; counting uses the SAME patterns (each counted on the
+    * partially-scrubbed text, mirroring replace order) so count and
+    * replacement can never disagree. */
+  def piiScrubCols(text: Column): (Column, Column) = {
+    val scrubbed = PiiPatterns.foldLeft(text) {
       case (c, (pat, tok)) => regexp_replace(c, pat, tok)
     }
     val counts = PiiPatterns.zipWithIndex.map { case ((pat, _), i) =>
-      // count on the partially-scrubbed text, mirroring the replace order
-      val upto = PiiPatterns.take(i).foldLeft(col(textCol)) {
+      val upto = PiiPatterns.take(i).foldLeft(text) {
         case (c, (p, t)) => regexp_replace(c, p, t)
       }
       size(regexp_extract_all(upto, lit(pat), lit(0))).cast("long")
     }
+    (scrubbed, counts.reduce(_ + _))
+  }
+
+  /** Redact PII from `text`, appending a redaction count. */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
+    val (scrubbed, nRedactions) = piiScrubCols(col(textCol))
     df.withColumn("scrubbed", scrubbed)
-      .withColumn("n_redactions", counts.reduce(_ + _))
+      .withColumn("n_redactions", nRedactions)
   }
 
   /** DuckDB replay of [[piiScrub]], generated from the SAME pattern list:

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Operators over the INTERLEAVED span sequence itself — the long-format
+  * (doc_id, ord, kind, text, media_ref) table the extraction pipeline
+  * emits (`layout/Model.scala:7`, reference span grammar at
+  * `/root/reference/src/v1_plain/parse_text.py:63-118`). These are the
+  * transformations a multimodal corpus build applies BETWEEN extraction
+  * and packing, where the span structure (kind, media_ref, order) is the
+  * invariant that must survive every rewrite: a scrub that drops or
+  * reorders a media span silently corrupts image-text alignment for
+  * every downstream sample that packs that document.
+  *
+  * Everything here is per-document: map-side expressions or
+  * partition-by-doc window functions — at 10^12 documents these run next
+  * to the scan with zero corpus-scale shuffles (the window shuffle keys
+  * on doc_id, the extraction output's native partitioning, and carries
+  * only the span rows of each doc).
+  */
+object Spans {
+
+  /** Structure-preserving PII scrub: rewrite ONLY kind='text' spans with
+    * the shared [[Curation.PiiPatterns]] chain; page/rule/media spans pass
+    * through byte-identical with n_redactions = 0 (a media span's `text`
+    * is metadata, a page marker's is the page number — scrubbing either
+    * would corrupt the grammar, and a regex chain run over binary-ish
+    * payload refs is wasted CPU at corpus scale). Output = input columns
+    * + n_redactions; (kind, media_ref, ord) are untouched by construction.
+    */
+  def scrubTextSpans(spans: DataFrame): DataFrame = {
+    val (scrubbed, nRedactions) = Curation.piiScrubCols(col("text"))
+    spans.select(
+      col("doc_id"), col("ord"), col("kind"),
+      when(col("kind") === "text", scrubbed).otherwise(col("text"))
+        .as("text"),
+      col("media_ref"),
+      when(col("kind") === "text", nRedactions).otherwise(lit(0L))
+        .as("n_redactions"))
+  }
+
+  /** Caption alignment audit: for every media span, the nearest PRECEDING
+    * non-empty text span — but only if it sits on the same page and within
+    * `maxGap` span positions (a caption separated from its figure by a
+    * page break or by `maxGap` intervening spans is no caption; the
+    * reference takes the same "preceding text on the page" view for table
+    * captions, `table_finder.py:160-188`). Page number = running count of
+    * kind='page' markers. Output per media span:
+    * (doc_id, ord, media_ref, page, caption_ord, caption_tokens,
+    * has_caption) with caption_ord/caption_tokens null when uncaptioned.
+    *
+    * Scale shape: one window pass partitioned by doc_id — the shuffle key
+    * is the extraction output's native partitioning and each partition
+    * holds whole documents, so memory is bounded by the largest single
+    * document (the salted-extract path already bounds that upstream). */
+  def captionAlignment(spans: DataFrame, maxGap: Int = 3): DataFrame = {
+    require(maxGap >= 1, s"need maxGap >= 1, got $maxGap")
+    val byOrd = Window.partitionBy("doc_id").orderBy("ord")
+    val prev = byOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val isCap = col("kind") === "text" && trim(col("text")) =!= ""
+    val paged = spans.withColumn("page",
+      sum(when(col("kind") === "page", 1L).otherwise(0L)).over(byOrd))
+    val candidates = paged
+      .withColumn("cap_ord",
+        last(when(isCap, col("ord")), ignoreNulls = true).over(prev))
+      .withColumn("cap_page",
+        last(when(isCap, col("page")), ignoreNulls = true).over(prev))
+      .withColumn("cap_text",
+        last(when(isCap, col("text")), ignoreNulls = true).over(prev))
+    candidates
+      .filter(col("kind") === "media")
+      .withColumn("has_caption",
+        col("cap_ord").isNotNull &&
+          col("ord") - col("cap_ord") <= maxGap &&
+          col("cap_page") === col("page"))
+      .select(
+        col("doc_id"), col("ord"), col("media_ref"), col("page"),
+        when(col("has_caption"), col("cap_ord")).as("caption_ord"),
+        when(col("has_caption"),
+          size(split(trim(lower(col("cap_text"))), "\\s+")).cast("long"))
+          .as("caption_tokens"),
+        col("has_caption"))
+  }
+
+  /** [[captionAlignment]] replayed in DuckDB SQL; `spansSql` is a query
+    * producing the span relation (doc_id, ord, kind, text, media_ref). */
+  def captionAlignmentSql(spansSql: String, maxGap: Int = 3): String =
+    s"""WITH spans AS ($spansSql),
+       |paged AS (
+       |  SELECT doc_id, ord, kind, text, media_ref,
+       |    sum(CASE WHEN kind = 'page' THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY ord) AS page
+       |  FROM spans),
+       |cand AS (
+       |  SELECT *,
+       |    last_value(CASE WHEN kind = 'text' AND trim(text) <> ''
+       |                    THEN ord END IGNORE NULLS)
+       |      OVER (PARTITION BY doc_id ORDER BY ord
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS cap_ord,
+       |    last_value(CASE WHEN kind = 'text' AND trim(text) <> ''
+       |                    THEN page END IGNORE NULLS)
+       |      OVER (PARTITION BY doc_id ORDER BY ord
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS cap_page,
+       |    last_value(CASE WHEN kind = 'text' AND trim(text) <> ''
+       |                    THEN text END IGNORE NULLS)
+       |      OVER (PARTITION BY doc_id ORDER BY ord
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS cap_text
+       |  FROM paged)
+       |SELECT doc_id, ord, media_ref, CAST(page AS BIGINT) AS page,
+       |  CASE WHEN has_caption THEN cap_ord END AS caption_ord,
+       |  CASE WHEN has_caption THEN CAST(len(regexp_split_to_array(
+       |    trim(lower(cap_text)), '\\s+')) AS BIGINT) END AS caption_tokens,
+       |  has_caption
+       |FROM (
+       |  SELECT *, cap_ord IS NOT NULL AND ord - cap_ord <= $maxGap
+       |    AND cap_page = page AS has_caption
+       |  FROM cand)
+       |WHERE kind = 'media'""".stripMargin
+}
