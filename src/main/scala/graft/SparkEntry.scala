@@ -859,6 +859,22 @@ object SparkEntry {
           .select("doc_id", "clean_text", "n_chars_before", "n_chars_after",
             "changed")
       }),
+      // ---- model-based quality classifier (the GPT-3/LLaMA-recipe
+      //      "similarity to a curated reference" filter): seed labels
+      //      from the rule-based quality score, token-likelihood-ratio
+      //      model trained as a word-count aggregation, applied as a
+      //      broadcast join + map-side fold — train/apply is a TABLE
+      //      seam, no gradient loop, integral microunits end to end
+      "q74_quality_classifier" -> ((s, d) =>
+        graft.ops.Classifier.nbQuality(t(s, d, "documents"))),
+      // ---- DSIR-shaped data selection: hashed-bigram importance weights
+      //      (target distribution over FIXED 4096 feature-hash buckets ÷
+      //      raw distribution), top-50 most target-like raw docs. The
+      //      model size is pinned by the hashing trick, not the
+      //      vocabulary — the property that makes it trainable at 100 TB
+      "q75_dsir_select" -> ((s, d) =>
+        graft.ops.Classifier.dsirSelect(
+          t(s, d, "documents"), isTarget = col("source") === "src0")),
       // ---- deterministic seeded corpus shuffle: salted-hash permutation
       //      + epoch shards, no rand() — stable across runs, retries, and
       //      engines; per-shard windows, no global sort
@@ -2587,6 +2603,75 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY ((shuffle_key % 8) + 8) % 8
          |    ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS pos
          |FROM k""".stripMargin,
+    // q74: the engine's whole train+apply chain replayed — seed label from
+    // the shared quality-score fragment, label-conditional token counts,
+    // Laplace-smoothed two-step micro ratio (each conditional floored to
+    // micro units BEFORE the ratio, p0 clamped to >= 1), broadcast-join
+    // scoring fold. All-integer; sums in HUGEINT cast back at the edges.
+    "q74_quality_classifier" ->
+      s"""WITH lab AS (
+         |  SELECT doc_id, $toks AS toksv,
+         |    ($qualityBpSql) >= ${graft.ops.Classifier.DefaultSeedThreshBp} AS hi
+         |  FROM documents),
+         |dt AS (
+         |  SELECT doc_id, hi, w, count(*) AS k FROM (
+         |    SELECT doc_id, hi, unnest(toksv) AS w FROM lab)
+         |  WHERE w <> '' GROUP BY 1, 2, 3),
+         |cnt AS (
+         |  SELECT w,
+         |    sum(CASE WHEN hi THEN k ELSE 0 END) AS c1,
+         |    sum(CASE WHEN NOT hi THEN k ELSE 0 END) AS c0
+         |  FROM dt GROUP BY 1),
+         |tot AS (SELECT sum(c1) AS n1, sum(c0) AS n0, count(*) AS v FROM cnt),
+         |mdl AS (
+         |  SELECT w, (p1m * 1000000) // greatest(p0m, 1) AS lr_micro FROM (
+         |    SELECT w, ((c1 + 1) * 1000000) // (n1 + v) AS p1m,
+         |      ((c0 + 1) * 1000000) // (n0 + v) AS p0m
+         |    FROM cnt, tot)),
+         |sc AS (
+         |  SELECT doc_id, hi, sum(k * lr_micro) AS sum_lr, sum(k) AS nk
+         |  FROM dt JOIN mdl USING (w) GROUP BY 1, 2)
+         |SELECT l.doc_id, CAST(l.hi AS INT) AS seed_hi,
+         |  CAST(coalesce(nk, 0) AS BIGINT) AS n_scored_tokens,
+         |  CAST(coalesce(sum_lr // nk, 0) AS BIGINT) AS avg_lr_micro,
+         |  CAST(coalesce(sum_lr // nk >= 1000000, false) AS INT) AS pred_hi
+         |FROM lab l LEFT JOIN sc ON l.doc_id = sc.doc_id""".stripMargin,
+    // q75: hashed-bigram DSIR replay — q66's bigram derivation, q20's
+    // HUGEINT char fold per bigram, UNSIGNED mod 4096 (== the engine's
+    // signed pmod because 4096 divides 2^64), the same smoothed two-step
+    // micro ratio, top-50 by (weight desc, doc_id)
+    "q75_dsir_select" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, source = 'src0' AS tgt, $toks AS tk FROM documents),
+         |bi AS (
+         |  SELECT doc_id, tgt,
+         |    tk[CAST(i + 1 AS BIGINT)] || ' ' || tk[CAST(i + 2 AS BIGINT)] AS bg
+         |  FROM tk, UNNEST(range(0, greatest(len(tk) - 1, 0))) AS t(i)
+         |  WHERE len(tk) >= 2),
+         |hb AS (
+         |  SELECT doc_id, tgt,
+         |    list_reduce(list_prepend(CAST(3421674724 AS HUGEINT),
+         |      list_transform(split(bg, ''), c -> CAST(ord(c) AS HUGEINT))),
+         |      (h, c) -> (h * 1000003 + c) % (CAST(1 AS HUGEINT) << 64)) AS hu
+         |  FROM bi),
+         |db AS (
+         |  SELECT doc_id, tgt, CAST(hu % 4096 AS BIGINT) AS b, count(*) AS k
+         |  FROM hb GROUP BY 1, 2, 3),
+         |dist AS (
+         |  SELECT b, sum(CASE WHEN tgt THEN k ELSE 0 END) AS tb, sum(k) AS rb
+         |  FROM db GROUP BY 1),
+         |tot AS (SELECT sum(tb) AS tt, sum(rb) AS rt FROM dist),
+         |wts AS (
+         |  SELECT b, (ptm * 1000000) // greatest(prm, 1) AS w_micro FROM (
+         |    SELECT b, ((tb + 1) * 1000000) // (tt + 4096) AS ptm,
+         |      ((rb + 1) * 1000000) // (rt + 4096) AS prm
+         |    FROM dist, tot)),
+         |sc AS (
+         |  SELECT doc_id, sum(k) AS nf, sum(k * w_micro) // sum(k) AS aw
+         |  FROM db JOIN wts USING (b) WHERE NOT tgt GROUP BY 1)
+         |SELECT doc_id, CAST(nf AS BIGINT) AS n_features,
+         |  CAST(aw AS BIGINT) AS avg_w_micro
+         |FROM sc ORDER BY aw DESC, doc_id LIMIT 50""".stripMargin,
     "q36_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  1 AS approx_within_2pct

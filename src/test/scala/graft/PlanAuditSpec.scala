@@ -132,6 +132,29 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q74 quality classifier: no exchange carries document text or an " +
+      "array — train and apply move (token, count) rows only") {
+    val outs = shuffleOutputs("q74_quality_classifier")
+    assert(!outs.exists(_._1.toLowerCase == "text"),
+      s"q74 shuffles raw text: $outs")
+    assert(!outs.exists(_._2.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+      s"q74 shuffles arrays: $outs")
+    // the 1-row totals frame must join broadcast (never a shuffled cross)
+    assert(planOf("q74_quality_classifier").contains("BroadcastNestedLoopJoin") ||
+      planOf("q74_quality_classifier").contains("BroadcastHashJoin"))
+  }
+
+  test("q75 dsir select: bigram strings never leave the projection — " +
+      "exchanges carry only bucket longs and counts; topN is TakeOrdered") {
+    val outs = shuffleOutputs("q75_dsir_select")
+    assert(!outs.exists(o => o._1.toLowerCase == "text" || o._1 == "bg"),
+      s"q75 shuffles text/bigrams: $outs")
+    assert(!outs.exists(_._2.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+      s"q75 shuffles arrays: $outs")
+    assert(planOf("q75_dsir_select").contains("TakeOrderedAndProject"),
+      planOf("q75_dsir_select").take(3000))
+  }
+
   test("q16 simhash: signature + banding + verify stay out of UDF land") {
     val plan = planOf("q16_simhash_pairs")
     assert(plan.contains("graft_simhash64") || plan.contains("simhash"), plan.take(2000))
