@@ -867,6 +867,13 @@ object SparkEntry {
       //      seam, no gradient loop, integral microunits end to end
       "q74_quality_classifier" -> ((s, d) =>
         graft.ops.Classifier.nbQuality(t(s, d, "documents"))),
+      // ---- greedy k-center diversity selection (Gonzalez farthest-point,
+      //      the coreset pass): k map-side scans against broadcast-literal
+      //      centers + TakeOrdered(1) per round; micro-int quantization
+      //      makes every distance an exact integer, so the unrolled
+      //      DuckDB replay is hash-identical
+      "q76_kcenter_sample" -> ((s, d) =>
+        graft.ops.Similarity.kCenterSelect(t(s, d, "embeddings"), k = 6)),
       // ---- DSIR-shaped data selection: hashed-bigram importance weights
       //      (target distribution over FIXED 4096 feature-hash buckets ÷
       //      raw distribution), top-50 most target-like raw docs. The
@@ -2636,6 +2643,9 @@ object SparkEntry {
          |  CAST(coalesce(sum_lr // nk, 0) AS BIGINT) AS avg_lr_micro,
          |  CAST(coalesce(sum_lr // nk >= 1000000, false) AS INT) AS pred_hi
          |FROM lab l LEFT JOIN sc ON l.doc_id = sc.doc_id""".stripMargin,
+    // q76: the unrolled greedy chain — same quantization, distances, and
+    // tie-breaks, generated from the same k so engine and oracle agree
+    "q76_kcenter_sample" -> graft.ops.Similarity.kCenterSql(6),
     // q75: hashed-bigram DSIR replay — q66's bigram derivation, q20's
     // HUGEINT char fold per bigram, UNSIGNED mod 4096 (== the engine's
     // signed pmod because 4096 divides 2^64), the same smoothed two-step

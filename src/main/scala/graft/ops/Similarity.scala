@@ -497,4 +497,104 @@ object Similarity {
        |       THEN 1 ELSE 0 END AS BIGINT) AS kept
        |FROM emb e LEFT JOIN comp c ON c.id = e.vec_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Greedy k-center (farthest-point) diversity selection
+  // ------------------------------------------------------------------
+
+  /** Greedy k-center / farthest-point selection (Gonzalez 1985's
+    * 2-approximation — the coreset/diversity-sampling pass of a curation
+    * pipeline: where dedup removes what is too CLOSE, this picks the k
+    * docs that best SPREAD over embedding space, e.g. to seed balanced
+    * annotation batches or evaluate coverage). Seed = lowest vec_id;
+    * round r picks the vector farthest (max-min squared L2) from the
+    * r-1 already chosen, ties to the lowest vec_id.
+    *
+    * Exactness: vectors quantize to integral micro units (the q46
+    * floor(x*1e6) rule) so every distance is an exact integer in double
+    * space (≤ dim·(2e6)² ≈ 2^45 « 2^53) — min/max/least are then
+    * order-free and the DuckDB replay is hash-identical, no float drift.
+    *
+    * 100 TB shape: k passes over the corpus, each one map-side distance
+    * update against ONE broadcast-literal center + a TakeOrdered(1) — no
+    * pair join, no global sort; the running min-distance frame persists
+    * across rounds (the eager-loop lesson, SCALING.md #3) and driver
+    * state is k rows. Greedy k-center is inherently k scans; past a few
+    * dozen centers run it over a uniform sample (the standard composition
+    * — sampling preserves the 2-approx up to the sample bound). */
+  def kCenterSelect(embeddings: DataFrame, k: Int, dim: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val spark = embeddings.sparkSession
+    val base = embeddings
+      .select(col("vec_id"),
+        transform(slice(asDouble(col("embedding")), 1, dim),
+          x => floor(x * 1e6).cast("double")).as("e"))
+      .persist()
+    val seed = base.orderBy("vec_id").limit(1).collect()
+    require(seed.nonEmpty, "kCenterSelect over an empty embeddings table")
+    def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
+      r.getAs[Seq[Double]]("e").toArray
+    var picked = Vector[(Long, Long)]((seed(0).getAs[Long]("vec_id"), 0L))
+    var cur = base.withColumn("dmin",
+      graft.functions.VecOps.l2sq(col("e"),
+        typedLit(vecOf(seed(0)).toSeq))).persist()
+    (2 to k).foreach { _ =>
+      val next = cur.orderBy(col("dmin").desc, col("vec_id").asc)
+        .limit(1).collect()(0)
+      picked :+= ((next.getAs[Long]("vec_id"),
+        next.getAs[Double]("dmin").toLong))
+      val updated = cur.withColumn("dmin",
+        least(col("dmin"), graft.functions.VecOps.l2sq(col("e"),
+          typedLit(vecOf(next).toSeq)))).persist()
+      updated.count() // materialize before dropping the parent
+      cur.unpersist()
+      cur = updated
+    }
+    cur.unpersist()
+    base.unpersist()
+    import spark.implicits._
+    picked.zipWithIndex
+      .map { case ((id, d), i) => (i + 1L, id, d) }
+      .toDF("round", "vec_id", "dist_micro2")
+  }
+
+  /** [[kCenterSelect]] as DuckDB SQL: k unrolled CTE rounds (the
+    * Bpe.learnMergesSql pattern — generated from the same constants so
+    * engine and oracle cannot drift), identical quantization, distance
+    * arithmetic, and (dmin desc, vec_id) tie-break. */
+  def kCenterSql(k: Int, dim: Int = 8): String = {
+    require(k >= 1)
+    def l2(a: String, b: String): String =
+      s"list_reduce(list_transform(list_zip($a, $b), " +
+        s"p -> (p[1]-p[2])*(p[1]-p[2])), (x,y) -> x+y)"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH emb AS (
+         |  SELECT vec_id,
+         |    list_transform((embedding::DOUBLE[])[1:$dim],
+         |      x -> floor(x * 1000000)) AS e
+         |  FROM embeddings),
+         |c1 AS (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 1),
+         |d1 AS (
+         |  SELECT emb.vec_id, emb.e, ${l2("emb.e", "c1.e")} AS dmin
+         |  FROM emb, c1)""".stripMargin)
+    for (r <- 2 to k) {
+      sb.append(
+        s""",
+           |c$r AS (SELECT vec_id, e, dmin FROM d${r - 1}
+           |  ORDER BY dmin DESC, vec_id ASC LIMIT 1),
+           |d$r AS (
+           |  SELECT d.vec_id, d.e, least(d.dmin, ${l2("d.e", "c.e")}) AS dmin
+           |  FROM d${r - 1} d, c$r c)""".stripMargin)
+    }
+    sb.append(
+      "\nSELECT CAST(1 AS BIGINT) AS round, vec_id, " +
+        "CAST(0 AS BIGINT) AS dist_micro2 FROM c1")
+    for (r <- 2 to k) {
+      sb.append(
+        s"\nUNION ALL\nSELECT CAST($r AS BIGINT), vec_id, " +
+          s"CAST(dmin AS BIGINT) FROM c$r")
+    }
+    sb.toString
+  }
 }

@@ -388,6 +388,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(sims(1)) < 1e-12)
   }
 
+  test("kCenterSelect walks the exact greedy farthest-point order with " +
+      "lowest-id ties") {
+    // square corner geometry: seed 0=(0,0); 1=(10,0) and 2=(0,10) tie at
+    // d²=100 -> lower id wins; 3=(5,5) last at min-dist 50
+    val pts = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(10f, 0f)),
+      (2L, Array(0f, 10f)), (3L, Array(5f, 5f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSelect(pts, k = 4, dim = 2)
+      .orderBy("round").as[(Long, Long, Long)].collect().toSeq
+    val m = 1000000L // micro quantization: d² scales by 1e12
+    assert(got == Seq(
+      (1L, 0L, 0L), (2L, 1L, 100L * m * m),
+      (3L, 2L, 100L * m * m), (4L, 3L, 50L * m * m)), got.toString)
+  }
+
+  test("kCenterSelect is partitioning-invariant and k=1 returns the seed") {
+    val a = Similarity.kCenterSelect(emb, k = 4).collect().map(_.toSeq).toSeq
+    val b = Similarity.kCenterSelect(emb.repartition(7), k = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+    val one = Similarity.kCenterSelect(emb, k = 1).collect()
+    assert(one.length == 1 && one(0).getAs[Long]("vec_id") == 0L)
+  }
+
   test("brute KNN returns k ranked neighbors per query, self excluded") {
     val knn = Similarity.bruteKnn(emb, emb.filter(col("vec_id") < 5), k = 3).collect()
     assert(knn.length == 15)
