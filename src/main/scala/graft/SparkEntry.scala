@@ -867,6 +867,21 @@ object SparkEntry {
       //      seam, no gradient loop, integral microunits end to end
       "q74_quality_classifier" -> ((s, d) =>
         graft.ops.Classifier.nbQuality(t(s, d, "documents"))),
+      // ---- STREAMING classifier apply: model trained ONCE on the standing
+      //      corpus (the persisted vocab-sized table), each micro-batch
+      //      scored statelessly against it — no state store; per-doc
+      //      scoring has no cross-batch coupling, so the replayed union
+      //      equals batch q74 (shared oracle)
+      "x66_stream_classifier" -> ((s, d) => {
+        import s.implicits._
+        val corpus = t(s, d, "documents")
+        val docs = corpus.select(col("doc_id"), col("text"))
+          .as[graft.streaming.StreamClassifier.Doc].collect().toSeq
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-x66").toString
+        graft.streaming.StreamClassifier.replayScore(s, corpus, docs, dir,
+          nBatches = 3)
+      }),
       // ---- greedy k-center diversity selection (Gonzalez farthest-point,
       //      the coreset pass): k map-side scans against broadcast-literal
       //      centers + TakeOrdered(1) per round; micro-int quantization
@@ -1346,6 +1361,38 @@ object SparkEntry {
   }
 
   private val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+  /** q74's full train+apply replay — shared with x66's streaming shadow
+    * (per-doc scoring has no cross-batch coupling, so the replayed union
+    * must equal the batch classifier exactly). */
+  private lazy val nbClassifierSql: String =
+    s"""WITH lab AS (
+       |  SELECT doc_id, $toks AS toksv,
+       |    ($qualityBpSql) >= ${graft.ops.Classifier.DefaultSeedThreshBp} AS hi
+       |  FROM documents),
+       |dt AS (
+       |  SELECT doc_id, hi, w, count(*) AS k FROM (
+       |    SELECT doc_id, hi, unnest(toksv) AS w FROM lab)
+       |  WHERE w <> '' GROUP BY 1, 2, 3),
+       |cnt AS (
+       |  SELECT w,
+       |    sum(CASE WHEN hi THEN k ELSE 0 END) AS c1,
+       |    sum(CASE WHEN NOT hi THEN k ELSE 0 END) AS c0
+       |  FROM dt GROUP BY 1),
+       |tot AS (SELECT sum(c1) AS n1, sum(c0) AS n0, count(*) AS v FROM cnt),
+       |mdl AS (
+       |  SELECT w, (p1m * 1000000) // greatest(p0m, 1) AS lr_micro FROM (
+       |    SELECT w, ((c1 + 1) * 1000000) // (n1 + v) AS p1m,
+       |      ((c0 + 1) * 1000000) // (n0 + v) AS p0m
+       |    FROM cnt, tot)),
+       |sc AS (
+       |  SELECT doc_id, hi, sum(k * lr_micro) AS sum_lr, sum(k) AS nk
+       |  FROM dt JOIN mdl USING (w) GROUP BY 1, 2)
+       |SELECT l.doc_id, CAST(l.hi AS INT) AS seed_hi,
+       |  CAST(coalesce(nk, 0) AS BIGINT) AS n_scored_tokens,
+       |  CAST(coalesce(sum_lr // nk, 0) AS BIGINT) AS avg_lr_micro,
+       |  CAST(coalesce(sum_lr // nk >= 1000000, false) AS INT) AS pred_hi
+       |FROM lab l LEFT JOIN sc ON l.doc_id = sc.doc_id""".stripMargin
 
   /** q64's full replay — shared with x62's streaming shadow (the replayed
     * per-batch union must equal the batch operator exactly). */
@@ -2615,34 +2662,10 @@ object SparkEntry {
     // Laplace-smoothed two-step micro ratio (each conditional floored to
     // micro units BEFORE the ratio, p0 clamped to >= 1), broadcast-join
     // scoring fold. All-integer; sums in HUGEINT cast back at the edges.
-    "q74_quality_classifier" ->
-      s"""WITH lab AS (
-         |  SELECT doc_id, $toks AS toksv,
-         |    ($qualityBpSql) >= ${graft.ops.Classifier.DefaultSeedThreshBp} AS hi
-         |  FROM documents),
-         |dt AS (
-         |  SELECT doc_id, hi, w, count(*) AS k FROM (
-         |    SELECT doc_id, hi, unnest(toksv) AS w FROM lab)
-         |  WHERE w <> '' GROUP BY 1, 2, 3),
-         |cnt AS (
-         |  SELECT w,
-         |    sum(CASE WHEN hi THEN k ELSE 0 END) AS c1,
-         |    sum(CASE WHEN NOT hi THEN k ELSE 0 END) AS c0
-         |  FROM dt GROUP BY 1),
-         |tot AS (SELECT sum(c1) AS n1, sum(c0) AS n0, count(*) AS v FROM cnt),
-         |mdl AS (
-         |  SELECT w, (p1m * 1000000) // greatest(p0m, 1) AS lr_micro FROM (
-         |    SELECT w, ((c1 + 1) * 1000000) // (n1 + v) AS p1m,
-         |      ((c0 + 1) * 1000000) // (n0 + v) AS p0m
-         |    FROM cnt, tot)),
-         |sc AS (
-         |  SELECT doc_id, hi, sum(k * lr_micro) AS sum_lr, sum(k) AS nk
-         |  FROM dt JOIN mdl USING (w) GROUP BY 1, 2)
-         |SELECT l.doc_id, CAST(l.hi AS INT) AS seed_hi,
-         |  CAST(coalesce(nk, 0) AS BIGINT) AS n_scored_tokens,
-         |  CAST(coalesce(sum_lr // nk, 0) AS BIGINT) AS avg_lr_micro,
-         |  CAST(coalesce(sum_lr // nk >= 1000000, false) AS INT) AS pred_hi
-         |FROM lab l LEFT JOIN sc ON l.doc_id = sc.doc_id""".stripMargin,
+    "q74_quality_classifier" -> nbClassifierSql,
+    // x66 is the same classifier trained batch and applied per micro-batch
+    // (stateless stream scoring) — its replayed union must equal q74
+    "x66_stream_classifier" -> nbClassifierSql,
     // q76: the unrolled greedy chain — same quantization, distances, and
     // tie-breaks, generated from the same k so engine and oracle agree
     "q76_kcenter_sample" -> graft.ops.Similarity.kCenterSql(6),
