@@ -867,6 +867,28 @@ object SparkEntry {
       //      seam, no gradient loop, integral microunits end to end
       "q74_quality_classifier" -> ((s, d) =>
         graft.ops.Classifier.nbQuality(t(s, d, "documents"))),
+      // ---- corpus build v3: the MODEL-BASED funnel — unicode clean
+      //      (map-side) -> classifier train+apply over the cleaned text
+      //      (q74's plan) -> keep predicted-high docs -> per-source token
+      //      budgets (q63's stratum window). Rule gates (q47) + model
+      //      gates composed; the oracle chains the same SQL pieces
+      "q77_corpus_build3" -> ((s, d) => {
+        val cleaned = graft.ops.Curation
+          .unicodeClean(t(s, d, "documents"), "text")
+          .select(col("doc_id"), col("source"), col("clean_text").as("text"))
+        val scored = graft.ops.Classifier.nbQuality(cleaned)
+        // scalars only past this point: the gate's survivors re-join the
+        // corpus frame for `source` alone — document text never enters an
+        // exchange after the scoring fold (n_scored_tokens IS the token
+        // count for any doc that passes the gate)
+        val kept = scored.filter(col("pred_hi") === 1)
+          .select(col("doc_id"), col("avg_lr_micro"),
+            col("n_scored_tokens").as("n_tokens"))
+          .join(cleaned.select(col("doc_id"), col("source")), "doc_id")
+        graft.ops.Curation.tokenBudgetMix(kept, "source", "doc_id",
+          "n_tokens", budgets = Map("src0" -> 500L, "src1" -> 900L),
+          defaultBudget = 700L)
+      }),
       // ---- STREAMING classifier apply: model trained ONCE on the standing
       //      corpus (the persisted vocab-sized table), each micro-batch
       //      scored statelessly against it — no state store; per-doc
@@ -1095,6 +1117,51 @@ object SparkEntry {
       //      files CONSERVATIVELY (old spec never tracked temp — Iceberg's
       //      cross-spec scan rule), and the skip is pinned the x49 way:
       //      every pruned file is poisoned before the scan
+      // ---- snapshot expiry (Iceberg expire_snapshots): metadata-level
+      //      retention — vacuum bounds the DATA files, expiry bounds the
+      //      snapshot LOG (millions of snapshots at per-micro-batch
+      //      cadence). Sequence proven here: upsert rebases, expiry drops
+      //      the superseded metadata (time travel to it now fails loudly
+      //      WHILE its files are still on disk — the metadata effect
+      //      isolated), vacuum then reclaims the files, the current state
+      //      is byte-identical throughout (SQL-derived oracle)
+      "x67_snapshot_expiry" -> ((s, _) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-x67").toString + "/t"
+        def frame(lo: Long, hi: Long,
+            temp: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+          s.range(lo, hi + 1)
+            .select(col("id").as("doc_ord"), col("id").as("doc_id"))
+            .withColumn("temp", temp(col("doc_ord")).cast("long"))
+            .repartitionByRange(2, col("doc_ord"))
+        graft.pipeline.Checkpointing.commit(frame(1, 100, o => o * 3), dir, "c1")
+        graft.pipeline.Checkpointing.commit(frame(101, 200, o => o * 3), dir, "c2")
+        graft.pipeline.Checkpointing.upsert(frame(51, 150, o => o * 7), dir, "u1")
+        graft.pipeline.Checkpointing.commit(frame(201, 300, o => o * 3), dir, "c3")
+        val before = graft.pipeline.Checkpointing.snapshots(dir).size
+        val expired = graft.pipeline.Checkpointing
+          .expireSnapshots(dir, keepLast = 2)
+        require(expired == Seq("c1", "c2"), s"expected c1,c2 expired: $expired")
+        // metadata effect isolated: the expired versions' FILES are still
+        // on disk here, yet time travel must already fail
+        val travelFails = Seq(1, 2).count(v => scala.util
+          .Try(graft.pipeline.Checkpointing.readAt(s, dir, v).count()).isFailure)
+        val removed = graft.pipeline.Checkpointing.vacuum(dir)
+        val cur = graft.pipeline.Checkpointing.readAt(s, dir, 4)
+          .drop("doc_id")
+        Seq(
+          ("snapshots_before", before.toLong),
+          ("n_expired", expired.size.toLong),
+          ("snapshots_after",
+            graft.pipeline.Checkpointing.snapshots(dir).size.toLong),
+          ("expired_reads_fail", travelFails.toLong),
+          ("files_vacuumed", removed.size.toLong),
+          ("rows_current", cur.count()),
+          ("sum_temp_current",
+            cur.agg(sum(col("temp"))).collect()(0).getLong(0)))
+          .toDF("metric", "n")
+      }),
       "x59_spec_evolution" -> ((s, _) => {
         import s.implicits._
         val dir = java.nio.file.Files
@@ -1362,14 +1429,14 @@ object SparkEntry {
 
   private val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
-  /** q74's full train+apply replay — shared with x66's streaming shadow
-    * (per-doc scoring has no cross-batch coupling, so the replayed union
-    * must equal the batch classifier exactly). */
-  private lazy val nbClassifierSql: String =
-    s"""WITH lab AS (
+  /** The q74 train+apply chain as CTEs over any doc relation exposing
+    * (doc_id, text) — `documents` for q74/x66, the cleaned CTE for q77's
+    * composed funnel. Yields lab/dt/cnt/tot/mdl/sc; the caller selects. */
+  private def nbClassifierCtes(src: String): String =
+    s"""lab AS (
        |  SELECT doc_id, $toks AS toksv,
        |    ($qualityBpSql) >= ${graft.ops.Classifier.DefaultSeedThreshBp} AS hi
-       |  FROM documents),
+       |  FROM $src),
        |dt AS (
        |  SELECT doc_id, hi, w, count(*) AS k FROM (
        |    SELECT doc_id, hi, unnest(toksv) AS w FROM lab)
@@ -1387,7 +1454,13 @@ object SparkEntry {
        |    FROM cnt, tot)),
        |sc AS (
        |  SELECT doc_id, hi, sum(k * lr_micro) AS sum_lr, sum(k) AS nk
-       |  FROM dt JOIN mdl USING (w) GROUP BY 1, 2)
+       |  FROM dt JOIN mdl USING (w) GROUP BY 1, 2)""".stripMargin
+
+  /** q74's full train+apply replay — shared with x66's streaming shadow
+    * (per-doc scoring has no cross-batch coupling, so the replayed union
+    * must equal the batch classifier exactly). */
+  private lazy val nbClassifierSql: String =
+    s"""WITH ${nbClassifierCtes("documents")}
        |SELECT l.doc_id, CAST(l.hi AS INT) AS seed_hi,
        |  CAST(coalesce(nk, 0) AS BIGINT) AS n_scored_tokens,
        |  CAST(coalesce(sum_lr // nk, 0) AS BIGINT) AS avg_lr_micro,
@@ -2408,6 +2481,24 @@ object SparkEntry {
         |  ('files_total', 6), ('files_kept', 4), ('files_skipped', 2),
         |  ('old_spec_files_kept', 2), ('rows_after_filter', 100)
         |) t(metric, n)""".stripMargin,
+    // x67: the current-state rows derive from the commit/upsert arithmetic
+    // in SQL (the upserted segment at 7x, the rest at 3x); the lifecycle
+    // counts (4 committed, 2 expired, both expired reads failing with
+    // files still on disk, 4 orphaned files vacuumed) are the contract
+    "x67_snapshot_expiry" ->
+      """WITH cur AS (
+        |  SELECT i AS doc_ord,
+        |    CASE WHEN i BETWEEN 51 AND 150 THEN i*7 ELSE i*3 END AS temp
+        |  FROM range(1, 301) t(i))
+        |SELECT * FROM (VALUES
+        |  ('snapshots_before', CAST(4 AS BIGINT)),
+        |  ('n_expired', 2),
+        |  ('snapshots_after', 2),
+        |  ('expired_reads_fail', 2),
+        |  ('files_vacuumed', 4),
+        |  ('rows_current', (SELECT count(*) FROM cur)),
+        |  ('sum_temp_current', (SELECT CAST(sum(temp) AS BIGINT) FROM cur))
+        |) v(metric, n)""".stripMargin,
     // q72: the q65 clean, q64 dedup, q66 LM, q63 mix, and q67 shuffle
     // SQL pieces chained end to end — one oracle for the composed funnel
     "q72_corpus_build2" ->
@@ -2669,6 +2760,37 @@ object SparkEntry {
     // q76: the unrolled greedy chain — same quantization, distances, and
     // tie-breaks, generated from the same k so engine and oracle agree
     "q76_kcenter_sample" -> graft.ops.Similarity.kCenterSql(6),
+    // q77: the q65 clean chain feeds the whole q74 train+apply chain
+    // (nbClassifierCtes over the cleaned relation), survivors take q63's
+    // per-source budget window — one oracle for the model-based funnel
+    "q77_corpus_build3" ->
+      s"""WITH cl AS (
+         |  SELECT doc_id, source,
+         |    trim(regexp_replace(
+         |      regexp_replace(nfc_normalize(text),
+         |        '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+         |      '\\s+', ' ', 'g')) AS text
+         |  FROM documents),
+         |${nbClassifierCtes("cl")},
+         |scored AS (
+         |  SELECT l.doc_id,
+         |    CAST(coalesce(sum_lr // nk, 0) AS BIGINT) AS avg_lr_micro,
+         |    CAST(coalesce(nk, 0) AS BIGINT) AS n_tokens,
+         |    coalesce(sum_lr // nk >= 1000000, false) AS ph
+         |  FROM lab l LEFT JOIN sc ON l.doc_id = sc.doc_id),
+         |kept AS (
+         |  SELECT s.doc_id, c.source, s.avg_lr_micro, s.n_tokens
+         |  FROM scored s JOIN cl c ON s.doc_id = c.doc_id WHERE s.ph),
+         |p AS (
+         |  SELECT doc_id, source, avg_lr_micro, n_tokens,
+         |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before
+         |  FROM kept)
+         |SELECT doc_id, source, avg_lr_micro, n_tokens, cum_before FROM p
+         |WHERE cum_before < CASE source WHEN 'src0' THEN 500
+         |  WHEN 'src1' THEN 900 ELSE 700 END""".stripMargin,
     // q75: hashed-bigram DSIR replay — q66's bigram derivation, q20's
     // HUGEINT char fold per bigram, UNSIGNED mod 4096 (== the engine's
     // signed pmod because 4096 divides 2^64), the same smoothed two-step

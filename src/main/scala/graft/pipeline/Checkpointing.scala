@@ -147,10 +147,18 @@ object Checkpointing {
     require(version >= 1 && version <= snaps.last.seq,
       s"version $version out of range 1..${snaps.last.seq}")
     val upTo = snaps.filter(_.seq <= version)
+    require(upTo.lastOption.exists(_.seq == version),
+      s"snapshot $version is expired (metadata removed by expireSnapshots)")
     // a full (compaction) snapshot rebases the file list; deltas stack on
     // top of the most recent one
     val baseIdx = upTo.lastIndexWhere(_.full)
-    if (baseIdx >= 0) upTo.drop(baseIdx) else upTo
+    val eff = if (baseIdx >= 0) upTo.drop(baseIdx) else upTo
+    // the stack must be gapless: a missing mid-stack snapshot (expired out
+    // of order, or hand-deleted metadata) would otherwise assemble a
+    // silently-partial frame — the one thing readAt promises never to do
+    require(eff.zip(eff.tail).forall { case (a, b) => b.seq == a.seq + 1 },
+      s"snapshot stack for version $version has gaps: seqs ${eff.map(_.seq)}")
+    eff
   }
 
   /** Build the DataFrame for an effective snapshot stack whose per-snapshot
@@ -269,6 +277,11 @@ object Checkpointing {
       toInclusive <= snaps.last.seq,
       s"bad range ($fromExclusive, $toInclusive] over 1..${snaps.last.seq}")
     val range = snaps.filter(s => s.seq > fromExclusive && s.seq <= toInclusive)
+    // every seq in the range must still have metadata — an expired
+    // snapshot inside the range would silently drop its delta
+    require(range.size == toInclusive - fromExclusive,
+      s"range ($fromExclusive, $toInclusive] has expired snapshots — " +
+        s"present seqs: ${range.map(_.seq).mkString(",")}")
     require(!range.exists(_.full),
       s"range ($fromExclusive, $toInclusive] crosses a compaction rebase — " +
         "per-commit deltas are gone; resume from the rebase snapshot")
@@ -421,6 +434,38 @@ object Checkpointing {
       Files.deleteIfExists(Paths.get(s"${dir}_manifest/$n")))
     orphans ++ delOrphans.map(n => s"_deletes/$n") ++
       staleMarkers.map(n => s"_manifest/$n")
+  }
+
+  /** Iceberg `expire_snapshots` — retention for the snapshot LOG itself.
+    * [[vacuum]] reclaims DATA files the live stack no longer references;
+    * what still grows without bound at one-snapshot-per-micro-batch
+    * cadence is the METADATA: a 10^12-doc table commits millions of
+    * snapshots and every snapshots() listing pays for all of them.
+    * expireSnapshots deletes the metadata of snapshots that are
+    * (a) STRICTLY BELOW the latest FULL rebase — the live read path never
+    * consults them (effectiveSnaps stacks from that rebase up), and
+    * (b) older than the `keepLast` most recent snapshots (the audit
+    * retention window — Iceberg's retain_last).
+    * Time travel to an expired version then fails loudly at the metadata
+    * level; the CURRENT state is untouched by construction (nothing at or
+    * above the rebase ever expires). Data files referenced only by
+    * expired snapshots are already vacuum's business. Returns expired
+    * runIds — empty when no full rebase exists yet: every delta is live
+    * state and nothing may expire. */
+  def expireSnapshots(dir: String, keepLast: Int = 1): Seq[String] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val snaps = snapshots(dir)
+    require(snaps.nonEmpty, s"no snapshots under ${dir}_manifest")
+    val baseIdx = snaps.lastIndexWhere(_.full)
+    if (baseIdx < 0) return Nil
+    val baseSeq = snaps(baseIdx).seq
+    val keepFromSeq = snaps(math.max(0, snaps.size - keepLast)).seq
+    val expired = snaps.filter(s => s.seq < baseSeq && s.seq < keepFromSeq)
+    expired.foreach { s =>
+      Files.deleteIfExists(Paths.get(
+        f"${dir}_manifest/snapshot-${s.seq}%05d-${s.runId}.json"))
+    }
+    expired.map(_.runId)
   }
 
   /** Docs not yet present in the committed output. "Committed" is defined

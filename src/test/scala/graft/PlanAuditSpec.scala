@@ -155,6 +155,15 @@ class PlanAuditSpec extends AnyFunSuite {
       planOf("q75_dsir_select").take(3000))
   }
 
+  test("q77 corpus build v3: no exchange carries document text or an array " +
+      "(the model-gate funnel moves scalars after the scoring fold)") {
+    val outs = shuffleOutputs("q77_corpus_build3")
+    assert(!outs.exists(o => o._1.toLowerCase == "text" ||
+      o._1.toLowerCase == "clean_text"), s"q77 shuffles raw text: $outs")
+    assert(!outs.exists(_._2.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+      s"q77 shuffles arrays: $outs")
+  }
+
   test("q16 simhash: signature + banding + verify stay out of UDF land") {
     val plan = planOf("q16_simhash_pairs")
     assert(plan.contains("graft_simhash64") || plan.contains("simhash"), plan.take(2000))

@@ -356,6 +356,63 @@ class ResumeSpec extends AnyFunSuite {
       == FixtureCorpus.fixtureDocs.size)
   }
 
+  test("expireSnapshots: bounded log, loud expired reads, live state intact") {
+    import org.apache.spark.sql.functions.col
+    spark.sparkContext.setLogLevel("WARN")
+    def frame(lo: Long, hi: Long, mult: Long) =
+      spark.range(lo, hi + 1)
+        .select(col("id").as("doc_ord"), col("id").as("doc_id"),
+          (col("id") * mult).as("temp"))
+    // no full rebase yet: every delta is live state — nothing may expire
+    val d1 = java.nio.file.Files.createTempDirectory("graft-exp1").toString + "/t"
+    Checkpointing.commit(frame(1, 10, 3), d1, "a")
+    Checkpointing.commit(frame(11, 20, 3), d1, "b")
+    assert(Checkpointing.expireSnapshots(d1) == Nil)
+    assert(Checkpointing.readAt(spark, d1, 2).count() == 20)
+    // with a rebase: metadata below it expires outside the keepLast window
+    val d2 = java.nio.file.Files.createTempDirectory("graft-exp2").toString + "/t"
+    Checkpointing.commit(frame(1, 10, 3), d2, "a")
+    Checkpointing.commit(frame(11, 20, 3), d2, "b")
+    Checkpointing.upsert(frame(5, 15, 7), d2, "fix")
+    Checkpointing.commit(frame(21, 30, 3), d2, "c")
+    // keepLast=4 protects everything
+    assert(Checkpointing.expireSnapshots(d2, keepLast = 4) == Nil)
+    assert(Checkpointing.expireSnapshots(d2, keepLast = 2) == Seq("a", "b"))
+    // expired reads fail at the METADATA level (files still on disk here)
+    val e = intercept[IllegalArgumentException](Checkpointing.readAt(spark, d2, 1))
+    assert(e.getMessage.contains("expired"))
+    // the live stack is untouched and still exact
+    val cur = Checkpointing.readAt(spark, d2, 4)
+    assert(cur.count() == 30)
+    assert(cur.filter(col("doc_ord") === 10).select("temp")
+      .collect()(0).getLong(0) == 70)
+    // incremental reads over the expired range refuse instead of gapping
+    val e2 = intercept[IllegalArgumentException](
+      Checkpointing.changesBetween(spark, d2, 0, 2))
+    assert(e2.getMessage.contains("expired"))
+    // idempotent
+    assert(Checkpointing.expireSnapshots(d2, keepLast = 2) == Nil)
+  }
+
+  test("readAt refuses a gapped snapshot stack (hand-deleted mid-stack metadata)") {
+    import org.apache.spark.sql.functions.col
+    spark.sparkContext.setLogLevel("WARN")
+    def frame(lo: Long, hi: Long) =
+      spark.range(lo, hi + 1)
+        .select(col("id").as("doc_ord"), (col("id") * 3).as("temp"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-gap").toString + "/t"
+    Checkpointing.commit(frame(1, 10), dir, "a")
+    Checkpointing.commit(frame(11, 20), dir, "b")
+    Checkpointing.commit(frame(21, 30), dir, "c")
+    // simulate metadata corruption: delete the MID-stack delta's snapshot
+    val mid = new java.io.File(dir + "_manifest").listFiles()
+      .filter(f => f.getName.startsWith("snapshot-") &&
+        f.getName.endsWith("-b.json"))
+    assert(mid.length == 1); mid(0).delete()
+    val e = intercept[IllegalArgumentException](Checkpointing.readAt(spark, dir, 3))
+    assert(e.getMessage.contains("gaps"))
+  }
+
   test("merge-on-read delete: scan-time removal, re-add survives, compact materializes") {
     import org.apache.spark.sql.functions.{col, upper}
     spark.sparkContext.setLogLevel("WARN")
