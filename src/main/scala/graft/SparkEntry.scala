@@ -867,6 +867,26 @@ object SparkEntry {
       //      seam, no gradient loop, integral microunits end to end
       "q74_quality_classifier" -> ((s, d) =>
         graft.ops.Classifier.nbQuality(t(s, d, "documents"))),
+      // ---- semi-structured sidecar extraction: the events table's JSON
+      //      props column parsed with an EXPLICIT schema (from_json —
+      //      never an inference scan, which at 100 TB is a full extra
+      //      pass) and aggregated on the extracted field, all map-side
+      //      before the one group shuffle. Crawl metadata sidecars are
+      //      exactly this shape; Catalyst's OptimizeJsonExprs prunes the
+      //      parse to the fields actually consumed
+      "q78_props_extract" -> ((s, d) => {
+        val k = from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k")
+        t(s, d, "events")
+          .select(col("event_type"), k.as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).as("sum_k"),
+            countDistinct(col("k")).as("n_distinct_k"),
+            sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_bad_json"))
+      }),
       // ---- corpus build v3: the MODEL-BASED funnel — unicode clean
       //      (map-side) -> classifier train+apply over the cleaned text
       //      (q74's plan) -> keep predicted-high docs -> per-source token
@@ -2760,6 +2780,18 @@ object SparkEntry {
     // q76: the unrolled greedy chain — same quantization, distances, and
     // tie-breaks, generated from the same k so engine and oracle agree
     "q76_kcenter_sample" -> graft.ops.Similarity.kCenterSql(6),
+    // q78: DuckDB's independent JSON implementation must agree field-wise
+    "q78_props_extract" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  count(DISTINCT k) AS n_distinct_k,
+        |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bad_json
+        |FROM e GROUP BY 1""".stripMargin,
     // q77: the q65 clean chain feeds the whole q74 train+apply chain
     // (nbClassifierCtes over the cleaned relation), survivors take q63's
     // per-source budget window — one oracle for the model-based funnel
