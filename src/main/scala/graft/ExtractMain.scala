@@ -33,6 +33,7 @@ object ExtractMain {
       "       ExtractMain maintain <outputDir> vacuum\n" +
       "       ExtractMain maintain <outputDir> delete <doc_id>[,<doc_id>...]\n" +
       "       ExtractMain maintain <outputDir> snapshots\n" +
+      "       ExtractMain maintain <outputDir> expire [keepLast]\n" +
       "       ExtractMain bench <inputDir> [saltPages]")
     val spark = SparkSession.builder()
       .appName("graft-extract")
@@ -131,6 +132,13 @@ object ExtractMain {
               s""""run":"${s.runId}","rows":${s.rows},"full":${s.full},""" +
               s""""files":${s.files.size},"delete_sets":${s.deletes.size}}""")
           }
+        }
+      case "expire" :: rest =>
+        val keepLast = rest.headOption.map(_.toInt).getOrElse(1)
+        tables.foreach { dir =>
+          val expired = Checkpointing.expireSnapshots(dir, keepLast)
+          println(s"""{"op":"expire","table":"${name(dir)}",""" +
+            s""""keep_last":$keepLast,"expired":${expired.size}}""")
         }
       case other =>
         throw new IllegalArgumentException(s"unknown maintenance op: $other")

@@ -88,6 +88,29 @@ class ExtractMainAuditSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("maintain expire: metadata retention reachable from the ops surface") {
+    spark.sparkContext.setLogLevel("WARN")
+    val base = java.nio.file.Files.createTempDirectory("graft-emexp").toString
+    val input = s"$base/in"
+    val out = s"$base/out"
+    val docs = graft.layout.FixtureCorpus.fixtureDocs
+    spark.createDataset(docs.take(8)).write.parquet(input)
+    ExtractMain.run(spark, input, out, saltPages = 16)
+    spark.createDataset(docs.slice(8, 12)).write.mode("append").parquet(input)
+    ExtractMain.run(spark, input, out, saltPages = 16)
+    // compact = the full rebase that makes the two deltas expirable
+    ExtractMain.maintain(spark, out, Array("compact", "2"))
+    ExtractMain.maintain(spark, out, Array("expire", "1"))
+    val snaps = graft.pipeline.Checkpointing.snapshots(s"$out/stats")
+    assert(snaps.size == 1 && snaps.head.full, snaps.toString)
+    // current state intact; expired version refuses at the metadata level
+    assert(graft.pipeline.Checkpointing
+      .readAt(spark, s"$out/stats", snaps.head.seq).count() == 12)
+    val e = intercept[IllegalArgumentException](
+      graft.pipeline.Checkpointing.readAt(spark, s"$out/stats", 1))
+    assert(e.getMessage.contains("expired"))
+  }
+
   test("audited run: staged, audited, published — same result as plain; " +
       "re-run no-op") {
     spark.sparkContext.setLogLevel("WARN")
