@@ -1182,6 +1182,53 @@ object SparkEntry {
             cur.agg(sum(col("temp"))).collect()(0).getLong(0)))
           .toDF("metric", "n")
       }),
+      // ---- Iceberg-style tags (named refs): "the corpus as trained on"
+      //      pinned by ONE metadata file. The lifecycle proven end to end:
+      //      a tag blocks expiry AND vacuum for its whole effective stack
+      //      (files untouched, readTag exact), dropping it releases both,
+      //      and compact refuses while a tag exists (it deletes outright
+      //      where upsert defers to tag-aware vacuum)
+      "x68_snapshot_tags" -> ((s, _) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-x68").toString + "/t"
+        def frame(lo: Long, hi: Long,
+            temp: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+          s.range(lo, hi + 1)
+            .select(col("id").as("doc_ord"), col("id").as("doc_id"))
+            .withColumn("temp", temp(col("doc_ord")).cast("long"))
+            .repartitionByRange(2, col("doc_ord"))
+        val C = graft.pipeline.Checkpointing
+        C.commit(frame(1, 100, o => o * 3), dir, "c1")
+        C.commit(frame(101, 200, o => o * 3), dir, "c2")
+        C.tag(dir, "train-v1", 2)
+        C.upsert(frame(51, 150, o => o * 7), dir, "u1")
+        C.commit(frame(201, 300, o => o * 3), dir, "c3")
+        val expiredTagged = C.expireSnapshots(dir, keepLast = 1)
+        val vacuumedTagged = C.vacuum(dir)
+        val tagged = C.readTag(s, dir, "train-v1")
+        val tagRows = tagged.count()
+        val tagSum = tagged.agg(sum(col("temp"))).collect()(0).getLong(0)
+        C.dropTag(dir, "train-v1")
+        val expiredAfter = C.expireSnapshots(dir, keepLast = 1)
+        val vacuumedAfter = C.vacuum(dir)
+        val cur = C.readAt(s, dir, 4)
+        C.tag(dir, "rc", 4)
+        val compactBlocked = scala.util
+          .Try(C.compact(s, dir, 2, "never")).isFailure
+        Seq(
+          ("expired_while_tagged", expiredTagged.size.toLong),
+          ("vacuumed_while_tagged", vacuumedTagged.size.toLong),
+          ("tag_rows", tagRows),
+          ("tag_sum_temp", tagSum),
+          ("expired_after_drop", expiredAfter.size.toLong),
+          ("vacuumed_after_drop", vacuumedAfter.size.toLong),
+          ("rows_current", cur.count()),
+          ("sum_temp_current", cur.agg(sum(col("temp")))
+            .collect()(0).getLong(0)),
+          ("tag_blocks_compact", if (compactBlocked) 1L else 0L))
+          .toDF("metric", "n")
+      }),
       "x59_spec_evolution" -> ((s, _) => {
         import s.implicits._
         val dir = java.nio.file.Files
@@ -2501,6 +2548,27 @@ object SparkEntry {
         |  ('files_total', 6), ('files_kept', 4), ('files_skipped', 2),
         |  ('old_spec_files_kept', 2), ('rows_after_filter', 100)
         |) t(metric, n)""".stripMargin,
+    // x68: both table states derive from the commit/upsert arithmetic in
+    // SQL — the tagged version is all-3x over 1..200, the current state is
+    // x67's shape; lifecycle counts are the retention contract
+    "x68_snapshot_tags" ->
+      """WITH tagged AS (
+        |  SELECT i AS doc_ord, i*3 AS temp FROM range(1, 201) t(i)),
+        |cur AS (
+        |  SELECT i AS doc_ord,
+        |    CASE WHEN i BETWEEN 51 AND 150 THEN i*7 ELSE i*3 END AS temp
+        |  FROM range(1, 301) t(i))
+        |SELECT * FROM (VALUES
+        |  ('expired_while_tagged', CAST(0 AS BIGINT)),
+        |  ('vacuumed_while_tagged', 0),
+        |  ('tag_rows', (SELECT count(*) FROM tagged)),
+        |  ('tag_sum_temp', (SELECT CAST(sum(temp) AS BIGINT) FROM tagged)),
+        |  ('expired_after_drop', 2),
+        |  ('vacuumed_after_drop', 4),
+        |  ('rows_current', (SELECT count(*) FROM cur)),
+        |  ('sum_temp_current', (SELECT CAST(sum(temp) AS BIGINT) FROM cur)),
+        |  ('tag_blocks_compact', 1)
+        |) v(metric, n)""".stripMargin,
     // x67: the current-state rows derive from the commit/upsert arithmetic
     // in SQL (the upserted segment at 7x, the rest at 3x); the lifecycle
     // counts (4 committed, 2 expired, both expired reads failing with

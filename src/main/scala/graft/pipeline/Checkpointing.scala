@@ -408,12 +408,15 @@ object Checkpointing {
     // self-heals here: a stale marker left by a crashed publish is dropped
     // from the listing, so ITS files are protected via the snapshot.)
     val stagedLive = staged(dir).flatMap(_.files).toSet
-    val live = liveSnaps.flatMap(_.files).toSet ++ stagedLive
+    // tagged versions stay readable until their tag is dropped: their
+    // stacks' files (and delete sets, below) are live too
+    val tagged = taggedStacks(dir, snaps)
+    val live = (liveSnaps ++ tagged).flatMap(_.files).toSet ++ stagedLive
     val orphans = (parquetNames(dir) -- live).toSeq.sorted
     orphans.foreach(n => Files.deleteIfExists(Paths.get(s"$dir/$n")))
     // delete sets referenced by no live snapshot (expired by a rebase, or
     // debris of a crashed deleteWhere) go the same way
-    val liveDels = liveSnaps.flatMap(_.deletes).toSet
+    val liveDels = (liveSnaps ++ tagged).flatMap(_.deletes).toSet
     val delRoot = new java.io.File(s"${dir}_deletes")
     val delOrphans = Option(delRoot.listFiles()).getOrElse(Array.empty)
       .collect { case f if !liveDels.contains(f.getName) => f.getName }
@@ -435,6 +438,63 @@ object Checkpointing {
     orphans ++ delOrphans.map(n => s"_deletes/$n") ++
       staleMarkers.map(n => s"_manifest/$n")
   }
+
+  // ------------------------------------------------------------ tags
+  /** Iceberg-style named refs (tags): a durable anchor to a table version
+    * — "the corpus exactly as trained on" for audit/reproduction. A tag is
+    * one metadata file (`tag-<name>.json` beside the snapshots); it pins
+    * nothing by copying — it PROTECTS: [[expireSnapshots]] never expires a
+    * tagged version's effective stack, and [[vacuum]] keeps that stack's
+    * data files and delete sets alive. [[compact]] — the eager space
+    * reclaimer that deletes superseded files outright — refuses while any
+    * tag exists (drop or re-point tags first; [[upsert]] is the
+    * tag-friendly rebase, it leaves old files for vacuum to judge). */
+  def tag(dir: String, name: String, version: Int): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"bad tag name: '$name'")
+    val snaps = snapshots(dir)
+    require(snaps.exists(_.seq == version),
+      s"cannot tag version $version: unknown or expired " +
+        s"(present: ${snaps.map(_.seq).mkString(",")})")
+    val p = Paths.get(s"${dir}_manifest/tag-$name.json")
+    require(!Files.exists(p), s"tag '$name' already exists — dropTag first")
+    Files.writeString(p, s"""{"name":"$name","seq":$version}""")
+    ()
+  }
+
+  /** All tags: name -> pinned version. */
+  def tags(dir: String): Map[String, Int] = {
+    val manifestDir = new java.io.File(dir + "_manifest")
+    Option(manifestDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("tag-") && f.getName.endsWith(".json"))
+      .map { f =>
+        val s = Files.readString(f.toPath)
+        val name = """"name":"([^"]*)"""".r.findFirstMatchIn(s).get.group(1)
+        val seq = """"seq":(\d+)""".r.findFirstMatchIn(s).get.group(1).toInt
+        name -> seq
+      }.toMap
+  }
+
+  def dropTag(dir: String, name: String): Unit = {
+    val p = Paths.get(s"${dir}_manifest/tag-$name.json")
+    require(Files.exists(p), s"no such tag: '$name'")
+    Files.delete(p)
+  }
+
+  /** Read the table as of a tag — readAt with the name resolved. */
+  def readTag(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val t = tags(dir)
+    require(t.contains(name), s"no such tag: '$name' (have: ${t.keys.mkString(",")})")
+    readAt(spark, dir, t(name))
+  }
+
+  /** The effective stacks of every tagged version — the snapshots (and
+    * through them, files + delete sets) that tags protect. */
+  private def taggedStacks(dir: String, snaps: Seq[Snapshot]): Seq[Snapshot] =
+    tags(dir).values.toSeq.distinct.flatMap { v =>
+      val upTo = snaps.filter(_.seq <= v)
+      val b = upTo.lastIndexWhere(_.full)
+      if (b >= 0) upTo.drop(b) else upTo
+    }
 
   /** Iceberg `expire_snapshots` — retention for the snapshot LOG itself.
     * [[vacuum]] reclaims DATA files the live stack no longer references;
@@ -460,7 +520,11 @@ object Checkpointing {
     if (baseIdx < 0) return Nil
     val baseSeq = snaps(baseIdx).seq
     val keepFromSeq = snaps(math.max(0, snaps.size - keepLast)).seq
-    val expired = snaps.filter(s => s.seq < baseSeq && s.seq < keepFromSeq)
+    // tags protect their whole effective stack (protecting the tagged seq
+    // alone could leave it unreadable — its deltas-below would be gone)
+    val tagProtected = taggedStacks(dir, snaps).map(_.seq).toSet
+    val expired = snaps.filter(s => s.seq < baseSeq && s.seq < keepFromSeq &&
+      !tagProtected(s.seq))
     expired.foreach { s =>
       Files.deleteIfExists(Paths.get(
         f"${dir}_manifest/snapshot-${s.seq}%05d-${s.runId}.json"))
@@ -513,6 +577,13 @@ object Checkpointing {
     val pending = staged(dir)
     require(pending.isEmpty, "compact with undecided staged batches " +
       s"(${pending.map(_.runId).mkString(", ")}) — publish or abandon first")
+    // compact deletes superseded files OUTRIGHT — it would destroy the
+    // data a tag promises to keep readable; drop or re-point tags first
+    // (upsert is the tag-friendly rebase: it leaves old files for vacuum,
+    // and vacuum respects tags)
+    val pinned = tags(dir)
+    require(pinned.isEmpty, "compact would delete files tagged versions " +
+      s"need (tags: ${pinned.keys.mkString(", ")}) — dropTag first")
     def parquetFiles(d: java.io.File): Int =
       Option(d.listFiles()).map(_.count(f => f.getName.endsWith(".parquet"))).getOrElse(0)
     val before = parquetFiles(new java.io.File(dir))

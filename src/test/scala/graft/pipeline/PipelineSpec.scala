@@ -394,6 +394,40 @@ class ResumeSpec extends AnyFunSuite {
     assert(Checkpointing.expireSnapshots(d2, keepLast = 2) == Nil)
   }
 
+  test("tags: protect stacks from expiry/vacuum, block compact, loud edges") {
+    import org.apache.spark.sql.functions.col
+    spark.sparkContext.setLogLevel("WARN")
+    def frame(lo: Long, hi: Long, mult: Long) =
+      spark.range(lo, hi + 1)
+        .select(col("id").as("doc_ord"), col("id").as("doc_id"),
+          (col("id") * mult).as("temp"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-tags").toString + "/t"
+    Checkpointing.commit(frame(1, 10, 3), dir, "a")
+    // edges: unknown version, bad name, duplicate, missing drop/read
+    intercept[IllegalArgumentException](Checkpointing.tag(dir, "x", 9))
+    intercept[IllegalArgumentException](Checkpointing.tag(dir, "bad name", 1))
+    Checkpointing.tag(dir, "gold", 1)
+    intercept[IllegalArgumentException](Checkpointing.tag(dir, "gold", 1))
+    intercept[IllegalArgumentException](Checkpointing.dropTag(dir, "nope"))
+    intercept[IllegalArgumentException](Checkpointing.readTag(spark, dir, "nope"))
+    // a tagged pre-rebase version survives expiry + vacuum and reads exact
+    Checkpointing.upsert(frame(1, 10, 7), dir, "fix")
+    assert(Checkpointing.expireSnapshots(dir, keepLast = 1) == Nil)
+    Checkpointing.vacuum(dir)
+    assert(Checkpointing.readTag(spark, dir, "gold")
+      .agg(org.apache.spark.sql.functions.sum(col("temp")))
+      .collect()(0).getLong(0) == 3 * 55)
+    // compact refuses while tagged; after dropTag the lifecycle proceeds
+    val e = intercept[IllegalArgumentException](
+      Checkpointing.compact(spark, dir, 2, "c"))
+    assert(e.getMessage.contains("dropTag"))
+    Checkpointing.dropTag(dir, "gold")
+    assert(Checkpointing.expireSnapshots(dir, keepLast = 1) == Seq("a"))
+    Checkpointing.compact(spark, dir, 2, "c")
+    assert(Checkpointing.readAt(spark, dir,
+      Checkpointing.snapshots(dir).last.seq).count() == 10)
+  }
+
   test("readAt refuses a gapped snapshot stack (hand-deleted mid-stack metadata)") {
     import org.apache.spark.sql.functions.col
     spark.sparkContext.setLogLevel("WARN")
