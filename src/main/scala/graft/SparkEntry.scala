@@ -867,6 +867,13 @@ object SparkEntry {
       //      seam, no gradient loop, integral microunits end to end
       "q74_quality_classifier" -> ((s, d) =>
         graft.ops.Classifier.nbQuality(t(s, d, "documents"))),
+      // ---- LSH recall self-audit: the banded q15 pipeline measured
+      //      against exact ground truth (inverted-index self-join +
+      //      verify) on a bounded probe slice — precision is 1.0 by
+      //      construction (the verify step), so precision_bp != 10000 is
+      //      a bug detector and recall_bp is the banding loss
+      "q79_lsh_recall_audit" -> ((s, d) =>
+        Dedup.lshRecallAudit(t(s, d, "documents"))),
       // ---- semi-structured sidecar extraction: the events table's JSON
       //      props column parsed with an EXPLICIT schema (from_json —
       //      never an inference scan, which at 100 TB is a full extra
@@ -1760,7 +1767,11 @@ object SparkEntry {
 
   /** q15's full MinHash-LSH replay, shared with q55 (which restricts the
     * same pair set to pairs touching the delta). */
-  private def minhashPairsSql: String = {
+  private def minhashPairsSql: String = minhashPairsSqlFrom("documents")
+
+  /** The q15 chain over any doc relation exposing (doc_id, text) —
+    * `documents` for q15/q55, the probe slice for q79's recall audit. */
+  private def minhashPairsSqlFrom(src: String): String = {
       // identical chain to Dedup.minhashLshPairs: tokens -> positional
       // 3-gram shingles -> char-fold hash mod MinhashPrime -> 32 affine
       // mins (params inlined from the SAME Dedup.hashParams call the
@@ -1769,7 +1780,7 @@ object SparkEntry {
       val params = Dedup.hashParams(32).zipWithIndex
         .map { case ((a, b), k) => s"($k, $a, $b)" }.mkString(", ")
       s"""WITH base AS (
-         |  SELECT doc_id, $toks AS toks FROM documents),
+         |  SELECT doc_id, $toks AS toks FROM $src),
          |sh AS (
          |  SELECT doc_id,
          |    list_transform(range(0, greatest(len(toks) - 2, 1)),
@@ -2848,6 +2859,40 @@ object SparkEntry {
     // q76: the unrolled greedy chain — same quantization, distances, and
     // tie-breaks, generated from the same k so engine and oracle agree
     "q76_kcenter_sample" -> graft.ops.Similarity.kCenterSql(6),
+    // q79: the q15 chain nested over the probe slice + an independent
+    // exact side (shingle inverted-index self-join, distinct-shingle
+    // Jaccard verify) — counts, recall, and the precision==10000 pin
+    "q79_lsh_recall_audit" ->
+      s"""WITH probe AS (SELECT * FROM documents WHERE doc_id < 400),
+         |lsh AS (${minhashPairsSqlFrom("probe")}),
+         |tk2 AS (SELECT doc_id, $toks AS toks FROM probe),
+         |sh2 AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, greatest(len(toks) - 2, 1)),
+         |      i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) AS shingles
+         |  FROM tk2),
+         |srow AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh2),
+         |cand2 AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM srow a JOIN srow b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |dsh2 AS (SELECT doc_id, list_distinct(shingles) AS ds FROM sh2),
+         |ex AS (
+         |  SELECT c.doc_a, c.doc_b FROM cand2 c
+         |  JOIN dsh2 x ON x.doc_id = c.doc_a
+         |  JOIN dsh2 y ON y.doc_id = c.doc_b
+         |  WHERE CAST((len(list_intersect(x.ds, y.ds)) * 10000)
+         |    // (len(x.ds) + len(y.ds) - len(list_intersect(x.ds, y.ds)))
+         |    AS BIGINT) >= 2000),
+         |hit AS (
+         |  SELECT count(*) AS n FROM ex
+         |  JOIN lsh ON ex.doc_a = lsh.doc_a AND ex.doc_b = lsh.doc_b)
+         |SELECT
+         |  (SELECT count(*) FROM ex) AS n_exact,
+         |  (SELECT count(*) FROM lsh) AS n_lsh,
+         |  hit.n AS n_hit,
+         |  (hit.n * 10000) // greatest((SELECT count(*) FROM ex), 1) AS recall_bp,
+         |  (hit.n * 10000) // greatest((SELECT count(*) FROM lsh), 1) AS precision_bp
+         |FROM hit""".stripMargin,
     // q78: DuckDB's independent JSON implementation must agree field-wise
     "q78_props_extract" ->
       """WITH e AS (

@@ -195,6 +195,44 @@ object Dedup {
       .where(col("jaccard_bp") >= minJaccardBp)
   }
 
+  /** LSH self-audit: measured RECALL of the banded MinHash pipeline
+    * against exact ground truth on a bounded probe slice — the production
+    * pattern for trusting an approximation before running it corpus-wide
+    * (band/row settings are picked on paper from the S-curve; this is the
+    * empirical check that the curve holds on YOUR corpus).
+    *
+    * Ground truth never goes all-pairs either: any pair with Jaccard > 0
+    * shares at least one shingle, so true candidates come from a shingle
+    * equi-join (an inverted-index self-join, the blocking trick at
+    * recall 1) and are exact-verified. The LSH side is the unmodified
+    * [[minhashLshPairs]] on the same slice; its own exact-Jaccard verify
+    * makes it a SUBSET of truth, so precision is 1.0 by construction and
+    * any deviation of precision_bp from 10000 is a BUG detector, while
+    * recall_bp measures banding loss. One summary row; the slice bound
+    * keeps the audit constant-cost no matter the corpus size. */
+  def lshRecallAudit(docs: DataFrame, sliceMaxDocId: Long = 400L,
+      nHashes: Int = 32, bands: Int = 8,
+      minJaccardBp: Long = 2000L): DataFrame = {
+    val slice = docs.filter(col("doc_id") < sliceMaxDocId)
+    val lsh = minhashLshPairs(slice, nHashes, bands, minJaccardBp)
+      .select("doc_a", "doc_b")
+    val sh = slice.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shinglesOf(col("toks"), 3)).as("s"))
+    val cands = sh.select(col("doc_id").as("doc_a"), col("s"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), "s")
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val exact = verifyPairs(cands, slice, minJaccardBp)
+      .select("doc_a", "doc_b")
+    val hit = exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+        expr("n_hit * 10000 div greatest(n_exact, 1)").as("recall_bp"),
+        expr("n_hit * 10000 div greatest(n_lsh, 1)").as("precision_bp"))
+  }
+
   /** Incremental near-dup: the pairs a NEW batch (`delta`) introduces —
     * delta×corpus and delta×delta — WITHOUT re-pairing the corpus against
     * itself. This is the only dedup shape that survives a growing 100 TB

@@ -388,6 +388,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(sims(1)) < 1e-12)
   }
 
+  test("lshRecallAudit: precision pinned at 1.0, planted dups recalled") {
+    val base = (0L until 30L).map(i =>
+      (i, s"doc $i unique words alpha$i beta$i gamma$i delta$i epsilon$i"))
+    // two planted exact duplicates: ground truth has >= 2 pairs
+    val docs = (base :+ (100L, base(3)._2) :+ (101L, base(7)._2))
+      .toDF("doc_id", "text")
+    val r = graft.ops.Dedup.lshRecallAudit(docs, sliceMaxDocId = 200L)
+      .collect()(0)
+    assert(r.getAs[Long]("n_exact") >= 2)
+    // the verify step makes the LSH side a subset of truth
+    assert(r.getAs[Long]("n_hit") == r.getAs[Long]("n_lsh"))
+    assert(r.getAs[Long]("precision_bp") == 10000L)
+    // identical docs collide in every band: they are always recalled
+    assert(r.getAs[Long]("n_lsh") >= 2)
+  }
+
   test("kCenterSelect walks the exact greedy farthest-point order with " +
       "lowest-id ties") {
     // square corner geometry: seed 0=(0,0); 1=(10,0) and 2=(0,10) tie at
