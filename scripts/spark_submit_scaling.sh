@@ -66,20 +66,68 @@ run_one() { # cores [reps] -> echoes warm job seconds (post-first-rep min)
     sed -n 's/.*"seconds":\([0-9.]*\).*/\1/p' | tail -1
 }
 
+# Per-round CPU-burn load probe (the round-4 graft.Bench protocol, ported
+# to the launcher path): per-process ops/s of NBIG spinning processes.
+# Each round probes BEFORE and AFTER its job pair and keeps the WORSE
+# reading; a round is QUIET iff that reading reaches 80% of the best
+# round's. The headline is the median paired efficiency over quiet rounds
+# — a tenant-loaded window (measured today: paired ratios 0.50-0.84 in
+# ONE run purely from external load) flags itself instead of polluting
+# the estimate.
+probe() {
+  python3 - "$NBIG" <<'EOF'
+import multiprocessing as mp, sys, time
+def burn(q):
+    t0 = time.time(); n = 0; x = 0
+    while time.time() - t0 < 0.6:
+        for k in range(100000):
+            x += k * k
+        n += 1
+    q.put(n)
+n = int(sys.argv[1]); q = mp.Queue()
+ps = [mp.Process(target=burn, args=(q,)) for _ in range(n)]
+[p.start() for p in ps]
+tot = sum(q.get() for _ in ps)
+[p.join() for p in ps]
+print(tot / n)
+EOF
+}
+
 echo "corpus=$CORPUS rounds=$ROUNDS pair=local[$NSMALL] vs local[$NBIG] mode=$MODE"
-SMALLS=() BIGS=()
+SMALLS=() BIGS=() LOADS=()
 # one discarded single-rep warm-up: first-touch page-cache fill for the corpus
 run_one "$NBIG" 1 >/dev/null
 for r in $(seq 1 "$ROUNDS"); do
+  P1=$(probe)
   TB=$(run_one "$NBIG")
   TS=$(run_one "$NSMALL")
-  BIGS+=("$TB"); SMALLS+=("$TS")
-  awk -v ts="$TS" -v tb="$TB" -v r="$r" \
-    'BEGIN{printf "round %d: t_small=%.1fs t_big=%.1fs paired_efficiency=%.3f\n", r, ts, tb, ts/(4*tb)}'
+  P2=$(probe)
+  PMIN=$(awk -v a="$P1" -v b="$P2" 'BEGIN{print (a<b)?a:b}')
+  BIGS+=("$TB"); SMALLS+=("$TS"); LOADS+=("$PMIN")
+  awk -v ts="$TS" -v tb="$TB" -v r="$r" -v p="$PMIN" \
+    'BEGIN{printf "round %d: t_small=%.1fs t_big=%.1fs paired_efficiency=%.3f probe_ops=%.0f\n", r, ts, tb, ts/(4*tb), p}'
 done
-printf '%s\n' "${SMALLS[@]}" >/tmp/_ss_small; printf '%s\n' "${BIGS[@]}" >/tmp/_ss_big
-awk 'NR==FNR{if(min==""||$1<min)min=$1;next}{if(minb==""||$1<minb)minb=$1}
-     END{printf "min-based: t_small=%.1fs t_big=%.1fs efficiency=%.3f (criterion >=0.8)\n",
-         min, minb, min/(4*minb)}' /tmp/_ss_small /tmp/_ss_big
-rm -f /tmp/_ss_small /tmp/_ss_big
+paste <(printf '%s\n' "${SMALLS[@]}") <(printf '%s\n' "${BIGS[@]}") \
+      <(printf '%s\n' "${LOADS[@]}") |
+awk '{ts[NR]=$1; tb[NR]=$2; ld[NR]=$3; if($3>best)best=$3;
+      if(mins==""||$1<mins)mins=$1; if(minb==""||$2<minb)minb=$2}
+  END{
+    # QUIET = the burn probe held 80% of the best round AND both job
+    # times sit within 1.5x of their configs best. The second clause is
+    # load-between-the-probes insurance: a tenant burst that arrives and
+    # leaves DURING a job is invisible to before/after burns but shows
+    # directly in that job time (measured: a 25.4 s t_big against 7.6-8.0
+    # siblings passed the probe gate).
+    nq=0
+    for(i=1;i<=NR;i++)
+      if(ld[i]>=0.8*best && tb[i]<=1.5*minb && ts[i]<=1.5*mins){
+        e=ts[i]/(4*tb[i]); if(e>1)e=1   # >1 is non-physical: loaded small side
+        eq[nq++]=e; qf=qf (qf?",":"") i}
+    if(nq==0) for(i=1;i<=NR;i++){e=ts[i]/(4*tb[i]); if(e>1)e=1; eq[nq++]=e}
+    # insertion-sort the quiet paired ratios, take the median
+    for(i=1;i<nq;i++){v=eq[i];j=i-1;while(j>=0&&eq[j]>v){eq[j+1]=eq[j];j--}eq[j+1]=v}
+    med=(nq%2)?eq[int(nq/2)]:(eq[nq/2-1]+eq[nq/2])/2
+    printf "min-based: t_small=%.1fs t_big=%.1fs efficiency=%.3f\n", mins, minb, mins/(4*minb)
+    printf "headline (median paired efficiency over quiet rounds [%s]): %.3f (criterion >=0.8)\n", qf, med
+  }'
 rm -rf "$SCRATCH"
