@@ -874,6 +874,29 @@ object SparkEntry {
       //      a bug detector and recall_bp is the banding loss
       "q79_lsh_recall_audit" -> ((s, d) =>
         Dedup.lshRecallAudit(t(s, d, "documents"))),
+      // ---- benchmark decontamination in EMBEDDING space: the fuzzy-
+      //      semantic counterpart to q43 (exact phrases) and q70 (n-grams)
+      //      — flag corpus vectors cosine-close to any benchmark vector.
+      //      Benchmark side broadcast (eval suites are small by
+      //      definition); corpus scanned once; the shuffle carries one
+      //      scalar row per corpus vector (map-side max partial agg)
+      "q80_embedding_decontam" -> ((s, d) =>
+        Similarity.embeddingDecontaminate(t(s, d, "embeddings"),
+          benchPred = col("vec_id") % 25 === 0, minSimMicro = 600000L)),
+      // ---- temperature-flattened mixture (α=0.5): per-source sampling
+      //      rates computed FROM the data — rate_s = floor(100·
+      //      sqrt(T_min/T_s)) — then the q41 salted-hash bucket filter.
+      //      Two passes: a |strata|-row totals agg, then a broadcast-rates
+      //      map-side filter; sqrt/div/floor only, so the oracle is exact
+      "q81_temperature_mix" -> ((s, d) =>
+        graft.ops.Curation.temperatureMix(
+          t(s, d, "documents").select(col("source"), col("doc_id"),
+            size(Dedup.tokens(col("text"))).cast("long").as("n_tokens")),
+          "source", "doc_id", "n_tokens", salt = ":tmix1")
+        .groupBy("source")
+        .agg(max("t_total").as("t_total"), max("rate_pct").as("rate_pct"),
+          count(lit(1)).as("n_kept"),
+          sum("n_tokens").as("kept_tokens"))),
       // ---- semi-structured sidecar extraction: the events table's JSON
       //      props column parsed with an EXPLICIT schema (from_json —
       //      never an inference scan, which at 100 TB is a full extra
@@ -2893,6 +2916,62 @@ object SparkEntry {
          |  (hit.n * 10000) // greatest((SELECT count(*) FROM ex), 1) AS recall_bp,
          |  (hit.n * 10000) // greatest((SELECT count(*) FROM lsh), 1) AS precision_bp
          |FROM hit""".stripMargin,
+    // q80: brute-force replay of the broadcast max-cosine — same ordered
+    // list folds and floor(x*1e6) quantization as the q19 oracle family;
+    // argmax tie-break (smallest bench_id on equal floored sim) replayed
+    // as a window ordered (sim DESC, bench_id)
+    "q80_embedding_decontam" -> {
+      val dot = "list_reduce(list_transform(list_zip(c.emb, b.emb), " +
+        "p -> p[1]*p[2]), (x,y) -> x+y)"
+      val nc = "list_reduce(list_transform(c.emb, x -> x*x), (x,y) -> x+y)"
+      val nb = "list_reduce(list_transform(b.emb, x -> x*x), (x,y) -> x+y)"
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |bench AS (SELECT vec_id AS bench_id, emb FROM emb WHERE vec_id % 25 = 0),
+         |corpus AS (SELECT vec_id, emb FROM emb WHERE vec_id % 25 <> 0),
+         |scored AS (
+         |  SELECT c.vec_id, b.bench_id,
+         |    CAST(floor($dot / (sqrt($nc) * sqrt($nb)) * 1e6) AS BIGINT) AS sim_micro
+         |  FROM corpus c CROSS JOIN bench b),
+         |ranked AS (
+         |  SELECT vec_id, bench_id, sim_micro,
+         |    row_number() OVER (PARTITION BY vec_id
+         |                       ORDER BY sim_micro DESC, bench_id) AS rn
+         |  FROM scored)
+         |SELECT vec_id, bench_id AS nearest_bench_id, sim_micro AS max_sim_micro,
+         |  sim_micro >= 600000 AS contaminated
+         |FROM ranked WHERE rn = 1""".stripMargin
+    },
+    // q81: the q41 fingerprint replay with the ':tmix1' salt; the rate is
+    // floor(100*sqrt(t_min/t_total)) — sqrt/div/floor only, all IEEE-
+    // correctly-rounded, so both engines compute identical bits
+    "q81_temperature_mix" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t_total
+         |        FROM w GROUP BY 1),
+         |tm AS (SELECT min(t_total) AS t_min FROM tot),
+         |r AS (
+         |  SELECT source, t_total,
+         |    CAST(floor(100.0 * sqrt(CAST(t_min AS DOUBLE) /
+         |      CAST(t_total AS DOUBLE))) AS INT) AS rate_pct
+         |  FROM tot, tm),
+         |f AS (
+         |  SELECT w.doc_id, w.source, w.n_tokens, r.t_total, r.rate_pct,
+         |    list_reduce(
+         |      list_prepend(CAST(3421674724 AS HUGEINT),
+         |        list_transform(split(CAST(w.doc_id AS VARCHAR) || ':tmix1', ''),
+         |          c -> CAST(ord(c) AS HUGEINT))),
+         |      (h, c) -> (h * 1000003 + c) % (CAST(1 AS HUGEINT) << 64)) AS hu
+         |  FROM w JOIN r ON w.source = r.source),
+         |kept AS (
+         |  SELECT * FROM f
+         |  WHERE CAST((((CASE WHEN hu >= (CAST(1 AS HUGEINT) << 63)
+         |        THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END) % 100)
+         |      + 100) % 100 AS BIGINT) < rate_pct)
+         |SELECT source, max(t_total) AS t_total, max(rate_pct) AS rate_pct,
+         |  count(*) AS n_kept, CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+         |FROM kept GROUP BY 1""".stripMargin,
     // q78: DuckDB's independent JSON implementation must agree field-wise
     "q78_props_extract" ->
       """WITH e AS (

@@ -264,6 +264,38 @@ object Curation {
     docs.withColumn("sample_rate", rate).filter(bucket < col("sample_rate"))
   }
 
+  /** Temperature-flattened mixture (α = 0.5 over stratum sizes): compute
+    * each stratum's sampling rate FROM the data so over-represented crawl
+    * sources are downsampled toward the α-tempered share — the data-mixing
+    * recipe LLM corpora actually use (p_s ∝ T_s^α with α<1 upweights small
+    * sources), where [[stratifiedSample]] needs hand-picked rates and
+    * [[tokenBudgetMix]] hand-picked budgets. With α = 0.5 the keep rate is
+    * rate_s = floor(100·sqrt(T_min/T_s)) — the smallest stratum keeps 100%,
+    * a 100× larger one keeps 10%.
+    *
+    * Two passes, both scale-safe: (1) per-stratum token totals — a
+    * map-side partial agg whose shuffle carries |strata| scalar rows;
+    * (2) a broadcast of the tiny rates table + the salted-hash bucket
+    * filter of [[stratifiedSample]], map-side. The rate arithmetic is
+    * sqrt/division/floor only (all IEEE-correctly-rounded, no pow), so a
+    * DuckDB oracle reproduces it bit-exactly. Deterministic: no rand(),
+    * stable across runs, partitionings, and engines. */
+  def temperatureMix(docs: DataFrame, stratumCol: String, idCol: String,
+      weightCol: String, salt: String): DataFrame = {
+    val totals = docs.groupBy(col(stratumCol))
+      .agg(sum(col(weightCol).cast("long")).as("t_total"))
+    val tMin = totals.agg(min(col("t_total")).as("t_min"))
+    val rates = totals.crossJoin(broadcast(tMin))
+      .withColumn("rate_pct",
+        floor(lit(100.0) * sqrt(col("t_min").cast("double") /
+          col("t_total").cast("double"))).cast("int"))
+      .select(col(stratumCol), col("t_total"), col("rate_pct"))
+    val bucket = pmod(TextAnalysis.fingerprint64(
+      concat(col(idCol).cast("string"), lit(salt))), lit(100L))
+    docs.join(broadcast(rates), Seq(stratumCol))
+      .filter(bucket < col("rate_pct"))
+  }
+
   /** Token-budgeted mixture: per stratum (crawl source), keep documents in
     * deterministic id order until the stratum's TOKEN budget is spent —
     * how a training mixture is actually specified ("B tokens of source s"),

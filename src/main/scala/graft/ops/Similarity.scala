@@ -191,6 +191,41 @@ object Similarity {
       .select("id_a", "id_b", "sim_micro")
   }
 
+  /** Benchmark decontamination in EMBEDDING space: flag every corpus
+    * vector whose cosine similarity to ANY benchmark vector reaches the
+    * threshold — the fuzzy-semantic counterpart to the exact-phrase scan
+    * (q43) and the n-gram decontamination (q70), catching paraphrased or
+    * re-worded eval leakage that token-level matching misses.
+    *
+    * The asymmetry IS the scale story: an eval suite is 10^3–10^5 vectors
+    * while the corpus is 10^12 docs, so the benchmark side (with its norms
+    * precomputed once) is BROADCAST and the corpus is scanned ONCE —
+    * corpus×bench scored rows flow into a partial (map-side) max
+    * aggregate, so the one shuffle carries n scalar rows, no vectors. Dot
+    * products use the codegen'd [[graft.functions.VecOps]] kernels. For a
+    * benchmark too large to broadcast, the LSH/IVF machinery (q19/q23) is
+    * the fallback — bucket both sides and score candidates only.
+    *
+    * Output per corpus vector: nearest benchmark id (smallest id on
+    * floored-sim ties), max similarity in micro units, contaminated flag.
+    * Deterministic end to end, so a DuckDB oracle replays it exactly. */
+  def embeddingDecontaminate(embeddings: DataFrame, benchPred: Column,
+      minSimMicro: Long): DataFrame = {
+    val bench =
+      normedSide(embeddings.filter(benchPred), "bench_id", "emb_b", "norm_b")
+    val corpus =
+      normedSide(embeddings.filter(!benchPred), "vec_id", "emb_a", "norm_a")
+    corpus.crossJoin(org.apache.spark.sql.functions.broadcast(bench))
+      .withColumn("sim_micro", pairSimMicro)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim_micro"),
+        (-col("bench_id")).as("neg_id"))).as("best"))
+      .select(col("vec_id"),
+        (-col("best.neg_id")).as("nearest_bench_id"),
+        col("best.sim_micro").as("max_sim_micro"),
+        (col("best.sim_micro") >= minSimMicro).as("contaminated"))
+  }
+
   /** DuckDB SQL expression computing the SAME signature as [[signature]]
     * for an emb expression: identical plane constants (shortest-round-trip
     * double literals), identical ordered left folds, identical `> 0` sign

@@ -155,6 +155,25 @@ class PlanAuditSpec extends AnyFunSuite {
       planOf("q75_dsir_select").take(3000))
   }
 
+  test("q80 embedding decontam: the benchmark side broadcasts (never a " +
+      "shuffled cross) and no exchange carries a vector") {
+    val plan = planOf("q80_embedding_decontam")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    val outs = shuffleOutputs("q80_embedding_decontam")
+    assert(!outs.exists(_._2.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+      s"q80 shuffles arrays: $outs")
+  }
+
+  test("q81 temperature mix: the rates table joins broadcast; exchanges " +
+      "carry scalars only (never text or token arrays)") {
+    val outs = shuffleOutputs("q81_temperature_mix")
+    assert(!outs.exists(o => o._1.toLowerCase == "text" ||
+      o._2.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+      s"q81 shuffles text/arrays: $outs")
+    assert(planOf("q81_temperature_mix").contains("BroadcastHashJoin"),
+      planOf("q81_temperature_mix").take(3000))
+  }
+
   test("q77 corpus build v3: no exchange carries document text or an array " +
       "(the model-gate funnel moves scalars after the scoring fold)") {
     val outs = shuffleOutputs("q77_corpus_build3")

@@ -276,6 +276,25 @@ class CurationSpec extends AnyFunSuite {
     assert(run(1) == run(7))
   }
 
+  test("temperature mix: smallest stratum keeps 100%, a 4x-larger one " +
+      "keeps 50% (alpha=0.5); deterministic across partitionings") {
+    // s0: 400 tokens total, s1: 100 -> rate_s0 = floor(100*sqrt(1/4)) = 50
+    val tdocs = (Seq.tabulate(100)(i => (i.toLong, "s0", 4L)) ++
+      Seq.tabulate(25)(i => (1000L + i, "s1", 4L)))
+      .toDF("doc_id", "source", "n_tokens")
+    val out = Curation.temperatureMix(tdocs, "source", "doc_id",
+      "n_tokens", salt = ":t")
+    val rates = out.groupBy("source").agg(max("rate_pct"))
+      .as[(String, Int)].collect().toMap
+    assert(rates("s1") == 100 && rates("s0") == 50)
+    // the smallest stratum is kept WHOLE (bucket < 100 is always true)
+    assert(out.filter(col("source") === "s1").count() == 25)
+    def run(p: Int) = Curation.temperatureMix(tdocs.repartition(p),
+        "source", "doc_id", "n_tokens", salt = ":t")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(run(1) == run(7))
+  }
+
   // ---- chunking -------------------------------------------------------
 
   test("chunkDocs: stride layout, overlap, and ragged tail") {

@@ -453,6 +453,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.3) // random 16-dim data, 4-bit buckets: well above chance
   }
 
+  test("embedding decontam: argmax tie-breaks to the smaller bench id; " +
+      "threshold is inclusive at the floored micro value") {
+    import spark.implicits._
+    // bench 0 and 25 are IDENTICAL directions; corpus 1 is parallel to
+    // them (cosine exactly 1.0), corpus 2 orthogonal (cosine 0)
+    val rows = Seq(
+      (0L, Array(1.0f, 0f, 0f)), (25L, Array(1.0f, 0f, 0f)),
+      (1L, Array(2.0f, 0f, 0f)), (2L, Array(0f, 3.0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embeddingDecontaminate(rows,
+      col("vec_id") % 25 === 0, minSimMicro = 1000000L)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("nearest_bench_id"), r.getAs[Long]("max_sim_micro"),
+          r.getAs[Boolean]("contaminated")))).toMap
+    assert(got.keySet == Set(1L, 2L)) // bench rows never in the output
+    assert(got(1L) == ((0L, 1000000L, true))) // tie -> bench 0; >= inclusive
+    assert(got(2L)._2 == 0L && !got(2L)._3)
+  }
+
   test("near-dup pairs: sim threshold respected and symmetric-free (a<b)") {
     val pairs = Similarity.cosineNearDupPairs(emb, minSimMicro = 500000L).collect()
     pairs.foreach { r =>
