@@ -897,6 +897,31 @@ object SparkEntry {
         .agg(max("t_total").as("t_total"), max("rate_pct").as("rate_pct"),
           count(lit(1)).as("n_kept"),
           sum("n_tokens").as("kept_tokens"))),
+      // ---- count-min sketch: the point-frequency mergeable sketch (HLL
+      //      = cardinality q54, Misra-Gries = top-k q45, CMS = "how often
+      //      does THIS token occur" from depth*width counters). Built
+      //      per corpus HALF, merged by bucket-wise sum (EXACT — pinned
+      //      equal to the single-pass sketch), probed over the full
+      //      vocabulary; est >= exact one-sided error surfaced per token
+      "q82_cms_frequency" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+        val (depth, width, salt) = (4, 1024, ":cms")
+        val halves = Seq(0, 1).map(h =>
+          graft.ops.Sketches.cmsBuild(docs.filter(col("doc_id") % 2 === h),
+            depth, width, salt))
+        val merged = graft.ops.Sketches.cmsMerge(halves)
+        val single = graft.ops.Sketches.cmsBuild(docs, depth, width, salt)
+        val probes = docs
+          .select(explode(Dedup.tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("exact"))
+        graft.ops.Sketches.cmsEstimate(merged, probes, depth, width, salt)
+          .join(graft.ops.Sketches.cmsEstimate(single, probes, depth,
+            width, salt).withColumnRenamed("est", "est_single"), Seq("token"))
+          .join(probes, Seq("token"))
+          .select(col("token"), col("est"), col("exact"),
+            (col("est") >= col("exact")).as("ge_exact"),
+            (col("est") === col("est_single")).as("merge_consistent"))
+      }),
       // ---- semi-structured sidecar extraction: the events table's JSON
       //      props column parsed with an EXPLICIT schema (from_json —
       //      never an inference scan, which at 100 TB is a full extra
@@ -2972,6 +2997,36 @@ object SparkEntry {
          |SELECT source, max(t_total) AS t_total, max(rate_pct) AS rate_pct,
          |  count(*) AS n_kept, CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
          |FROM kept GROUP BY 1""".stripMargin,
+    // q82: the CMS replayed from full token counts — counter addition
+    // commutes with hash placement, so the merged-halves sketch equals the
+    // full-count sketch by construction and the oracle computes cells once;
+    // bucket = fold(token||':cms'||r) low 10 bits (unsigned HUGEINT mod
+    // 1024 == Spark's signed pmod, the power-of-two invariant)
+    "q82_cms_frequency" -> {
+      def fold(e: String) =
+        s"""list_reduce(list_prepend(CAST(3421674724 AS HUGEINT),
+           |      list_transform(split($e, ''), x -> CAST(ord(x) AS HUGEINT))),
+           |      (h, x) -> (h * 1000003 + x) % (CAST(1 AS HUGEINT) << 64))"""
+          .stripMargin
+      s"""WITH tk AS (SELECT unnest($toks) AS token FROM documents),
+         |cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS exact
+         |        FROM tk GROUP BY 1),
+         |hashed AS (
+         |  SELECT cnt.token, cnt.exact, CAST(t.r AS BIGINT) AS r,
+         |    CAST(${fold("cnt.token || ':cms' || CAST(t.r AS VARCHAR)")}
+         |      % 1024 AS BIGINT) AS bucket
+         |  FROM cnt, UNNEST(range(0, 4)) AS t(r)),
+         |cells AS (
+         |  SELECT r, bucket, CAST(sum(exact) AS BIGINT) AS c
+         |  FROM hashed GROUP BY 1, 2),
+         |est AS (
+         |  SELECT p.token, max(p.exact) AS exact, min(c.c) AS est
+         |  FROM hashed p JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
+         |  GROUP BY 1)
+         |SELECT token, est, exact, est >= exact AS ge_exact,
+         |  TRUE AS merge_consistent
+         |FROM est""".stripMargin
+    },
     // q78: DuckDB's independent JSON implementation must agree field-wise
     "q78_props_extract" ->
       """WITH e AS (

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch (Cormode & Muthukrishnan) over corpus token counts:
+  * the point-frequency member of the mergeable-sketch family — HLL covers
+  * cardinality (q36/q54), Misra-Gries covers top-k (q45), CMS answers
+  * "how often does THIS token occur?" for any token, from depth×width
+  * counters regardless of corpus or vocabulary size.
+  *
+  * Scale shape: the corpus-scale shuffle is the token-count aggregation
+  * (map-side partial, vocabulary-sized scalar rows — the q74 word-count
+  * shape); the sketch expansion (×depth) runs over that VOCAB-sized frame,
+  * never the corpus, and folds to at most depth×width rows. Sketches are
+  * persistable tables and merge by plain bucket-wise SUM — merging
+  * per-shard sketches is EXACT (counter addition commutes with the hash
+  * placement), so incremental corpus profiling never rescans old shards.
+  *
+  * Determinism: bucket = pmod(fingerprint64(token ⊕ salt ⊕ row), width)
+  * with width a power of two, so DuckDB's unsigned HUGEINT fold mod width
+  * equals Spark's signed pmod (low bits — the q75 invariant). Estimates
+  * are min-over-rows of exact integer sums: bit-reproducible anywhere,
+  * and ≥ the true count by construction (one-sided error).
+  */
+object Sketches {
+
+  /** Per-row/bucket CMS cells for one token-count frame.
+    * Input: (token, cnt). Output: (row, bucket, cnt) — ≤ depth×width rows. */
+  def cmsFromCounts(counts: DataFrame, depth: Int, width: Int,
+      salt: String): DataFrame = {
+    require(depth > 0 && width > 0 && (width & (width - 1)) == 0,
+      s"width must be a positive power of two (got $width): the unsigned-" +
+        "vs-signed mod equivalence the cross-engine oracle relies on")
+    counts
+      .select(col("token"), col("cnt"),
+        explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .select(col("row"),
+        pmod(TextAnalysis.fingerprint64(
+          concat(col("token"), lit(salt), col("row").cast("string"))),
+          lit(width.toLong)).as("bucket"),
+        col("cnt"))
+      .groupBy(col("row"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Corpus tokens → counts → CMS. The only corpus-scale stage is the
+    * token count (scalar rows, map-side combine). */
+  def cmsBuild(docs: DataFrame, depth: Int = 4, width: Int = 1024,
+      salt: String = ":cms"): DataFrame =
+    cmsFromCounts(
+      docs.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt")),
+      depth, width, salt)
+
+  /** Bucket-wise sum of any number of sketches built with the same
+    * (depth, width, salt) — the EXACT merge (counter addition commutes
+    * with placement, unlike HLL's lossy register max). */
+  def cmsMerge(sketches: Seq[DataFrame]): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("row"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point estimates for probe tokens: min over depth rows of the probed
+    * cells. The sketch (≤ depth×width rows) broadcasts; absent cells read
+    * as 0 (a token never hashed there). Output: (token, est). */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, depth: Int,
+      width: Int, salt: String): DataFrame =
+    probes
+      .select(col("token"),
+        explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .withColumn("bucket",
+        pmod(TextAnalysis.fingerprint64(
+          concat(col("token"), lit(salt), col("row").cast("string"))),
+          lit(width.toLong)))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(col("token"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+}

@@ -174,6 +174,16 @@ class PlanAuditSpec extends AnyFunSuite {
       planOf("q81_temperature_mix").take(3000))
   }
 
+  test("q82 cms: the sketch lookups broadcast and every exchange carries " +
+      "scalar token/count rows only (never text or arrays)") {
+    val plan = planOf("q82_cms_frequency")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    val outs = shuffleOutputs("q82_cms_frequency")
+    assert(!outs.exists(o => o._1.toLowerCase == "text" ||
+      o._2.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+      s"q82 shuffles text/arrays: $outs")
+  }
+
   test("q77 corpus build v3: no exchange carries document text or an array " +
       "(the model-gate funnel moves scalars after the scoring fold)") {
     val outs = shuffleOutputs("q77_corpus_build3")
