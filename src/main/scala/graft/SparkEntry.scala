@@ -922,6 +922,20 @@ object SparkEntry {
             (col("est") >= col("exact")).as("ge_exact"),
             (col("est") === col("est_single")).as("merge_consistent"))
       }),
+      // ---- mergeable log2-histogram quantiles: per-source length
+      //      profiles as a <=64-rows-per-group sketch — built per corpus
+      //      HALF and merged by bucket-wise sum (the incremental-profiling
+      //      shape; exact percentiles q44 re-sort per refresh), then each
+      //      percentile resolved to its power-of-two containment range via
+      //      integer arithmetic only (bit-length buckets, cum*100 >= p*n)
+      "q83_hist_quantiles" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+        val halves = Seq(0, 1).map(h =>
+          graft.ops.Sketches.logHistogram(
+            docs.filter(col("doc_id") % 2 === h), "source", "n_chars"))
+        graft.ops.Sketches.histQuantiles(
+          graft.ops.Sketches.histMerge(halves), "source", Seq(25, 50, 90))
+      }),
       // ---- semi-structured sidecar extraction: the events table's JSON
       //      props column parsed with an EXPLICIT schema (from_json —
       //      never an inference scan, which at 100 TB is a full extra
@@ -3027,6 +3041,28 @@ object SparkEntry {
          |  TRUE AS merge_consistent
          |FROM est""".stripMargin
     },
+    // q83: the log2 histogram replayed from full counts (bucket-wise sum
+    // makes merged-halves == full by construction); bit-length buckets and
+    // the cum*100 >= p*n comparison are integer-exact in both engines
+    "q83_hist_quantiles" ->
+      """WITH h AS (
+        |  SELECT source, CAST(length(bin(n_chars)) - 1 AS INT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents WHERE n_chars > 0 GROUP BY 1, 2),
+        |c AS (
+        |  SELECT source, bucket, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY bucket)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM h)
+        |SELECT c.source, CAST(p.p AS INT) AS p,
+        |  min(c.bucket) AS bucket,
+        |  CAST(1::BIGINT << min(c.bucket) AS BIGINT) AS lo,
+        |  CAST(1::BIGINT << (min(c.bucket) + 1) AS BIGINT) AS hi,
+        |  max(c.n) AS n
+        |FROM c, (VALUES (25), (50), (90)) AS p(p)
+        |WHERE c.cum * 100 >= p.p * c.n
+        |GROUP BY 1, 2""".stripMargin,
     // q78: DuckDB's independent JSON implementation must agree field-wise
     "q78_props_extract" ->
       """WITH e AS (

@@ -61,6 +61,54 @@ object Sketches {
       .groupBy(col("row"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** Mergeable log₂ histogram: value → bucket floor(log₂ v) computed as
+    * EXACT integer bit length (`length(bin(v)) - 1` — no floating log, so
+    * every engine buckets identically), counted per (group, bucket). The
+    * sketch is ≤ 64 rows per group at ANY corpus size, persists as a
+    * table, and merges by bucket-wise sum (exact, like [[cmsMerge]]) —
+    * the incremental shape for corpus-wide length/size profiling where
+    * exact percentiles (q44) would need a full re-sort per refresh.
+    * Non-positive values are excluded (no integer log). */
+  def logHistogram(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    df.filter(col(valueCol) > 0)
+      .select(col(groupCol),
+        (length(bin(col(valueCol))) - 1).cast("int").as("bucket"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Bucket-wise sum of log-histograms over the same grouping. */
+  def histMerge(hists: Seq[DataFrame]): DataFrame = {
+    val Seq(g, b) = hists.head.columns.take(2).toSeq
+    hists.reduce(_ unionByName _)
+      .groupBy(col(g), col(b)).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Quantile buckets from a log-histogram: for each percentile p, the
+    * smallest bucket whose cumulative count covers p% of the group (the
+    * integer comparison cum·100 ≥ p·n — no ceil, no floats). Output per
+    * (group, p): the bucket and its [lo, hi) power-of-two bounds — the
+    * true p-th value provably lies in that range. The windows here run
+    * over the SKETCH (≤ 64 rows per group), never the corpus. */
+  def histQuantiles(hist: DataFrame, groupCol: String,
+      ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100))
+    val byG = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(byG.orderBy(col("bucket"))))
+      .withColumn("n", sum(col("cnt")).over(byG))
+    cum
+      .select(col(groupCol), col("bucket"), col("cum"), col("n"),
+        explode(lit(ps.toArray)).as("p"))
+      .filter(col("cum") * 100 >= col("p") * col("n"))
+      .groupBy(col(groupCol), col("p"))
+      .agg(min(col("bucket")).as("bucket"), max(col("n")).as("n"))
+      .select(col(groupCol), col("p"), col("bucket"),
+        expr("shiftleft(1L, bucket)").as("lo"),
+        expr("shiftleft(1L, bucket + 1)").as("hi"),
+        col("n"))
+  }
+
   /** Point estimates for probe tokens: min over depth rows of the probed
     * cells. The sketch (≤ depth×width rows) broadcasts; absent cells read
     * as 0 (a token never hashed there). Output: (token, est). */

@@ -184,6 +184,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q82 shuffles text/arrays: $outs")
   }
 
+  test("q83 hist quantiles: windows partition by group (never " +
+      "SinglePartition) and exchanges carry scalar sketch rows only") {
+    val plan = planOf("q83_hist_quantiles")
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(3000))
+    val outs = shuffleOutputs("q83_hist_quantiles")
+    assert(!outs.exists(o => o._1.toLowerCase == "text" ||
+      o._2.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+      s"q83 shuffles text/arrays: $outs")
+  }
+
   test("q77 corpus build v3: no exchange carries document text or an array " +
       "(the model-gate funnel moves scalars after the scoring fold)") {
     val outs = shuffleOutputs("q77_corpus_build3")

@@ -70,4 +70,45 @@ class SketchesSpec extends AnyFunSuite {
     // width 1024, so the left-join min must coalesce through 0
     assert(est == Map("neverseen" -> 0L))
   }
+
+  test("log histogram: exact integer bit-length buckets, merge == full, " +
+      "non-positive values excluded") {
+    val vals = Seq((1L, "g", 1L), (2L, "g", 2L), (3L, "g", 3L),
+      (4L, "g", 4L), (5L, "g", 1023L), (6L, "g", 1024L), (7L, "g", 0L),
+      (8L, "g", -5L)).toDF("doc_id", "g", "v")
+    val h = Sketches.logHistogram(vals, "g", "v")
+      .as[(String, Int, Long)].collect().map(r => r._2 -> r._3).toMap
+    // 1 -> b0; 2,3 -> b1; 4 -> b2; 1023 -> b9; 1024 -> b10; 0/-5 dropped
+    assert(h == Map(0 -> 1L, 1 -> 2L, 2 -> 1L, 9 -> 1L, 10 -> 1L))
+    val halves = Seq(0, 1).map(k =>
+      Sketches.logHistogram(vals.filter(col("doc_id") % 2 === k), "g", "v"))
+    val merged = Sketches.histMerge(halves)
+      .as[(String, Int, Long)].collect().sorted.toSeq
+    val full = Sketches.logHistogram(vals, "g", "v")
+      .as[(String, Int, Long)].collect().sorted.toSeq
+    assert(merged == full)
+  }
+
+  test("hist quantiles: the true p-th value lies in the reported " +
+      "[lo, hi) range; boundary percentiles hit the right buckets") {
+    // 10 values: 1..8 in low buckets, two big ones at 1000
+    val raw = (Seq.tabulate(8)(i => i + 1L) ++ Seq(1000L, 1000L))
+    val df = raw.zipWithIndex
+      .map { case (v, i) => (i.toLong, "s", v) }.toDF("doc_id", "g", "v")
+    val q = Sketches.histQuantiles(
+      Sketches.logHistogram(df, "g", "v"), "g", Seq(25, 50, 80, 90, 100))
+      .as[(String, Int, Int, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._4, r._5, r._6))).toMap
+    def trueP(p: Int): Long = { // smallest v with rank*100 >= p*n
+      val sorted = raw.sorted; sorted(((p * raw.size + 99) / 100) - 1)
+    }
+    for (p <- Seq(25, 50, 80, 90, 100)) {
+      val (lo, hi, n) = q(p)
+      assert(n == 10L)
+      val tv = trueP(p)
+      assert(tv >= lo && tv < hi, s"p=$p true=$tv not in [$lo,$hi)")
+    }
+    // p=90 crosses into the 1000-bucket (8 of 10 values <= 8): b9 [512,1024)
+    assert(q(90) == ((512L, 1024L, 10L)) && q(100) == ((512L, 1024L, 10L)))
+  }
 }
