@@ -936,6 +936,13 @@ object SparkEntry {
         graft.ops.Sketches.histQuantiles(
           graft.ops.Sketches.histMerge(halves), "source", Seq(25, 50, 90))
       }),
+      // ---- EXACT-k deterministic stratum sample: bottom-k-by-salted-hash
+      //      per source — exactly k docs (vs q41's binomially-varying rate
+      //      filter), reproducible, append-consistent, mergeable (the KMV
+      //      set); k-bounded aggregator shuffle (q42's shape), no Window
+      "q84_exact_k_sample" -> ((s, d) =>
+        graft.ops.Curation.exactKSample(t(s, d, "documents"),
+          "source", "doc_id", k = 12, salt = ":eks1")),
       // ---- semi-structured sidecar extraction: the events table's JSON
       //      props column parsed with an EXPLICIT schema (from_json —
       //      never an inference scan, which at 100 TB is a full extra
@@ -3063,6 +3070,25 @@ object SparkEntry {
         |FROM c, (VALUES (25), (50), (90)) AS p(p)
         |WHERE c.cum * 100 >= p.p * c.n
         |GROUP BY 1, 2""".stripMargin,
+    // q84: the bottom-k-by-hash sample replayed as a window — the same
+    // ':eks1'-salted fold converted to SIGNED 64-bit so DuckDB's ORDER BY
+    // matches Spark's Long ordering exactly, doc_id asc tie-break
+    "q84_exact_k_sample" ->
+      s"""WITH f AS (
+         |  SELECT source, doc_id,
+         |    list_reduce(list_prepend(CAST(3421674724 AS HUGEINT),
+         |      list_transform(split(CAST(doc_id AS VARCHAR) || ':eks1', ''),
+         |        c -> CAST(ord(c) AS HUGEINT))),
+         |      (h, c) -> (h * 1000003 + c) % (CAST(1 AS HUGEINT) << 64)) AS hu
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY CAST(CASE WHEN hu >= (CAST(1 AS HUGEINT) << 63)
+         |        THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END AS BIGINT),
+         |        doc_id) AS INT) AS rn
+         |  FROM f)
+         |SELECT source, doc_id, rn FROM r WHERE rn <= 12""".stripMargin,
     // q78: DuckDB's independent JSON implementation must agree field-wise
     "q78_props_extract" ->
       """WITH e AS (

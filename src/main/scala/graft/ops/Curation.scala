@@ -296,6 +296,25 @@ object Curation {
       .filter(bucket < col("rate_pct"))
   }
 
+  /** EXACT-k deterministic stratum sample: the k documents with the
+    * SMALLEST salted id-hashes per stratum — where [[stratifiedSample]]'s
+    * rate filter yields a binomially-varying count, bottom-k-by-hash
+    * yields exactly k (or all, if the stratum is smaller), reproducibly:
+    * the sample is a pure function of (ids, salt), stable under
+    * partitioning, engine, and corpus ORDER, and GROWS CONSISTENTLY —
+    * re-sampling after appending documents keeps every old member whose
+    * hash still ranks (the bottom-k set is mergeable, which also makes it
+    * the KMV distinct sketch). Shuffle shape is the q42 k-bounded
+    * aggregator: each map task ships at most k (hash, id) pairs per
+    * stratum — no Window, no global sort, no corpus-scale skew. */
+  def exactKSample(docs: DataFrame, stratumCol: String, idCol: String,
+      k: Int, salt: String): DataFrame =
+    TopK.bottomKByLongStr(
+      docs.select(col(stratumCol), col(idCol),
+        TextAnalysis.fingerprint64(
+          concat(col(idCol).cast("string"), lit(salt))).as("h")),
+      stratumCol, "h", idCol, k)
+
   /** Token-budgeted mixture: per stratum (crawl source), keep documents in
     * deterministic id order until the stratum's TOKEN budget is spent —
     * how a training mixture is actually specified ("B tokens of source s"),

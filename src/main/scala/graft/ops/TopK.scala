@@ -92,4 +92,47 @@ object TopK {
     import spark.implicits._
     topKByKey[String](df, groupCol, "string", valueCol, idCol, k)
   }
+
+  /** Aggregator keeping the k SMALLEST by (value asc, id asc) with EXACT
+    * Long ordering — the Double-valued [[TopKAgg]] cannot order 64-bit
+    * hashes (doubles collapse longs past 2^53). Bottom-k of a uniform hash
+    * is simultaneously an exact-k uniform sample and the KMV distinct
+    * sketch, which is why the value stays a full-width Long here. */
+  final class BottomKLongAgg(k: Int)
+      extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+    require(k > 0)
+    private def cap(s: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      s.sorted.take(k) // tuple ordering = (value asc, id asc)
+    override def zero: Seq[(Long, Long)] = Vector.empty
+    override def reduce(buf: Seq[(Long, Long)], e: (Long, Long)): Seq[(Long, Long)] =
+      cap(buf :+ e)
+    override def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      cap(a ++ b)
+    override def finish(buf: Seq[(Long, Long)]): Seq[(Long, Long)] = cap(buf)
+    override def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Long, Long)]] = bufferEncoder
+  }
+
+  /** Bottom-k rows per STRING group by (`valueCol` asc, `idCol` asc) with
+    * exact Long ordering and a 1-based group-local rank — the k-bounded
+    * shuffle shape of [[topKByValueStr]] (each map task contributes at
+    * most k entries per group; no Window, no global sort). Output:
+    * (groupCol, idCol, "rn"). */
+  def bottomKByLongStr(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new BottomKLongAgg(k).toColumn
+    df.select(col(groupCol).cast("string"), col(valueCol).cast("long"),
+        col(idCol).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg)
+      .flatMap { case (g, entries) =>
+        entries.iterator.zipWithIndex.map { case ((_, id), i) => (g, id, i + 1) }
+      }
+      .toDF(groupCol, idCol, "rn")
+  }
 }

@@ -194,6 +194,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q83 shuffles text/arrays: $outs")
   }
 
+  test("q84 exact-k sample: the k-bounded aggregator shape — no Window, " +
+      "no global Sort, text never shuffled") {
+    val plan = planOf("q84_exact_k_sample")
+    assert(!plan.contains("Window") && !plan.contains("Sort [h"),
+      plan.take(3000))
+    val outs = shuffleOutputs("q84_exact_k_sample")
+    assert(!outs.exists(o => o._1.toLowerCase == "text"),
+      s"q84 shuffles text: $outs")
+  }
+
   test("q77 corpus build v3: no exchange carries document text or an array " +
       "(the model-gate funnel moves scalars after the scoring fold)") {
     val outs = shuffleOutputs("q77_corpus_build3")

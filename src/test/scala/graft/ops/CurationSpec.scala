@@ -295,6 +295,31 @@ class CurationSpec extends AnyFunSuite {
     assert(run(1) == run(7))
   }
 
+  test("exactKSample: exactly k per stratum (all, when smaller), " +
+      "append-consistent, partitioning-invariant") {
+    val docs = (Seq.tabulate(60)(i => (i.toLong, "big")) ++
+      Seq.tabulate(3)(i => (1000L + i, "tiny")))
+      .toDF("doc_id", "source")
+    val out = Curation.exactKSample(docs, "source", "doc_id", 5, ":t")
+      .as[(String, Long, Int)].collect()
+    assert(out.count(_._1 == "big") == 5 && out.count(_._1 == "tiny") == 3)
+    assert(out.filter(_._1 == "tiny").map(_._3).sorted.toSeq == Seq(1, 2, 3))
+    // append consistency: sampling the 60-doc prefix then re-sampling
+    // after 40 more docs keeps every prefix member whose hash still ranks
+    val before = Curation.exactKSample(
+        docs.filter(col("source") === "big"), "source", "doc_id", 5, ":t")
+      .as[(String, Long, Int)].collect().map(_._2).toSet
+    val more = (Seq.tabulate(60)(i => (i.toLong, "big")) ++
+      Seq.tabulate(40)(i => (2000L + i, "big"))).toDF("doc_id", "source")
+    val after = Curation.exactKSample(more, "source", "doc_id", 5, ":t")
+      .as[(String, Long, Int)].collect().map(_._2).toSet
+    assert((after -- (2000L until 2040L).toSet).subsetOf(before))
+    def run(p: Int) = Curation.exactKSample(docs.repartition(p),
+        "source", "doc_id", 5, ":t")
+      .as[(String, Long, Int)].collect().sorted.toSeq
+    assert(run(1) == run(7))
+  }
+
   // ---- chunking -------------------------------------------------------
 
   test("chunkDocs: stride layout, overlap, and ragged tail") {
