@@ -121,4 +121,49 @@ object Spans {
        |    AND cap_page = page AS has_caption
        |  FROM cand)
        |WHERE kind = 'media'""".stripMargin
+
+  /** Span-sequence regression diff — the north-rule invariant
+    * (span-sequence equality on (kind, text, media_ref, order)) as an
+    * OPERATOR, so an extraction-code change can be CI-gated corpus-wide:
+    * run old and new extractors, diff, and a single non-equal doc names
+    * the first divergent span and which field moved. Per document:
+    * `equal`, `first_diff_ord`, `diff_kind` ∈ {missing (candidate lacks
+    * the ord), extra (candidate added one), kind, media_ref, text —
+    * checked in that priority at the first divergent ord}, plus both
+    * span counts. A doc present on one side only degenerates naturally
+    * (every ord missing/extra; first diff at its smallest ord).
+    *
+    * Scale shape: document TEXT never reaches the join — both sides
+    * project (doc_id, ord, kind, md5(text), media_ref) first, so the one
+    * co-partitioned shuffle per side carries fixed-width scalars; the
+    * per-doc verdict is a partial-aggregable min-of-struct. Null text and
+    * empty text stay distinct (null-safe compares on the md5, which is
+    * null iff the text is). */
+  def spanDiff(base: DataFrame, cand: DataFrame): DataFrame = {
+    def prep(df: DataFrame, side: String) = df.select(
+      col("doc_id"), col("ord"),
+      col("kind").as(s"kind_$side"),
+      md5(col("text")).as(s"th_$side"),
+      col("media_ref").as(s"mr_$side"),
+      lit(1L).as(s"present_$side"))
+    val j = prep(base, "a")
+      .join(prep(cand, "b"), Seq("doc_id", "ord"), "full_outer")
+    val dk = when(col("present_b").isNull, "missing")
+      .when(col("present_a").isNull, "extra")
+      .when(!(col("kind_a") <=> col("kind_b")), "kind")
+      .when(!(col("mr_a") <=> col("mr_b")), "media_ref")
+      .when(!(col("th_a") <=> col("th_b")), "text")
+    j.withColumn("dk", dk)
+      .groupBy(col("doc_id"))
+      .agg(
+        min(when(col("dk").isNotNull,
+          struct(col("ord"), col("dk")))).as("first"),
+        sum(coalesce(col("present_a"), lit(0L))).as("n_spans_base"),
+        sum(coalesce(col("present_b"), lit(0L))).as("n_spans_new"))
+      .select(col("doc_id"),
+        col("first").isNull.as("equal"),
+        col("first.ord").as("first_diff_ord"),
+        col("first.dk").as("diff_kind"),
+        col("n_spans_base"), col("n_spans_new"))
+  }
 }

@@ -66,4 +66,94 @@ class SpansSpec extends AnyFunSuite {
       Spans.captionAlignment(spans, maxGap = 0)
     }
   }
+
+  // ---- spanDiff ------------------------------------------------------
+
+  private def spansDf(rows: Seq[(String, Int, String, String, String)]) =
+    rows.toDF("doc_id", "ord", "kind", "text", "media_ref")
+
+  test("spanDiff: identical sequences are equal; every divergence class " +
+      "reports the right first ord and field") {
+    val base = spansDf(Seq(
+      ("same", 0, "text", "a", null), ("same", 1, "media", "", "m1"),
+      ("txt", 0, "text", "a", null), ("txt", 1, "text", "b", null),
+      ("drop", 0, "text", "a", null), ("drop", 1, "text", "b", null),
+      ("add", 0, "text", "a", null),
+      ("kind", 0, "text", "a", null),
+      ("ref", 0, "media", "", "m1"),
+      ("gone", 0, "text", "a", null)))
+    val cand = spansDf(Seq(
+      ("same", 0, "text", "a", null), ("same", 1, "media", "", "m1"),
+      ("txt", 0, "text", "a", null), ("txt", 1, "text", "CHANGED", null),
+      ("drop", 0, "text", "a", null),
+      ("add", 0, "text", "a", null), ("add", 1, "text", "new", null),
+      ("kind", 0, "media", "a", null),
+      ("ref", 0, "media", "", "m2"),
+      ("born", 0, "text", "a", null)))
+    val got = Spans.spanDiff(base, cand).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1),
+        Option(r.get(2)).map(_.asInstanceOf[Int]),
+        Option(r.getString(3)).orNull, r.getLong(4), r.getLong(5)))).toMap
+    assert(got("same") == ((true, None, null, 2L, 2L)))
+    assert(got("txt") == ((false, Some(1), "text", 2L, 2L)))
+    assert(got("drop") == ((false, Some(1), "missing", 2L, 1L)))
+    assert(got("add") == ((false, Some(1), "extra", 1L, 2L)))
+    assert(got("kind") == ((false, Some(0), "kind", 1L, 1L)))
+    assert(got("ref") == ((false, Some(0), "media_ref", 1L, 1L)))
+    // whole-doc presence degenerates through the same machinery
+    assert(got("gone") == ((false, Some(0), "missing", 1L, 0L)))
+    assert(got("born") == ((false, Some(0), "extra", 0L, 1L)))
+  }
+
+  test("spanDiff: kind outranks media_ref outranks text at the same ord; " +
+      "null text and empty text are DISTINCT") {
+    val base = spansDf(Seq(
+      ("p", 0, "text", "a", "m1"),
+      ("n", 0, "media", null, "m1")))
+    val cand = spansDf(Seq(
+      ("p", 0, "media", "b", "m2"), // kind+ref+text all differ -> 'kind'
+      ("n", 0, "media", "", "m1"))) // null -> "" must be a text diff
+    val got = Spans.spanDiff(base, cand).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(got("p") == "kind")
+    assert(got("n") == "text")
+  }
+
+  test("spanDiff plan: span text never enters an exchange — both sides " +
+      "project md5 before the full-outer join") {
+    val base = spansDf(Seq(("d", 0, "text", "some long text", null)))
+    val df = Spans.spanDiff(base, base)
+    df.collect()
+    // walk through AQE wrappers (query stages hide the exchanges)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val self = p match { case _: ShuffleExchangeLike => Seq(p); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      self ++ kids.flatMap(walk)
+    }
+    val outs = walk(df.queryExecution.executedPlan)
+      .flatMap(_.output.map(a => (a.name, a.dataType)))
+    assert(outs.nonEmpty) // the co-partitioned join does shuffle...
+    assert(!outs.exists(o => o._1.toLowerCase == "text" ||
+      o._2.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+      s"spanDiff shuffles text/arrays: $outs") // ...but only md5s + scalars
+  }
+
+  test("spanDiff: the first divergent ord wins even when later spans " +
+      "also differ; equal under any partitioning") {
+    val base = spansDf(Seq.tabulate(6)(i => ("d", i, "text", s"s$i", null)))
+    val cand = spansDf(Seq.tabulate(6)(i =>
+      ("d", i, "text", if (i >= 3) "X" else s"s$i", null)))
+    val one = Spans.spanDiff(base, cand).collect().head
+    assert(one.getInt(2) == 3 && one.getString(3) == "text")
+    val eq = Spans.spanDiff(base.repartition(7), base.repartition(3))
+      .collect().head
+    assert(eq.getBoolean(1))
+  }
 }
