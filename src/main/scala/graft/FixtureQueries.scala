@@ -242,6 +242,15 @@ object FixtureQueries {
           col("doc_id"), col("ord"), col("kind"), col("text"),
           col("media_ref")),
         maxGap = 3)),
+    // PARAGRAPH COALESCING over the real extracted spans: maximal runs
+    // of consecutive text spans merge (order-preserving join), media
+    // spans stay hard singleton boundaries, dense re-numbering — the
+    // extraction->packing re-segmentation bridge (inverse of q48)
+    "x70_span_coalesce" -> ((s, _) =>
+      graft.ops.Spans.coalesceTextRuns(
+        result(s).outSpans.toDF().select(
+          col("doc_id"), col("ord"), col("kind"), col("text"),
+          col("media_ref")))),
     // SPAN-SEQUENCE REGRESSION DIFF — the north-rule invariant as an
     // operator: the real extracted spans diffed against a deterministic
     // perturbation (per doc_ord%5: text mutated / last span dropped /
@@ -866,6 +875,27 @@ object FixtureQueries {
     // x05 golden span VALUES
     "x65_caption_align" -> graft.ops.Spans.captionAlignmentSql(
       FixtureGoldens.oracleSql("x05_fixture_spans"), maxGap = 3),
+    // x70: run identity (running non-text count + is_text), ordered
+    // string_agg, dense re-number — replayed over the x05 goldens
+    "x70_span_coalesce" ->
+      s"""WITH base AS (${FixtureGoldens.oracleSql("x05_fixture_spans")}),
+         |g AS (
+         |  SELECT *, sum(CASE WHEN kind <> 'text' THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY ord) AS grp,
+         |    kind = 'text' AS is_text
+         |  FROM base),
+         |a AS (
+         |  SELECT doc_id, grp, is_text, min(ord) AS min_ord,
+         |    min(kind) AS kind,
+         |    string_agg(coalesce(text, ''), ' ' ORDER BY ord) AS text,
+         |    min(media_ref) AS media_ref,
+         |    CAST(count(*) AS BIGINT) AS n_merged
+         |  FROM g GROUP BY 1, 2, 3)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY min_ord)
+         |    - 1 AS INT) AS ord,
+         |  kind, text, media_ref, n_merged
+         |FROM a""".stripMargin,
     // x69: the perturbation AND the diff replayed over the x05 goldens;
     // IS DISTINCT FROM mirrors Spark's null-safe <=> on each field, the
     // kind > media_ref > text priority matches spanDiff's

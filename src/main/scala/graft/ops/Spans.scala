@@ -122,6 +122,45 @@ object Spans {
        |  FROM cand)
        |WHERE kind = 'media'""".stripMargin
 
+  /** Paragraph coalescing over the interleaved sequence: each MAXIMAL RUN
+    * of consecutive kind='text' spans merges into one span (texts joined
+    * by `sep` in span order, nulls as empty), while every non-text span
+    * (media, page, rule) stays a singleton — so the media positions that
+    * anchor image-text alignment are hard boundaries and the grammar
+    * survives re-segmentation. Spans are re-numbered densely per doc;
+    * `n_merged` reports each output span's input-run length. Extraction
+    * emits fine-grained spans (cell/line level); packing and embedding
+    * want paragraph-level units — this is the bridge, and the inverse
+    * knob of the chunker (q48).
+    *
+    * Run identity is the running count of PRECEDING-or-self non-text
+    * spans (a window per doc): text spans between two boundaries share
+    * it; the boundary itself differs from its following run by `is_text`.
+    * Per-doc windows only — the one shuffle keys on doc_id, the
+    * extraction output's native partitioning (x65's shape). */
+  def coalesceTextRuns(spans: DataFrame, sep: String = " "): DataFrame = {
+    val byOrd = Window.partitionBy("doc_id").orderBy("ord")
+    val agg = spans
+      .withColumn("grp",
+        sum(when(col("kind") =!= "text", 1L).otherwise(0L)).over(byOrd))
+      .withColumn("is_text", col("kind") === "text")
+      .groupBy(col("doc_id"), col("grp"), col("is_text"))
+      .agg(
+        min(col("ord")).as("min_ord"),
+        min(col("kind")).as("kind"), // homogeneous run or singleton
+        array_join(transform(
+          array_sort(collect_list(struct(col("ord"),
+            coalesce(col("text"), lit("")).as("text")))),
+          s => s.getField("text")), sep).as("text"),
+        min(col("media_ref")).as("media_ref"),
+        count(lit(1)).as("n_merged"))
+    agg
+      .withColumn("ord", (row_number().over(
+        Window.partitionBy("doc_id").orderBy("min_ord")) - 1))
+      .select(col("doc_id"), col("ord"), col("kind"), col("text"),
+        col("media_ref"), col("n_merged"))
+  }
+
   /** Span-sequence regression diff — the north-rule invariant
     * (span-sequence equality on (kind, text, media_ref, order)) as an
     * OPERATOR, so an extraction-code change can be CI-gated corpus-wide:

@@ -156,4 +156,41 @@ class SpansSpec extends AnyFunSuite {
       .collect().head
     assert(eq.getBoolean(1))
   }
+
+  test("coalesceTextRuns: runs merge in order, boundaries stay " +
+      "singletons, dense re-numbering, null text joins as empty") {
+    val spans = spansDf(Seq(
+      ("d", 0, "text", "a", null), ("d", 1, "text", "b", null),
+      ("d", 2, "media", "alt", "m1"), ("d", 3, "media", "alt2", "m2"),
+      ("d", 4, "text", "c", null), ("d", 5, "text", null, null),
+      ("d", 6, "text", "d", null), ("d", 7, "page", "2", null),
+      ("solo", 0, "media", "x", "m9")))
+    val got = Spans.coalesceTextRuns(spans)
+      .as[(String, Int, String, String, String, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      ("d", 0, "text", "a b", null, 2L),
+      ("d", 1, "media", "alt", "m1", 1L),
+      ("d", 2, "media", "alt2", "m2", 1L),
+      ("d", 3, "text", "c  d", null, 3L), // null text -> empty, still counted
+      ("d", 4, "page", "2", null, 1L),
+      ("solo", 0, "media", "x", "m9", 1L)))
+  }
+
+  test("coalesceTextRuns: partitioning-invariant and idempotent on an " +
+      "already-coalesced sequence") {
+    val spans = spansDf(Seq(
+      ("d", 0, "text", "a", null), ("d", 1, "text", "b", null),
+      ("d", 2, "media", "m", "m1"), ("d", 3, "text", "c", null)))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Spans.coalesceTextRuns(df)
+        .as[(String, Int, String, String, String, Long)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(run(spans) == run(spans.repartition(7)))
+    val once = run(spans)
+    val again = run(once.map(r => (r._1, r._2, r._3, r._4, r._5))
+      .toDF("doc_id", "ord", "kind", "text", "media_ref"))
+    assert(again.map(r => (r._1, r._2, r._3, r._4, r._5)) ==
+      once.map(r => (r._1, r._2, r._3, r._4, r._5)))
+  }
 }
