@@ -27,6 +27,86 @@ object FixtureQueries {
       ExtractionPipeline.run(s, s.createDataset(FixtureCorpus.fixtureDocs))
     })
 
+  /** The real extracted span sequence in long format (x05's frame). */
+  private def fixtureSpans(s: SparkSession): DataFrame =
+    result(s).outSpans.toDF().select(
+      col("doc_id"), col("ord"), col("kind"), col("text"), col("media_ref"))
+
+  /** Deterministic 5-way perturbation of a span frame — the synthetic
+    * "extraction code change" x69/x71 must detect. Per doc_ord % 5:
+    * 1 = text mutated at ord 2, 2 = last span dropped, 3 = span injected
+    * after the last, 4 = kind+media_ref flipped at ord 1, 0 = unchanged.
+    * Replayed in SQL by the shared x69 oracle. */
+  private def perturbedSpans(base: DataFrame): DataFrame = {
+    val d = base
+      .withColumn("m", pmod(
+        regexp_extract(col("doc_id"), "^(\\d+)", 1).cast("int"), lit(5)))
+      .withColumn("mx", max(col("ord")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    val kept = d.filter(!(col("m") === 2 && col("ord") === col("mx")))
+      .select(col("doc_id"), col("ord"),
+        when(col("m") === 4 && col("ord") === 1, lit("media"))
+          .otherwise(col("kind")).as("kind"),
+        when(col("m") === 1 && col("ord") === 2,
+          concat(col("text"), lit(" [MUTATED]")))
+          .otherwise(col("text")).as("text"),
+        when(col("m") === 4 && col("ord") === 1, lit("mX"))
+          .otherwise(col("media_ref")).as("media_ref"))
+    val injected = d.filter(col("m") === 3 && col("ord") === col("mx"))
+      .select(col("doc_id"), (col("ord") + 1).as("ord"),
+        lit("text").as("kind"), lit("INJECTED").as("text"),
+        lit(null).cast("string").as("media_ref"))
+    kept.unionByName(injected)
+  }
+
+  /** Shared x69/x71 oracle: the perturbation AND the diff replayed over
+    * the x05 goldens. IS DISTINCT FROM mirrors Spark's null-safe <=> on
+    * each field; the kind > media_ref > text priority matches spanDiff's.
+    * x71 reuses it verbatim — the committed-table round trip (nest,
+    * commit, upsert, time travel, unnest) must not move a single span. */
+  private lazy val spanDiffOracleSql: String =
+    s"""WITH base AS (${FixtureGoldens.oracleSql("x05_fixture_spans")}),
+       |d AS (
+       |  SELECT base.*,
+       |    CAST(regexp_extract(doc_id, '^(\\d+)', 1) AS INT) % 5 AS m,
+       |    max(ord) OVER (PARTITION BY doc_id) AS mx
+       |  FROM base),
+       |cand AS (
+       |  SELECT doc_id, ord,
+       |    CASE WHEN m = 4 AND ord = 1 THEN 'media' ELSE kind END AS kind,
+       |    CASE WHEN m = 1 AND ord = 2 THEN text || ' [MUTATED]'
+       |         ELSE text END AS text,
+       |    CASE WHEN m = 4 AND ord = 1 THEN 'mX' ELSE media_ref END
+       |      AS media_ref
+       |  FROM d WHERE NOT (m = 2 AND ord = mx)
+       |  UNION ALL
+       |  SELECT doc_id, mx + 1, 'text', 'INJECTED', NULL
+       |  FROM d WHERE m = 3 AND ord = mx),
+       |j AS (
+       |  SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+       |    coalesce(b.ord, c.ord) AS ord,
+       |    CASE WHEN c.doc_id IS NULL THEN 'missing'
+       |         WHEN b.doc_id IS NULL THEN 'extra'
+       |         WHEN b.kind IS DISTINCT FROM c.kind THEN 'kind'
+       |         WHEN b.media_ref IS DISTINCT FROM c.media_ref
+       |           THEN 'media_ref'
+       |         WHEN b.text IS DISTINCT FROM c.text THEN 'text' END AS dk,
+       |    CASE WHEN b.doc_id IS NULL THEN 0 ELSE 1 END AS pa,
+       |    CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS pb
+       |  FROM base b FULL OUTER JOIN cand c
+       |    ON b.doc_id = c.doc_id AND b.ord = c.ord),
+       |agg AS (
+       |  SELECT doc_id,
+       |    min(CASE WHEN dk IS NOT NULL THEN ord END) AS fd,
+       |    CAST(sum(pa) AS BIGINT) AS n_spans_base,
+       |    CAST(sum(pb) AS BIGINT) AS n_spans_new
+       |  FROM j GROUP BY 1)
+       |SELECT a.doc_id, a.fd IS NULL AS equal,
+       |  a.fd AS first_diff_ord, j.dk AS diff_kind,
+       |  a.n_spans_base, a.n_spans_new
+       |FROM agg a LEFT JOIN j ON j.doc_id = a.doc_id AND j.ord = a.fd"""
+      .stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_fixture_stats" -> ((s, _) =>
       result(s).stats.toDF().select(
@@ -258,28 +338,38 @@ object FixtureQueries {
     // name the first divergent ord and which field moved. Oracle replays
     // perturbation AND diff over the x05 golden VALUES.
     "x69_span_diff" -> ((s, _) => {
-      val base = result(s).outSpans.toDF().select(
-        col("doc_id"), col("ord"), col("kind"), col("text"),
-        col("media_ref"))
-      val d = base
-        .withColumn("m", pmod(
+      val base = fixtureSpans(s)
+      graft.ops.Spans.spanDiff(base, perturbedSpans(base))
+    }),
+    // SNAPSHOT-DIFF CI: the x69 regression diff composed with the
+    // committed table's TIME TRAVEL, over the north-rule NESTED shape
+    // (doc_id, spans:array<struct<ord,kind,text,media_ref>>) — commit the
+    // extraction as v1, upsert the re-extracted (perturbed) docs as the
+    // v2 rebase, diff readAt(v1) vs readAt(v2). The oracle is x69's SQL
+    // verbatim: the green row pins that nest -> commit -> upsert ->
+    // time-travel -> unnest preserves every span sequence bit-exactly.
+    "x71_snapshot_span_ci" -> ((s, _) => {
+      val base = fixtureSpans(s)
+      def nest(df: DataFrame) = df.groupBy("doc_id").agg(
+        array_sort(collect_list(struct(col("ord"), col("kind"),
+          col("text"), col("media_ref")))).as("spans"))
+      def unnest(df: DataFrame) = df
+        .select(col("doc_id"), explode(col("spans")).as("sp"))
+        .select(col("doc_id"), col("sp.ord").as("ord"),
+          col("sp.kind").as("kind"), col("sp.text").as("text"),
+          col("sp.media_ref").as("media_ref"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-x71")
+        .toString + "/table"
+      Checkpointing.commit(nest(base), dir, "extract-v1")
+      // re-extraction touches only the docs the "parser change" altered
+      val changed = perturbedSpans(base).withColumn("m", pmod(
           regexp_extract(col("doc_id"), "^(\\d+)", 1).cast("int"), lit(5)))
-        .withColumn("mx", max(col("ord")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
-      val kept = d.filter(!(col("m") === 2 && col("ord") === col("mx")))
-        .select(col("doc_id"), col("ord"),
-          when(col("m") === 4 && col("ord") === 1, lit("media"))
-            .otherwise(col("kind")).as("kind"),
-          when(col("m") === 1 && col("ord") === 2,
-            concat(col("text"), lit(" [MUTATED]")))
-            .otherwise(col("text")).as("text"),
-          when(col("m") === 4 && col("ord") === 1, lit("mX"))
-            .otherwise(col("media_ref")).as("media_ref"))
-      val injected = d.filter(col("m") === 3 && col("ord") === col("mx"))
-        .select(col("doc_id"), (col("ord") + 1).as("ord"),
-          lit("text").as("kind"), lit("INJECTED").as("text"),
-          lit(null).cast("string").as("media_ref"))
-      graft.ops.Spans.spanDiff(base, kept.unionByName(injected))
+        .filter(col("m") =!= 0).drop("m")
+      Checkpointing.upsert(nest(changed), dir, "extract-v2")
+      val vs = Checkpointing.snapshots(dir).map(_.seq)
+      graft.ops.Spans.spanDiff(
+        unnest(Checkpointing.readAt(s, dir, vs.head)),
+        unnest(Checkpointing.readAt(s, dir, vs.last)))
     }),
     // S3/S4/S6: commit + anti-join resume round-trip; counts are the
     // observable contract (run 1 "crashes" after 9 docs; resume finishes)
@@ -899,48 +989,11 @@ object FixtureQueries {
     // x69: the perturbation AND the diff replayed over the x05 goldens;
     // IS DISTINCT FROM mirrors Spark's null-safe <=> on each field, the
     // kind > media_ref > text priority matches spanDiff's
-    "x69_span_diff" ->
-      s"""WITH base AS (${FixtureGoldens.oracleSql("x05_fixture_spans")}),
-         |d AS (
-         |  SELECT base.*,
-         |    CAST(regexp_extract(doc_id, '^(\\d+)', 1) AS INT) % 5 AS m,
-         |    max(ord) OVER (PARTITION BY doc_id) AS mx
-         |  FROM base),
-         |cand AS (
-         |  SELECT doc_id, ord,
-         |    CASE WHEN m = 4 AND ord = 1 THEN 'media' ELSE kind END AS kind,
-         |    CASE WHEN m = 1 AND ord = 2 THEN text || ' [MUTATED]'
-         |         ELSE text END AS text,
-         |    CASE WHEN m = 4 AND ord = 1 THEN 'mX' ELSE media_ref END
-         |      AS media_ref
-         |  FROM d WHERE NOT (m = 2 AND ord = mx)
-         |  UNION ALL
-         |  SELECT doc_id, mx + 1, 'text', 'INJECTED', NULL
-         |  FROM d WHERE m = 3 AND ord = mx),
-         |j AS (
-         |  SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
-         |    coalesce(b.ord, c.ord) AS ord,
-         |    CASE WHEN c.doc_id IS NULL THEN 'missing'
-         |         WHEN b.doc_id IS NULL THEN 'extra'
-         |         WHEN b.kind IS DISTINCT FROM c.kind THEN 'kind'
-         |         WHEN b.media_ref IS DISTINCT FROM c.media_ref
-         |           THEN 'media_ref'
-         |         WHEN b.text IS DISTINCT FROM c.text THEN 'text' END AS dk,
-         |    CASE WHEN b.doc_id IS NULL THEN 0 ELSE 1 END AS pa,
-         |    CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS pb
-         |  FROM base b FULL OUTER JOIN cand c
-         |    ON b.doc_id = c.doc_id AND b.ord = c.ord),
-         |agg AS (
-         |  SELECT doc_id,
-         |    min(CASE WHEN dk IS NOT NULL THEN ord END) AS fd,
-         |    CAST(sum(pa) AS BIGINT) AS n_spans_base,
-         |    CAST(sum(pb) AS BIGINT) AS n_spans_new
-         |  FROM j GROUP BY 1)
-         |SELECT a.doc_id, a.fd IS NULL AS equal,
-         |  a.fd AS first_diff_ord, j.dk AS diff_kind,
-         |  a.n_spans_base, a.n_spans_new
-         |FROM agg a LEFT JOIN j ON j.doc_id = a.doc_id AND j.ord = a.fd"""
-        .stripMargin,
+    "x69_span_diff" -> spanDiffOracleSql,
+    // x71 composes commit/upsert/time-travel around the SAME logical diff:
+    // sharing x69's oracle verbatim IS the contract — the committed-table
+    // round trip must not move a single span
+    "x71_snapshot_span_ci" -> spanDiffOracleSql,
     // x54: nearest-neighbor resize truth — out(x,y) = in(x*w//8, y*h//6),
     // formula applied to the SOURCE indices in SQL while Spark's path is
     // decode -> setRGB resample -> PNG re-encode -> decode -> sums
