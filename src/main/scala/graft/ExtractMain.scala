@@ -34,6 +34,7 @@ object ExtractMain {
       "       ExtractMain maintain <outputDir> delete <doc_id>[,<doc_id>...]\n" +
       "       ExtractMain maintain <outputDir> snapshots\n" +
       "       ExtractMain maintain <outputDir> expire [keepLast]\n" +
+      "       ExtractMain maintain <outputDir> rollback <version>\n" +
       "       ExtractMain bench <inputDir> [saltPages]")
     val spark = SparkSession.builder()
       .appName("graft-extract")
@@ -139,6 +140,14 @@ object ExtractMain {
           val expired = Checkpointing.expireSnapshots(dir, keepLast)
           println(s"""{"op":"expire","table":"${name(dir)}",""" +
             s""""keep_last":$keepLast,"expired":${expired.size}}""")
+        }
+      case "rollback" :: version :: Nil =>
+        val v = version.toInt
+        val run = java.util.UUID.randomUUID().toString.take(8)
+        tables.foreach { dir =>
+          val seq = Checkpointing.rollback(dir, v, s"rollback-$run")
+          println(s"""{"op":"rollback","table":"${name(dir)}",""" +
+            s""""to_version":$v,"new_seq":$seq}""")
         }
       case other =>
         throw new IllegalArgumentException(s"unknown maintenance op: $other")

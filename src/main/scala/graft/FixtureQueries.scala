@@ -59,6 +59,20 @@ object FixtureQueries {
     kept.unionByName(injected)
   }
 
+  /** Long span frame -> the north-rule nested shape
+    * (doc_id, spans:array<struct<ord,kind,text,media_ref>>). */
+  private def nestSpans(df: DataFrame): DataFrame =
+    df.groupBy("doc_id").agg(
+      array_sort(collect_list(struct(col("ord"), col("kind"),
+        col("text"), col("media_ref")))).as("spans"))
+
+  /** Inverse of [[nestSpans]]. */
+  private def unnestSpans(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), explode(col("spans")).as("sp"))
+    .select(col("doc_id"), col("sp.ord").as("ord"),
+      col("sp.kind").as("kind"), col("sp.text").as("text"),
+      col("sp.media_ref").as("media_ref"))
+
   /** Shared x69/x71 oracle: the perturbation AND the diff replayed over
     * the x05 goldens. IS DISTINCT FROM mirrors Spark's null-safe <=> on
     * each field; the kind > media_ref > text priority matches spanDiff's.
@@ -350,26 +364,102 @@ object FixtureQueries {
     // time-travel -> unnest preserves every span sequence bit-exactly.
     "x71_snapshot_span_ci" -> ((s, _) => {
       val base = fixtureSpans(s)
-      def nest(df: DataFrame) = df.groupBy("doc_id").agg(
-        array_sort(collect_list(struct(col("ord"), col("kind"),
-          col("text"), col("media_ref")))).as("spans"))
-      def unnest(df: DataFrame) = df
-        .select(col("doc_id"), explode(col("spans")).as("sp"))
-        .select(col("doc_id"), col("sp.ord").as("ord"),
-          col("sp.kind").as("kind"), col("sp.text").as("text"),
-          col("sp.media_ref").as("media_ref"))
       val dir = java.nio.file.Files.createTempDirectory("graft-x71")
         .toString + "/table"
-      Checkpointing.commit(nest(base), dir, "extract-v1")
+      Checkpointing.commit(nestSpans(base), dir, "extract-v1")
       // re-extraction touches only the docs the "parser change" altered
       val changed = perturbedSpans(base).withColumn("m", pmod(
           regexp_extract(col("doc_id"), "^(\\d+)", 1).cast("int"), lit(5)))
         .filter(col("m") =!= 0).drop("m")
-      Checkpointing.upsert(nest(changed), dir, "extract-v2")
+      Checkpointing.upsert(nestSpans(changed), dir, "extract-v2")
       val vs = Checkpointing.snapshots(dir).map(_.seq)
       graft.ops.Spans.spanDiff(
-        unnest(Checkpointing.readAt(s, dir, vs.head)),
-        unnest(Checkpointing.readAt(s, dir, vs.last)))
+        unnestSpans(Checkpointing.readAt(s, dir, vs.head)),
+        unnestSpans(Checkpointing.readAt(s, dir, vs.last)))
+    }),
+    // ROLLBACK (Iceberg rollback_to_snapshot) — the ACT step after x71's
+    // detect step: the v2 "bad parser deploy" is undone by ONE metadata
+    // write; no data file is copied or rewritten. The query reads the
+    // table AFTER the rollback and returns the raw span frame — oracle is
+    // x05's golden VALUES, so the green row pins that the restored state
+    // is bit-identical to the v1 extraction, through a v2 rebase that had
+    // REPLACED those rows. A post-rollback delta commit then stacks a
+    // sentinel doc on top of the restored state — present in the output
+    // (oracle = x05's goldens + the sentinel row), pinning that history
+    // continues forward after the restore.
+    "x72_snapshot_rollback" -> ((s, _) => {
+      val base = fixtureSpans(s)
+      val dir = java.nio.file.Files.createTempDirectory("graft-x72")
+        .toString + "/table"
+      Checkpointing.commit(nestSpans(base), dir, "extract-v1")
+      Checkpointing.upsert(nestSpans(perturbedSpans(base)), dir,
+        "bad-parser-v2")
+      val v3 = Checkpointing.rollback(dir, 1, "revert-bad-parser")
+      // life goes on: a new doc lands AFTER the rollback (delta on top of
+      // the restored state), and the read must see restored + new
+      val sentinel = base.sparkSession.range(1).select(
+        lit("99999_sentinel.pdf").as("doc_id"), lit(0).as("ord"),
+        lit("text").as("kind"), lit("SENTINEL").as("text"),
+        lit(null).cast("string").as("media_ref"))
+      Checkpointing.commit(nestSpans(sentinel), dir, "post-rollback-delta")
+      val cur = Checkpointing.snapshots(dir).last.seq
+      require(cur == v3 + 1, s"expected one delta on top of rollback $v3")
+      unnestSpans(Checkpointing.readAt(s, dir, cur))
+    }),
+    // CDC changelog read (Iceberg create_changelog_view): where x42's
+    // incremental read REFUSES delete snapshots (append-only contract),
+    // cdcBetween makes them consumable — (change_type, commit_seq, row)
+    // in commit order, so a downstream mirror applies inserts + deletes
+    // and lands at the upstream state: the takedown-propagation path.
+    // Lifecycle: two commits, a two-doc takedown, one re-extract; the
+    // delete rows carry the ORIGINAL content (materialized from the
+    // pre-state), the re-add carries the rewritten month.
+    "x73_cdc_read" -> ((s, _) => {
+      import s.implicits._
+      val docs = s.createDataset(FixtureCorpus.fixtureDocs)
+      val dir = java.nio.file.Files.createTempDirectory("graft-x73")
+        .toString + "/stats"
+      val r1 = ExtractionPipeline.run(s,
+        docs.filter(d => SpanDoc.docOrd(d.doc_id) <= 9),
+        persistIntermediate = false)
+      Checkpointing.commit(r1.stats.toDF(), dir, "run1")
+      val r2 = ExtractionPipeline.run(s,
+        Checkpointing.resumeFilter(s, docs, dir), persistIntermediate = false)
+      Checkpointing.commit(r2.stats.toDF(), dir, "run2")
+      Checkpointing.deleteWhere(
+        Seq("2.f02_crosspage.pdf", "12.f12_nomonth.pdf").toDF("doc_id"),
+        dir, "takedown")
+      val redo = Checkpointing.readAt(s, dir, 1)
+        .filter(col("doc_id") === "2.f02_crosspage.pdf")
+        .withColumn("publish_month", upper(col("publish_month")))
+      Checkpointing.commit(redo, dir, "re2")
+      Checkpointing.cdcBetween(s, dir, 0, 4).select(
+        col("doc_id"), col("publish_month"),
+        col("_change_type").as("change_type"),
+        col("_commit_seq").as("commit_seq"))
+    }),
+    // DESCRIBE HISTORY: the snapshot log as a DataFrame — the audit
+    // surface consulted before time travel / rollback / incremental
+    // reads. A fixed lifecycle (2 commits, takedown, upsert rebase,
+    // rollback) with pinned runIds; every metadata field the ops above
+    // rely on (full flag, delete-set count, rollback target, per-kind
+    // rows semantics) is hash-pinned against a VALUES oracle.
+    "x74_table_history" -> ((s, _) => {
+      def frame(lo: Long, hi: Long, mult: Long) = s.range(lo, hi + 1)
+        .select(col("id").as("doc_ord"), col("id").cast("string").as("doc_id"),
+          (col("id") * mult).as("temp")).coalesce(1)
+      val dir = java.nio.file.Files.createTempDirectory("graft-x74")
+        .toString + "/t"
+      Checkpointing.commit(frame(1, 10, 3), dir, "run1")
+      Checkpointing.commit(frame(11, 15, 3), dir, "run2")
+      Checkpointing.deleteWhere(
+        frame(3, 4, 1).select("doc_id"), dir, "takedown")
+      Checkpointing.upsert(frame(1, 15, 7), dir, "fix")
+      Checkpointing.rollback(dir, 2, "revert")
+      Checkpointing.history(s, dir).select(
+        col("seq"), col("run_id"), col("rows"), col("is_full"),
+        (col("n_files") > 0).as("has_files"), col("n_delete_sets"),
+        col("rollback_of"))
     }),
     // S3/S4/S6: commit + anti-join resume round-trip; counts are the
     // observable contract (run 1 "crashes" after 9 docs; resume finishes)
@@ -994,6 +1084,14 @@ object FixtureQueries {
     // sharing x69's oracle verbatim IS the contract — the committed-table
     // round trip must not move a single span
     "x71_snapshot_span_ci" -> spanDiffOracleSql,
+    // x72: the restored state must be BIT-IDENTICAL to the v1 goldens,
+    // plus exactly the one post-rollback sentinel doc
+    "x72_snapshot_rollback" ->
+      s"""WITH base AS (${FixtureGoldens.oracleSql("x05_fixture_spans")})
+         |SELECT * FROM base
+         |UNION ALL
+         |SELECT '99999_sentinel.pdf', 0, 'text', 'SENTINEL', NULL"""
+        .stripMargin,
     // x54: nearest-neighbor resize truth — out(x,y) = in(x*w//8, y*h//6),
     // formula applied to the SOURCE indices in SQL while Spark's path is
     // decode -> setRGB resample -> PNG re-encode -> decode -> sums
@@ -1100,6 +1198,33 @@ object FixtureQueries {
     "x42_incremental_read" ->
       s"""SELECT * FROM (${FixtureGoldens.oracleSql("x01_fixture_stats")}) AS v
          |WHERE CAST(split_part(doc_id, '.', 1) AS INTEGER) > 9""".stripMargin,
+    // x73: inserts = the two commits' rows stamped with their commit seq;
+    // deletes = the takedown's rows with ORIGINAL content at seq 3; the
+    // re-add of doc 2 carries the uppercased month at seq 4
+    "x73_cdc_read" ->
+      s"""WITH g AS (${FixtureGoldens.oracleSql("x01_fixture_stats")})
+         |SELECT doc_id, publish_month, 'insert' AS change_type,
+         |  CASE WHEN CAST(split_part(doc_id, '.', 1) AS INTEGER) <= 9
+         |       THEN 1 ELSE 2 END AS commit_seq
+         |FROM g
+         |UNION ALL
+         |SELECT doc_id, publish_month, 'delete', 3 FROM g
+         |WHERE doc_id IN ('2.f02_crosspage.pdf', '12.f12_nomonth.pdf')
+         |UNION ALL
+         |SELECT doc_id, upper(publish_month), 'insert', 4 FROM g
+         |WHERE doc_id = '2.f02_crosspage.pdf'""".stripMargin,
+    // x74: the lifecycle's metadata, literally — per-kind rows semantics
+    // (commit/upsert = rows written, delete = tombstone keys, rollback =
+    // 0), full flags, and the rollback target
+    "x74_table_history" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'run1',     CAST(10 AS BIGINT), FALSE, TRUE,  0, NULL),
+        |  (2, 'run2',     CAST(5  AS BIGINT), FALSE, TRUE,  0, NULL),
+        |  (3, 'takedown', CAST(2  AS BIGINT), FALSE, FALSE, 1, NULL),
+        |  (4, 'fix',      CAST(15 AS BIGINT), TRUE,  TRUE,  0, NULL),
+        |  (5, 'revert',   CAST(0  AS BIGINT), TRUE,  FALSE, 0, 2)
+        |) AS h("seq", "run_id", "rows", "is_full", "has_files",
+        |       "n_delete_sets", "rollback_of")""".stripMargin,
     // x01's golden with docs 1..3 carrying the rewritten (uppercased) month
     "x45_upsert" ->
       s"""SELECT doc_id, page_size, criterion_tables_count, merged_tables_count,

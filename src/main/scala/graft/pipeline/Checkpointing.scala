@@ -53,10 +53,16 @@ object Checkpointing {
     * snapshot never tracked keeps that snapshot's files conservatively
     * ([[pruneInfoBy]]). Old data is never rewritten when the spec
     * changes. */
+  /** `rollbackOf` = Some(v) marks a ROLLBACK snapshot (Iceberg's
+    * rollback_to_snapshot): a metadata-only commit whose table state IS
+    * version v's — readAt resolves it by substituting v's effective stack,
+    * so no data file is copied or rewritten. It is `full` (it rebases the
+    * stack: nothing between v and it contributes), and later deltas stack
+    * on top of the restored state. */
   final case class Snapshot(seq: Int, runId: String, files: Seq[String],
       rows: Long, full: Boolean, deletes: Seq[String] = Nil,
       stats: Map[String, (Long, Long)] = Map.empty,
-      spec: String = "doc_ord")
+      spec: String = "doc_ord", rollbackOf: Option[Int] = None)
 
   private def parquetNames(dir: String): Set[String] =
     Option(new java.io.File(dir).listFiles())
@@ -72,19 +78,22 @@ object Checkpointing {
   private def writeSnapshot(dir: String, runId: String, added: Seq[String],
       rows: Long, full: Boolean = false, deletes: Seq[String] = Nil,
       stats: Map[String, (Long, Long)] = Map.empty,
-      spec: String = "doc_ord"): Snapshot = {
+      spec: String = "doc_ord", rollbackOf: Option[Int] = None): Snapshot = {
     val manifestDir = Paths.get(dir + "_manifest")
     Files.createDirectories(manifestDir)
     val seq = snapshots(dir).lastOption.map(_.seq).getOrElse(0) + 1
     val statsJson = stats.toSeq.sortBy(_._1)
       .map { case (f, (mn, mx)) => s""""$f":[$mn,$mx]""" }.mkString(",")
+    val rbJson = rollbackOf.map(v => s""""rollback_of":$v,""").getOrElse("")
     val json = s"""{"seq":$seq,"run":"$runId","rows":$rows,"full":$full,""" +
+      rbJson +
       s""""spec":"$spec",""" +
       s""""deletes":[${deletes.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""files":[${added.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""stats":{$statsJson}}"""
     Files.writeString(manifestDir.resolve(f"snapshot-$seq%05d-$runId.json"), json)
-    Snapshot(seq, runId, added.sorted, rows, full, deletes.sorted, stats, spec)
+    Snapshot(seq, runId, added.sorted, rows, full, deletes.sorted, stats,
+      spec, rollbackOf)
   }
 
   /** The snapshot log, oldest first (empty when the dir has no commits). */
@@ -117,7 +126,9 @@ object Checkpointing {
         // doc_ord by construction
         val spec = """"spec":"([^"]*)"""".r.findFirstMatchIn(s)
           .map(_.group(1)).getOrElse("doc_ord")
-        Snapshot(seq, run, list(files), rows, full, dels, stats, spec)
+        val rb = """"rollback_of":(\d+)""".r.findFirstMatchIn(s)
+          .map(_.group(1).toInt)
+        Snapshot(seq, run, list(files), rows, full, dels, stats, spec, rb)
       }.toSeq
   }
 
@@ -158,7 +169,17 @@ object Checkpointing {
     // silently-partial frame — the one thing readAt promises never to do
     require(eff.zip(eff.tail).forall { case (a, b) => b.seq == a.seq + 1 },
       s"snapshot stack for version $version has gaps: seqs ${eff.map(_.seq)}")
-    eff
+    // a ROLLBACK head delegates to its target's stack: the restored state
+    // plus whatever deltas stacked on top after the rollback. Recursion
+    // terminates because rollback() requires target < rollback seq. The
+    // target stack keeps its ORIGINAL seqs, so merge-on-read delete
+    // ordering (del_seq > commit_seq) stays exact across the restore —
+    // a post-rollback delete still removes resurrected rows, and a delete
+    // in the rolled-back-away range is correctly gone.
+    eff.head.rollbackOf match {
+      case Some(target) => effectiveSnaps(dir, target) ++ eff.tail
+      case None => eff
+    }
   }
 
   /** Build the DataFrame for an effective snapshot stack whose per-snapshot
@@ -299,6 +320,79 @@ object Checkpointing {
     spark.read.parquet(files: _*)
   }
 
+  /** Iceberg DESCRIBE HISTORY: the snapshot log as a DataFrame — the
+    * audit surface an operator consults before time travel, rollback, or
+    * incremental consumption (which version did the bad parser land? what
+    * did the takedown remove?). Metadata-only: one manifest-dir listing,
+    * no data file touched; [[expireSnapshots]] is what keeps this listing
+    * bounded at one-commit-per-micro-batch cadence. `rows` carries each
+    * snapshot's own semantics (commit/upsert = rows written, delete =
+    * tombstone keys, rollback = 0 by design). */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    snapshots(dir)
+      .map(s => (s.seq, s.runId, s.rows, s.full, s.files.size,
+        s.deletes.size, s.rollbackOf))
+      .toDF("seq", "run_id", "rows", "is_full", "n_files",
+        "n_delete_sets", "rollback_of")
+  }
+
+  /** CDC changelog read (Iceberg's create_changelog_view): the row-level
+    * changes of snapshots `fromExclusive+1 .. toInclusive` as
+    * (_change_type insert|delete, _commit_seq, row...). Where
+    * [[changesBetween]] REFUSES a range containing row-level deletes
+    * (its contract is append-only), cdcBetween makes them consumable: a
+    * downstream mirror applies inserts and deletes in _commit_seq order
+    * and lands exactly at the upstream state — the takedown propagation
+    * path. Costs: an insert leg reads exactly the commit's files (O(delta),
+    * the change set IS the file set); a delete leg materializes the
+    * deleted rows' CONTENT by scanning the pre-state version filtered to
+    * the (broadcast) delete keys — the honest price of row content; a
+    * consumer that only needs KEYS should read `<dir>_deletes/<runId>`
+    * directly and skip that scan. Still refuses crossing a FULL rebase
+    * (compact/upsert/rollback): per-row change identity is not recorded
+    * there — resume from the rebase. */
+  def cdcBetween(spark: SparkSession, dir: String,
+      fromExclusive: Int, toInclusive: Int): DataFrame = {
+    val snaps = snapshots(dir)
+    require(snaps.nonEmpty, s"no snapshots under ${dir}_manifest")
+    require(fromExclusive >= 0 && toInclusive > fromExclusive &&
+      toInclusive <= snaps.last.seq,
+      s"bad range ($fromExclusive, $toInclusive] over 1..${snaps.last.seq}")
+    val range = snaps.filter(s => s.seq > fromExclusive && s.seq <= toInclusive)
+    require(range.size == toInclusive - fromExclusive,
+      s"range ($fromExclusive, $toInclusive] has expired snapshots — " +
+        s"present seqs: ${range.map(_.seq).mkString(",")}")
+    require(!range.exists(_.full),
+      s"range ($fromExclusive, $toInclusive] crosses a full rebase " +
+        "(compact/upsert/rollback) — per-row change identity is gone; " +
+        "resume from the rebase snapshot")
+    val legs = range.flatMap { s =>
+      val ins =
+        if (s.files.isEmpty) Nil
+        else Seq(spark.read.parquet(s.files.map(n => s"$dir/$n"): _*)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_seq", lit(s.seq)))
+      val del =
+        if (s.deletes.isEmpty || s.seq <= 1) Nil
+        else {
+          val keys = s.deletes
+            .map(d => spark.read.parquet(s"${dir}_deletes/$d"))
+            .reduce(_ unionByName _).select("doc_id").distinct()
+          // pre-state rows are all committed before this snapshot, so the
+          // sequence rule (delete only earlier commits) is the semi-join
+          Seq(readAt(spark, dir, s.seq - 1)
+            .join(broadcast(keys), Seq("doc_id"), "left_semi")
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_seq", lit(s.seq)))
+        }
+      ins ++ del
+    }
+    require(legs.nonEmpty,
+      s"range ($fromExclusive, $toInclusive] contains no row changes")
+    legs.reduce(_ unionByName _)
+  }
+
   /** Copy-on-write upsert — the "re-extract after a parser fix" path:
     * incoming rows REPLACE committed rows with the same doc_id, all other
     * rows carry over, and the result is logged as a FULL (rebase)
@@ -400,8 +494,10 @@ object Checkpointing {
     // a table with data but NO snapshot log is not ours to clean — without
     // the log every file would look orphaned and vacuum would empty it
     require(snaps.nonEmpty, s"vacuum needs a snapshot log under ${dir}_manifest")
-    val baseIdx = snaps.lastIndexWhere(_.full)
-    val liveSnaps = if (baseIdx >= 0) snaps.drop(baseIdx) else snaps
+    // the live stack resolves a rollback head to its target's stack — a
+    // rollback snapshot itself lists no files, but the state it restores
+    // is live and its files must not be vacuumed as orphans
+    val liveSnaps = effectiveSnaps(dir, snaps.last.seq)
     // staged (write-audit-publish) batches are live-until-decided: their
     // files are referenced by staged markers, not snapshots — vacuum must
     // not destroy a batch an auditor is still looking at. (staged() also
@@ -491,10 +587,34 @@ object Checkpointing {
     * through them, files + delete sets) that tags protect. */
   private def taggedStacks(dir: String, snaps: Seq[Snapshot]): Seq[Snapshot] =
     tags(dir).values.toSeq.distinct.flatMap { v =>
-      val upTo = snaps.filter(_.seq <= v)
-      val b = upTo.lastIndexWhere(_.full)
-      if (b >= 0) upTo.drop(b) else upTo
+      // same resolution as the read path — a tag on (or above) a rollback
+      // protects the delegated target stack too
+      effectiveSnaps(dir, v)
     }
+
+  /** Iceberg `rollback_to_snapshot` — restore the table to an earlier
+    * version as a NEW commit, metadata-only. One snapshot file is written;
+    * no data file is copied, rewritten, or even listed — at 100 TB the
+    * "undo the bad parser deploy" path costs exactly one JSON write. The
+    * rollback snapshot delegates to the target's effective stack at read
+    * time (original seqs preserved, so merge-on-read delete ordering is
+    * exact), history stays intact (the rolled-back-away versions remain
+    * time-travelable until expiry), and later commits/upserts/deletes
+    * stack on top of the restored state normally. `Snapshot.rows` is 0 for
+    * a rollback: recording the restored row count would take a table scan,
+    * defeating metadata-only. Returns the new snapshot's seq. */
+  def rollback(dir: String, toVersion: Int, runId: String): Int = {
+    val snaps = snapshots(dir)
+    require(snaps.nonEmpty, s"no snapshots under ${dir}_manifest")
+    require(toVersion < snaps.last.seq,
+      s"rollback target $toVersion is not an earlier version " +
+        s"(current: ${snaps.last.seq})")
+    // the target must be readable NOW — fail at rollback time with the
+    // real reason (expired metadata, gapped stack), not at first read
+    effectiveSnaps(dir, toVersion)
+    writeSnapshot(dir, runId, Nil, rows = 0L, full = true,
+      rollbackOf = Some(toVersion)).seq
+  }
 
   /** Iceberg `expire_snapshots` — retention for the snapshot LOG itself.
     * [[vacuum]] reclaims DATA files the live stack no longer references;
@@ -523,8 +643,12 @@ object Checkpointing {
     // tags protect their whole effective stack (protecting the tagged seq
     // alone could leave it unreadable — its deltas-below would be gone)
     val tagProtected = taggedStacks(dir, snaps).map(_.seq).toSet
+    // the LIVE stack is protected too: when the latest rebase is a
+    // rollback, the state it restores lives in snapshots BELOW baseSeq —
+    // expiring them would break every future read of the current table
+    val liveProtected = effectiveSnaps(dir, snaps.last.seq).map(_.seq).toSet
     val expired = snaps.filter(s => s.seq < baseSeq && s.seq < keepFromSeq &&
-      !tagProtected(s.seq))
+      !tagProtected(s.seq) && !liveProtected(s.seq))
     expired.foreach { s =>
       Files.deleteIfExists(Paths.get(
         f"${dir}_manifest/snapshot-${s.seq}%05d-${s.runId}.json"))

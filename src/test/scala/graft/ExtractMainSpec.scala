@@ -111,6 +111,26 @@ class ExtractMainAuditSpec extends AnyFunSuite {
     assert(e.getMessage.contains("expired"))
   }
 
+  test("maintain rollback: the bad-deploy undo reachable from the ops surface") {
+    spark.sparkContext.setLogLevel("WARN")
+    val base = java.nio.file.Files.createTempDirectory("graft-emrb").toString
+    val input = s"$base/in"
+    val out = s"$base/out"
+    val docs = graft.layout.FixtureCorpus.fixtureDocs
+    spark.createDataset(docs.take(8)).write.parquet(input)
+    ExtractMain.run(spark, input, out, saltPages = 16)
+    spark.createDataset(docs.slice(8, 12)).write.mode("append").parquet(input)
+    ExtractMain.run(spark, input, out, saltPages = 16) // v2: 12 docs
+    ExtractMain.maintain(spark, out, Array("rollback", "1"))
+    val stats = s"$out/stats"
+    val cur = graft.pipeline.Checkpointing.snapshots(stats).last.seq
+    assert(graft.pipeline.Checkpointing.readAt(spark, stats, cur).count() == 8)
+    // resume semantics after the rollback: the 4 rolled-away docs are
+    // uncommitted again and the next run re-lands exactly them
+    val (n, total) = ExtractMain.run(spark, input, out, saltPages = 16)
+    assert(n == 4 && total == 12, s"($n, $total)")
+  }
+
   test("audited run: staged, audited, published — same result as plain; " +
       "re-run no-op") {
     spark.sparkContext.setLogLevel("WARN")

@@ -428,6 +428,51 @@ class ResumeSpec extends AnyFunSuite {
       Checkpointing.snapshots(dir).last.seq).count() == 10)
   }
 
+  test("rollback: metadata-only restore; MoR delete and re-add stack on top; " +
+      "expiry and vacuum keep the delegated stack") {
+    import org.apache.spark.sql.functions.{col, sum}
+    spark.sparkContext.setLogLevel("WARN")
+    def frame(lo: Long, hi: Long, mult: Long) =
+      spark.range(lo, hi + 1)
+        .select(col("id").as("doc_ord"), col("id").as("doc_id"),
+          (col("id") * mult).as("temp"))
+    def tempSum(v: Int) = Checkpointing.readAt(spark, dir, v)
+      .agg(sum(col("temp"))).collect()(0).getLong(0)
+    lazy val dir = java.nio.file.Files
+      .createTempDirectory("graft-rollback").toString + "/t"
+    Checkpointing.commit(frame(1, 10, 3), dir, "a")   // v1
+    Checkpointing.commit(frame(11, 15, 3), dir, "b")  // v2: ids 1..15
+    Checkpointing.upsert(frame(1, 15, 7), dir, "bad") // v3: bad parser
+    // metadata-only: one snapshot written, zero data files added
+    val filesBefore = new java.io.File(dir).listFiles().map(_.getName).toSet
+    intercept[IllegalArgumentException](Checkpointing.rollback(dir, 3, "no"))
+    val v4 = Checkpointing.rollback(dir, 2, "revert")
+    assert(v4 == 4)
+    assert(new java.io.File(dir).listFiles().map(_.getName).toSet == filesBefore)
+    assert(tempSum(4) == 3 * (1L to 15L).sum)  // restored state
+    assert(tempSum(3) == 7 * (1L to 15L).sum)  // rolled-away history intact
+    // post-rollback delete removes a RESURRECTED row (sequence rule holds
+    // because the delegated stack keeps its original commit seqs)
+    Checkpointing.deleteWhere(Seq(5L).toDF("doc_id"), dir, "td") // v5
+    assert(Checkpointing.readAt(spark, dir, 5).count() == 14)
+    // a re-add after that delete survives it
+    Checkpointing.commit(frame(5, 5, 9), dir, "back") // v6
+    assert(Checkpointing.readAt(spark, dir, 6).count() == 15)
+    assert(tempSum(6) == 3 * (1L to 15L).sum - 15 + 45)
+    assert(Checkpointing.changesBetween(spark, dir, 5, 6).count() == 1)
+    // expiry keeps the delegated stack (seqs 1-2) the live state needs,
+    // and expires exactly the rolled-away rebase
+    assert(Checkpointing.expireSnapshots(dir, keepLast = 1) == Seq("bad"))
+    intercept[IllegalArgumentException](Checkpointing.readAt(spark, dir, 3))
+    assert(Checkpointing.readAt(spark, dir, 6).count() == 15)
+    // rollback to an expired version refuses loudly
+    intercept[IllegalArgumentException](Checkpointing.rollback(dir, 3, "no2"))
+    // vacuum drops the rolled-away upsert's files, keeps delegated ones
+    assert(Checkpointing.vacuum(dir).nonEmpty)
+    assert(Checkpointing.readAt(spark, dir, 6).count() == 15)
+    assert(tempSum(4) == 3 * (1L to 15L).sum)
+  }
+
   test("readAt refuses a gapped snapshot stack (hand-deleted mid-stack metadata)") {
     import org.apache.spark.sql.functions.col
     spark.sparkContext.setLogLevel("WARN")
@@ -492,6 +537,19 @@ class ResumeSpec extends AnyFunSuite {
       Checkpointing.changesBetween(spark, dir, 1, 2))
     assert(Checkpointing.changesBetween(spark, dir, 2, 3).count() == 1)
 
+    // CDC read makes the delete consumable: the removed rows with their
+    // ORIGINAL content at the delete's seq, the re-add as an insert
+    val cdc = Checkpointing.cdcBetween(spark, dir, 1, 3)
+    assert(cdc.filter(col("_change_type") === "delete").count() == 2)
+    assert(cdc.filter(col("_change_type") === "delete" &&
+      col("doc_id") === "2.f02_crosspage.pdf")
+      .select("publish_month").as[String].head() == "March, 2021")
+    assert(cdc.filter(col("_change_type") === "insert")
+      .select("doc_id").as[String].collect().toSeq ==
+      Seq("2.f02_crosspage.pdf"))
+    // a mirror applying the changes lands at the upstream state
+    assert(cdc.count() == 3)
+
     // vacuum must NOT touch a live delete set
     assert(!Checkpointing.vacuum(dir).exists(_.startsWith("_deletes/")))
     assert(Checkpointing.readAt(spark, dir, 3).count() == total - 1)
@@ -499,6 +557,9 @@ class ResumeSpec extends AnyFunSuite {
     // compact materializes the deletes and drops the sets
     Checkpointing.compact(spark, dir, partitions = 1, "c1")
     assert(!new java.io.File(s"${dir}_deletes").exists())
+    // CDC refuses to cross the rebase (row change identity is gone there)
+    intercept[IllegalArgumentException](
+      Checkpointing.cdcBetween(spark, dir, 2, 4))
     val v4 = Checkpointing.readAt(spark, dir, 4)
     assert(v4.count() == total - 1)
     assert(v4.filter(col("doc_id") === "5.f05_firstcol.pdf").count() == 0)

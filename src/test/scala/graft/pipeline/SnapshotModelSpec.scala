@@ -50,7 +50,7 @@ class SnapshotModelSpec extends AnyFunSuite {
 
       for (step <- 1 to 8) {
         val nLive = visible(adds.length).size
-        rnd.nextInt(6) match {
+        rnd.nextInt(7) match {
           case 0 => // commit a fresh batch
             val n = 1 + rnd.nextInt(4)
             val ids = (nextId until nextId + n)
@@ -83,6 +83,18 @@ class SnapshotModelSpec extends AnyFunSuite {
             val back = gone.toSeq.sorted.apply(rnd.nextInt(gone.size))
             Checkpointing.commit(df(Seq(back)), dir, s"s$seed-b$step")
             adds :+= Set(back); dels :+= Set.empty
+          case 5 if math.max(rebaseAt, 1) < adds.length =>
+            // rollback to a random LIVE earlier version: metadata-only;
+            // model = state reset to visible(target)
+            val target = math.max(rebaseAt, 1) +
+              rnd.nextInt(adds.length - math.max(rebaseAt, 1))
+            val seq = Checkpointing.rollback(dir, target, s"s$seed-rb$step")
+            assert(seq == adds.length + 1)
+            val restored = visible(target)
+            val cur = visible(adds.length)
+            adds :+= restored; dels :+= (cur -- restored)
+            rebaseAt = adds.length
+            rebaseKind = "rollback"; vacuumedSinceRebase = false
           case _ => // crash debris, then vacuum it away
             val orphan = new java.io.File(dir, s"part-orphan-$step.snappy.parquet")
             java.nio.file.Files.write(orphan.toPath, Array[Byte](9, 9))
@@ -107,15 +119,23 @@ class SnapshotModelSpec extends AnyFunSuite {
             s"seed=$seed step=$step version=$v duplicated rows")
         }
         // history below the rebase: compact (or a vacuum after an upsert)
-        // expires it — readAt refuses; an un-vacuumed upsert preserves it
+        // expires it — readAt refuses; an un-vacuumed upsert preserves it.
+        // A rollback preserves it too, but after a vacuum the rolled-away
+        // version may or may not survive (its files can be shared with the
+        // live delegated stack) — whichever, it must never be WRONG.
         if (rebaseAt > 1) {
-          if (rebaseKind == "compact" || vacuumedSinceRebase)
+          if (rebaseKind == "rollback" && vacuumedSinceRebase)
+            try assert(idsOf(Checkpointing.readAt(spark, dir, rebaseAt - 1))
+              == visible(rebaseAt - 1),
+              s"seed=$seed step=$step post-vacuum rolled-away history")
+            catch { case _: IllegalArgumentException => () } // expired: fine
+          else if (rebaseKind == "compact" || vacuumedSinceRebase)
             intercept[IllegalArgumentException](
               Checkpointing.readAt(spark, dir, rebaseAt - 1))
           else
             assert(idsOf(Checkpointing.readAt(spark, dir, rebaseAt - 1))
               == visible(rebaseAt - 1),
-              s"seed=$seed step=$step pre-upsert history")
+              s"seed=$seed step=$step pre-rebase history")
         }
 
         // invariant 3: deltas reproduce the adds when not crossing the
