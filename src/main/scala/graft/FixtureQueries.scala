@@ -438,6 +438,51 @@ object FixtureQueries {
         col("_change_type").as("change_type"),
         col("_commit_seq").as("commit_seq"))
     }),
+    // CDC MIRROR APPLY — the consumption side of x73's contract: a
+    // downstream mirror table applies each upstream commit's changelog
+    // (inserts -> commit, deletes -> deleteWhere) in commit order and
+    // must land BIT-IDENTICAL to the upstream state. The query reads the
+    // MIRROR; the oracle is the upstream's expected final state (x01
+    // goldens minus the takedown that stuck, with the re-added doc's
+    // rewritten month) — the takedown-propagation loop, closed.
+    "x75_cdc_mirror" -> ((s, _) => {
+      import s.implicits._
+      val docs = s.createDataset(FixtureCorpus.fixtureDocs)
+      val base = java.nio.file.Files.createTempDirectory("graft-x75").toString
+      val up = s"$base/up"; val mir = s"$base/mirror"
+      val r1 = ExtractionPipeline.run(s,
+        docs.filter(d => SpanDoc.docOrd(d.doc_id) <= 9),
+        persistIntermediate = false)
+      Checkpointing.commit(r1.stats.toDF(), up, "run1")
+      val r2 = ExtractionPipeline.run(s,
+        Checkpointing.resumeFilter(s, docs, up), persistIntermediate = false)
+      Checkpointing.commit(r2.stats.toDF(), up, "run2")
+      Checkpointing.deleteWhere(
+        Seq("2.f02_crosspage.pdf", "12.f12_nomonth.pdf").toDF("doc_id"),
+        up, "takedown")
+      val redo = Checkpointing.readAt(s, up, 1)
+        .filter(col("doc_id") === "2.f02_crosspage.pdf")
+        .withColumn("publish_month", upper(col("publish_month")))
+      Checkpointing.commit(redo, up, "re2")
+      // the mirror consumes one changelog per upstream commit, in order
+      Checkpointing.snapshots(up).map(_.seq).foreach { v =>
+        val cdc = Checkpointing.cdcBetween(s, up, v - 1, v).cache()
+        val dels = cdc.filter(col("_change_type") === "delete")
+          .select("doc_id")
+        if (!dels.isEmpty) Checkpointing.deleteWhere(dels, mir, s"m-del-$v")
+        val ins = cdc.filter(col("_change_type") === "insert")
+          .drop("_change_type", "_commit_seq")
+        if (!ins.isEmpty) Checkpointing.commit(ins, mir, s"m-ins-$v")
+        cdc.unpersist()
+        ()
+      }
+      Checkpointing.readAt(s, mir,
+        Checkpointing.snapshots(mir).last.seq).select(
+        col("doc_id"), col("page_size"), col("criterion_tables_count"),
+        col("merged_tables_count"), col("merged_rows_count"),
+        col("merged_table_start_page"), col("merged_table_end_page"),
+        col("publish_month"))
+    }),
     // DESCRIBE HISTORY: the snapshot log as a DataFrame — the audit
     // surface consulted before time travel / rollback / incremental
     // reads. A fixed lifecycle (2 commits, takedown, upsert rebase,
@@ -1213,6 +1258,16 @@ object FixtureQueries {
          |UNION ALL
          |SELECT doc_id, upper(publish_month), 'insert', 4 FROM g
          |WHERE doc_id = '2.f02_crosspage.pdf'""".stripMargin,
+    // x75: the mirror must land at the upstream's final state — x01's
+    // golden minus the takedown that stuck (doc 12), with the re-added
+    // doc 2 carrying the rewritten month
+    "x75_cdc_mirror" ->
+      s"""SELECT doc_id, page_size, criterion_tables_count, merged_tables_count,
+         |  merged_rows_count, merged_table_start_page, merged_table_end_page,
+         |  CASE WHEN doc_id = '2.f02_crosspage.pdf'
+         |       THEN upper(publish_month) ELSE publish_month END AS publish_month
+         |FROM (${FixtureGoldens.oracleSql("x01_fixture_stats")}) AS v
+         |WHERE doc_id <> '12.f12_nomonth.pdf'""".stripMargin,
     // x74: the lifecycle's metadata, literally — per-kind rows semantics
     // (commit/upsert = rows written, delete = tombstone keys, rollback =
     // 0), full flags, and the rollback target

@@ -376,9 +376,12 @@ object Checkpointing {
       val del =
         if (s.deletes.isEmpty || s.seq <= 1) Nil
         else {
+          // no distinct: each set is distinct on disk, and a semi-join is
+          // insensitive to duplicate build-side keys — skipping it keeps
+          // the whole leg exchange-free (plan-pinned)
           val keys = s.deletes
             .map(d => spark.read.parquet(s"${dir}_deletes/$d"))
-            .reduce(_ unionByName _).select("doc_id").distinct()
+            .reduce(_ unionByName _).select("doc_id")
           // pre-state rows are all committed before this snapshot, so the
           // sequence rule (delete only earlier commits) is the semi-join
           Seq(readAt(spark, dir, s.seq - 1)

@@ -397,4 +397,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(2000))
     assert(shuffleExchangeCount(df) == 1)
   }
+
+  test("x73 cdc read: the delete leg's key join broadcasts — the data side " +
+      "is never shuffled, and no SortMergeJoin appears") {
+    val df = SparkEntry.queries("x73_cdc_read")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(shuffleExchangeCount(df) == 0, plan.take(3000))
+  }
+
+  test("x72 rollback read: the restored-state scan is the plain parquet " +
+      "scan of the v1 files — no join, no exchange added by the rollback") {
+    val df = SparkEntry.queries("x72_snapshot_rollback")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // no MoR anti-join in this lifecycle — the delegated read must
+    // collapse to scan + generate (unnest), nothing else
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(shuffleExchangeCount(df) == 0, plan.take(3000))
+  }
 }
