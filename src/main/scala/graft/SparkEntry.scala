@@ -943,6 +943,25 @@ object SparkEntry {
       "q84_exact_k_sample" -> ((s, d) =>
         graft.ops.Curation.exactKSample(t(s, d, "documents"),
           "source", "doc_id", k = 12, salt = ":eks1")),
+      // ---- hybrid retrieval: BM25 keyword leg (q40's postings shape) +
+      //      single-query embedding-cosine leg (one map-side pass, vector
+      //      broadcast), fused with reciprocal-rank fusion — the standard
+      //      zero-training lexical+semantic combiner a RAG-curation
+      //      pipeline runs; both legs are TakeOrdered-bounded so the
+      //      fusion join sees <=kLeg rows per side
+      "q85_hybrid_rrf" -> ((s, d) =>
+        graft.ops.Search.hybridRrf(t(s, d, "documents"),
+          t(s, d, "embeddings"),
+          Seq("join", "stream", "window"), queryVecId = 7L,
+          k = 20, kLeg = 50)),
+      // ---- leakage-safe split: q35's hash split made dup-CLUSTER aware —
+      //      the split unit is the q37 near-dup component, so no near-dup
+      //      pair can straddle train/val; the cross_pairs audit column
+      //      (pinned 0 by construction) ships the guarantee in the result
+      "q86_leakage_split" -> ((s, d) =>
+        graft.ops.Curation.leakageSafeSplit(t(s, d, "documents"),
+          graft.ops.Dedup.ngramJaccardPairs(t(s, d, "documents"),
+            minJaccardBp = 2000L))),
       // ---- semi-structured sidecar extraction: the events table's JSON
       //      props column parsed with an EXPLICIT schema (from_json —
       //      never an inference scan, which at 100 TB is a full extra
@@ -3089,6 +3108,59 @@ object SparkEntry {
          |        doc_id) AS INT) AS rn
          |  FROM f)
          |SELECT source, doc_id, rn FROM r WHERE rn <= 12""".stripMargin,
+    // q85: both legs replayed (bm25Sql nested + the q17 cosine spelling),
+    // RRF sum in the same fixed leg order
+    "q85_hybrid_rrf" ->
+      graft.ops.Search.hybridRrfSql(toks, Seq("join", "stream", "window"),
+        queryVecId = 7L, k = 20, kLeg = 50),
+    // q86: the q37 closure assigns group keys, then the q35 fingerprint
+    // fold over the GROUP key (':lss1' salt); the leak audit re-joins the
+    // pair list against the assignment — must count zero on both sides
+    "q86_leakage_split" ->
+      s"""WITH RECURSIVE pairs AS ($ngramPairsOracleSql),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |verts AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM verts
+         |  UNION
+         |  SELECT e.dst AS id, r.lbl AS lbl
+         |  FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+         |g AS (
+         |  SELECT d.doc_id, d.n_chars,
+         |    COALESCE(c.component, d.doc_id) AS group_key
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |f AS (
+         |  SELECT doc_id, n_chars, group_key,
+         |    list_reduce(list_prepend(CAST(3421674724 AS HUGEINT),
+         |      list_transform(split(CAST(group_key AS VARCHAR) || ':lss1', ''),
+         |        c -> CAST(ord(c) AS HUGEINT))),
+         |      (h, c) -> (h * 1000003 + c) % (CAST(1 AS HUGEINT) << 64)) AS hu
+         |  FROM g),
+         |a AS (
+         |  SELECT doc_id, n_chars, group_key,
+         |    CASE WHEN CAST((((CASE WHEN hu >= (CAST(1 AS HUGEINT) << 63)
+         |          THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END) % 100)
+         |        + 100) % 100 AS BIGINT) < 90 THEN 'train' ELSE 'val' END AS split
+         |  FROM f),
+         |leaks AS (
+         |  SELECT sa.split AS split,
+         |    CAST(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS cross_pairs
+         |  FROM pairs p
+         |  JOIN a sa ON sa.doc_id = p.doc_a
+         |  JOIN a sb ON sb.doc_id = p.doc_b
+         |  GROUP BY 1),
+         |summary AS (
+         |  SELECT split, count(DISTINCT group_key) AS n_groups,
+         |    count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |  FROM a GROUP BY 1)
+         |SELECT s.split, s.n_groups, s.n_docs, s.total_chars,
+         |  CAST(COALESCE(l.cross_pairs, 0) AS BIGINT) AS cross_pairs
+         |FROM summary s LEFT JOIN leaks l ON l.split = s.split""".stripMargin,
     // q78: DuckDB's independent JSON implementation must agree field-wise
     "q78_props_extract" ->
       """WITH e AS (

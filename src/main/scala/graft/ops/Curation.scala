@@ -315,6 +315,80 @@ object Curation {
           concat(col(idCol).cast("string"), lit(salt))).as("h")),
       stratumCol, "h", idCol, k)
 
+  /** Leakage-safe train/val split: q35's hash-bucket split made DUP-CLUSTER
+    * aware. A plain per-doc hash split (q35) lets two near-duplicates land
+    * on opposite sides — the classic eval-contamination leak. Here the
+    * split unit is the near-dup CLUSTER: every doc in a connected component
+    * of the pair graph inherits the component label's bucket, so a
+    * train/val boundary can never cut a near-dup edge, by construction.
+    *
+    * Dataflow: components of `pairs` (star contraction, [[Components]]) →
+    * one left join docs⋈labels on doc_id (isolated docs fall back to their
+    * own id as the group key) → group-key fingerprint bucket → split. The
+    * audit column `cross_pairs` re-joins the pair list against the split
+    * assignment and counts pairs whose endpoints disagree — ZERO is the
+    * operator's invariant, computed in-query so the guarantee ships with
+    * the result instead of living only in a test.
+    *
+    * Scale: the pair graph is the near-dup output (corpus-sublinear); the
+    * docs⋈labels join shuffles on doc_id once; bucket + split are
+    * map-side; the audit joins the (small) pair list twice against the
+    * (doc_id, split) projection. At 10^12 docs the components step is the
+    * documented q37/q53 path (log² rounds, durable checkpoints).
+    *
+    * Output: (split, n_groups, n_docs, total_chars, cross_pairs). */
+  private def assignClusterSplits(docs: DataFrame, pairs: DataFrame,
+      trainPct: Int, salt: String, aCol: String, bCol: String): DataFrame = {
+    val labels = Components.connectedComponentsStar(pairs, aCol, bCol)
+      .select(col("id").as("doc_id"), col("component"))
+    docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("group_key", coalesce(col("component"), col("doc_id")))
+      .withColumn("bucket",
+        pmod(TextAnalysis.fingerprint64(
+          concat(col("group_key").cast("string"), lit(salt))), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train").otherwise("val"))
+  }
+
+  /** Per-doc view of [[leakageSafeSplit]]: the input docs with their
+    * cluster group_key and split label — the frame a pipeline actually
+    * filters on to materialize each side. */
+  def leakageSafeSplitAssignments(docs: DataFrame, pairs: DataFrame,
+      trainPct: Int = 90, salt: String = ":lss1",
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100, s"trainPct=$trainPct")
+    assignClusterSplits(docs, pairs.select(col(aCol), col(bCol)),
+      trainPct, salt, aCol, bCol)
+  }
+
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+      trainPct: Int = 90, salt: String = ":lss1",
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100, s"trainPct=$trainPct")
+    // the pair dataflow (near-dup candidate generation) is the expensive
+    // input and is consumed by BOTH the contraction and the audit join —
+    // materialize it once (the semanticDedup pattern)
+    val p = pairs.select(col(aCol), col(bCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = assignClusterSplits(docs, p, trainPct, salt, aCol, bCol)
+    val splits = assigned.select(col("doc_id"), col("split"))
+    val leaks = p
+      .join(splits.withColumnRenamed("doc_id", aCol)
+        .withColumnRenamed("split", "split_a"), aCol)
+      .join(splits.withColumnRenamed("doc_id", bCol)
+        .withColumnRenamed("split", "split_b"), bCol)
+      .groupBy(col("split_a").as("split"))
+      .agg(sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+        .as("cross_pairs"))
+    assigned.groupBy("split")
+      .agg(countDistinct(col("group_key")).as("n_groups"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .join(leaks, Seq("split"), "left")
+      .select(col("split"), col("n_groups"), col("n_docs"),
+        col("total_chars"), coalesce(col("cross_pairs"), lit(0L)).as("cross_pairs"))
+  }
+
   /** Token-budgeted mixture: per stratum (crawl source), keep documents in
     * deterministic id order until the stratum's TOKEN budget is spent —
     * how a training mixture is actually specified ("B tokens of source s"),

@@ -70,6 +70,82 @@ object Search {
         floor(col("score") * lit(1e6)).cast("long").as("score_micro"))
   }
 
+  /** Hybrid retrieval: a BM25 keyword leg and an embedding-cosine leg
+    * fused with reciprocal-rank fusion (RRF, Cormack/Clarke/Buettcher,
+    * SIGIR 2009): score(d) = Σ_legs 1/(rrfK + rank_leg(d)), missing legs
+    * contribute 0. The standard zero-training fusion a RAG-curation
+    * pipeline uses to combine lexical and semantic recall.
+    *
+    * Scale design: each leg is already top-k-bounded — the BM25 leg is
+    * [[bm25TopK]] (query-term postings only + TakeOrderedAndProject), the
+    * vector leg is a single broadcast query vector against the corpus
+    * (one map-side cosine pass + TakeOrderedAndProject; the multi-query /
+    * repeated-query path is IVF, q23). The fusion join therefore sees two
+    * ≤kLeg-row frames — nothing corpus-sized crosses the fusion step.
+    *
+    * Bit-exactness: ranks are integers; each leg's contribution is the
+    * IEEE-exact division 1.0/(rrfK+rank) (numerator/denominator both
+    * exactly representable), summed in fixed leg order (text + vec), so
+    * the DuckDB oracle compares scores exactly.
+    *
+    * Output: (doc_id, rank, rank_text, rank_vec, score_nano), rank 1-based
+    * by (score desc, doc_id asc); rank_text/rank_vec NULL when the doc was
+    * absent from that leg's top-kLeg. */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame,
+      queryTerms: Seq[String], queryVecId: Long, k: Int = 20, kLeg: Int = 50,
+      rrfK: Int = 60, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val text = bm25TopK(docs, queryTerms, kLeg, k1, b)
+      .select(col("doc_id"), col("rank").as("rank_text"))
+    val vec = Similarity.bruteKnn(embeddings,
+        embeddings.filter(col("vec_id") === queryVecId), kLeg)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("rank_vec"))
+    val leg = (r: String) =>
+      coalesce(lit(1.0) / (lit(rrfK.toDouble) + col(r).cast("double")), lit(0.0))
+    val fused = text.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_text"), col("rank_vec"),
+        (leg("rank_text") + leg("rank_vec")).as("score"))
+    val top = fused.orderBy(col("score").desc, col("doc_id")).limit(k)
+    // rank over the k collected rows only, as in bm25TopK
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("doc_id"), col("rank"), col("rank_text"), col("rank_vec"),
+        floor(col("score") * lit(1e9)).cast("long").as("score_nano"))
+  }
+
+  /** DuckDB replay of [[hybridRrf]] — nests [[bm25Sql]] as the text-leg
+    * subquery and the q17 cosine spelling (identical fold order to
+    * VecDot/selfDot) as the vector leg; same fixed leg-order summation. */
+  def hybridRrfSql(toksExpr: String, queryTerms: Seq[String],
+      queryVecId: Long, k: Int, kLeg: Int, rrfK: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    val dot = "list_reduce(list_transform(list_zip(q.emb, n.emb), p -> p[1]*p[2]), (x,y) -> x+y)"
+    val nq = "list_reduce(list_transform(q.emb, x -> x*x), (x,y) -> x+y)"
+    val nn = "list_reduce(list_transform(n.emb, x -> x*x), (x,y) -> x+y)"
+    def leg(r: String) =
+      s"COALESCE(CAST(1 AS DOUBLE)/(CAST($rrfK AS DOUBLE) + CAST($r AS DOUBLE)), CAST(0 AS DOUBLE))"
+    s"""WITH bm AS (
+       |  SELECT doc_id, rank AS rank_text FROM (
+       |    ${bm25Sql(toksExpr, queryTerms, kLeg, k1, b).replace("\n", "\n    ")})),
+       |emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |scored AS (
+       |  SELECT n.vec_id AS doc_id, $dot / (sqrt($nq) * sqrt($nn)) AS sim
+       |  FROM emb q JOIN emb n ON q.vec_id <> n.vec_id
+       |  WHERE q.vec_id = $queryVecId),
+       |vec AS (
+       |  SELECT doc_id, rank_vec FROM (
+       |    SELECT doc_id, CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS INT) AS rank_vec
+       |    FROM scored) WHERE rank_vec <= $kLeg),
+       |fused AS (
+       |  SELECT doc_id, rank_text, rank_vec,
+       |    ${leg("rank_text")} + ${leg("rank_vec")} AS score
+       |  FROM bm FULL OUTER JOIN vec USING (doc_id)),
+       |top AS (SELECT * FROM fused ORDER BY score DESC, doc_id LIMIT $k)
+       |SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+       |  rank_text, rank_vec, CAST(floor(score * 1e9) AS BIGINT) AS score_nano
+       |FROM top""".stripMargin
+  }
+
   /** The DuckDB replay of [[bm25TopK]] — identical expression tree, term
     * order, and summation order. Float literals are printed from the SAME
     * Scala doubles the engine uses (Double.toString round-trips exactly),

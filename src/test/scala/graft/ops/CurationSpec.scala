@@ -475,6 +475,75 @@ class CurationSpec extends AnyFunSuite {
     assert(other != out.map(r => (r._1, r._2, r._3)).sortBy(_._1))
   }
 
+  test("leakageSafeSplit: clusters move as units, audit pins zero cross-split pairs") {
+    val docs = (0L until 40L).map(i => (i, s"doc $i", 100L + i))
+      .toDF("doc_id", "text", "n_chars")
+    // two chains (0-1-2, 10-11) and a standalone pair (20,21); rest isolated
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val out = Curation.leakageSafeSplit(docs, pairs, trainPct = 50)
+      .select("split", "n_groups", "n_docs", "total_chars", "cross_pairs")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // audit invariant: no near-dup pair straddles the split
+    assert(out.values.forall(_._4 == 0L))
+    // totals add up: 40 docs, 36 groups (33 isolated + 3 clusters of 7 docs)
+    assert(out.values.map(_._2).sum == 40L)
+    assert(out.values.map(_._1).sum == 36L)
+    assert(out.values.map(_._3).sum == (0L until 40L).map(100L + _).sum)
+    // direct check that each cluster is entirely on one side
+    val labeled = Curation.leakageSafeSplitAssignments(docs, pairs, trainPct = 50)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    Seq(Seq(0L, 1L, 2L), Seq(10L, 11L), Seq(20L, 21L)).foreach { cluster =>
+      assert(cluster.map(labeled).distinct.size == 1, s"cluster $cluster split")
+    }
+  }
+
+  test("hybridRrf: fused ranking equals manual RRF of the two legs; leg-null semantics") {
+    val corpus = Seq(
+      (1L, "join join join join join"),
+      (2L, "a join here and a stream there"),
+      (3L, "stream stream stream"),
+      (4L, "nothing relevant at all"),
+      (5L, "window window join stream window")).toDF("doc_id", "text")
+    // vec 0 is the query; doc 4 is its exact match (vector rank 1) but has
+    // no query terms, so it must surface with rank_text NULL
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(-1.0f, 0.2f)),
+      (2L, Array(0.9f, 0.3f)), (3L, Array(0.0f, 1.0f)),
+      (4L, Array(1.0f, 0.0f)), (5L, Array(-0.5f, -0.5f)))
+      .toDF("vec_id", "embedding")
+    val terms = Seq("join", "stream", "window")
+    val got = Search.hybridRrf(corpus, emb, terms, queryVecId = 0L,
+        k = 10, kLeg = 5)
+      .select("doc_id", "rank", "rank_text", "rank_vec", "score_nano")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3), r.getLong(4))).toSeq
+    // manual fusion from the two legs
+    val text = Search.bm25TopK(corpus, terms, 5)
+      .select("doc_id", "rank").as[(Long, Int)].collect().toMap
+    val vec = graft.ops.Similarity
+      .bruteKnn(emb, emb.filter($"vec_id" === 0L), 5)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
+    val want = (text.keySet ++ vec.keySet).toSeq.map { d =>
+      val s = text.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        vec.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (d, text.getOrElse(d, -1), vec.getOrElse(d, -1), s)
+    }.sortBy { case (d, _, _, s) => (-s, d) }.zipWithIndex.map {
+      case ((d, rt, rv, s), i) => (d, i + 1, rt, rv, math.floor(s * 1e9).toLong)
+    }
+    assert(got == want)
+    // doc 4 reachable only through the vector leg
+    val d4 = got.find(_._1 == 4L).get
+    assert(d4._3 == -1 && d4._4 == 1)
+    // a doc present in BOTH legs outranks every single-leg doc: scores say
+    // 1/(60+r1)+1/(60+r2) > 1/61 whenever r1,r2 <= 58
+    val both = got.filter(r => r._3 > 0 && r._4 > 0).map(_._2)
+    val single = got.filter(r => r._3 < 0 || r._4 < 0).map(_._2)
+    if (both.nonEmpty && single.nonEmpty) assert(both.max < single.min)
+  }
+
   test("bm25: rarer term carries a higher idf weight") {
     val corpus = (1L to 9L).map(i => (i, "common common filler")) :+
       (10L, "rare common")
