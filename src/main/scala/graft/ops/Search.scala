@@ -96,9 +96,23 @@ object Search {
       rrfK: Int = 60, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val text = bm25TopK(docs, queryTerms, kLeg, k1, b)
       .select(col("doc_id"), col("rank").as("rank_text"))
-    val vec = Similarity.bruteKnn(embeddings,
-        embeddings.filter(col("vec_id") === queryVecId), kLeg)
-      .select(col("neighbor_id").as("doc_id"), col("rank").as("rank_vec"))
+    // NOT bruteKnn: its per-query Window would put the WHOLE corpus in one
+    // partition for a single query. One broadcast query vector + global
+    // orderBy/limit = TakeOrderedAndProject (per-partition heaps).
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("emb_q"))
+    val scored = embeddings
+      .select(col("vec_id").as("doc_id"),
+        col("embedding").cast("array<double>").as("emb_n"))
+      .join(broadcast(q), col("query_id") =!= col("doc_id"))
+      .select(col("doc_id"),
+        Similarity.cosine(col("emb_q"), col("emb_n")).as("sim"))
+    val vecTop = scored.orderBy(col("sim").desc, col("doc_id")).limit(kLeg)
+    val wv = org.apache.spark.sql.expressions.Window
+      .orderBy(col("sim").desc, col("doc_id"))
+    val vec = vecTop.withColumn("rank_vec", row_number().over(wv))
+      .select(col("doc_id"), col("rank_vec"))
     val leg = (r: String) =>
       coalesce(lit(1.0) / (lit(rrfK.toDouble) + col(r).cast("double")), lit(0.0))
     val fused = text.join(vec, Seq("doc_id"), "full_outer")

@@ -255,6 +255,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
   }
 
+  test("q85 hybrid rrf: both legs TakeOrdered; no shuffle carries vectors or text") {
+    val df = SparkEntry.queries("q85_hybrid_rrf")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // one TakeOrderedAndProject per leg (BM25 top-kLeg, cosine top-kLeg) —
+    // a global Sort in either leg would be the corpus-scale cliff
+    assert(plan.split("TakeOrderedAndProject").length >= 3, plan.take(3000))
+    // embeddings/text stay at the scan: every exchange is scalar-only
+    val outs = shuffleOutputs("q85_hybrid_rrf")
+    val arrays = outs.filter(_._2.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+    assert(arrays.isEmpty, s"q85 shuffles array columns: $arrays")
+    assert(!outs.exists(_._1.equalsIgnoreCase("text")),
+      s"q85 shuffles raw text: $outs")
+  }
+
+  test("q86 leakage split: assignment/audit exchanges are scalar-only") {
+    val outs = shuffleOutputs("q86_leakage_split")
+    val arrays = outs.filter(_._2.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+    assert(arrays.isEmpty, s"q86 shuffles array columns: $arrays")
+    assert(!outs.exists(_._1.equalsIgnoreCase("text")),
+      s"q86 shuffles raw text: $outs")
+  }
+
   test("q41 stratified sample: the gate is map-side — only the summary agg shuffles") {
     val df = SparkEntry.queries("q41_stratified_sample")(spark, sf)
     df.collect()
