@@ -954,6 +954,21 @@ object SparkEntry {
           t(s, d, "embeddings"),
           Seq("join", "stream", "window"), queryVecId = 7L,
           k = 20, kLeg = 50)),
+      // ---- indexed BM25: postings + doc stats built per corpus HALF and
+      //      merged ADDITIVELY (the committed append-only index shape;
+      //      ingest cost ∝ delta, never a corpus rescan), query answered
+      //      from the index through the bm25TopK expression tree verbatim
+      //      — the oracle is the FULL-SCAN replay, so the green row proves
+      //      incremental-index == batch bit-for-bit
+      "q87_indexed_bm25" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+        val (pA, sA) = graft.ops.Search.buildIndex(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+        val (pB, sB) = graft.ops.Search.buildIndex(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+        graft.ops.Search.bm25FromIndex(pA.unionByName(pB), sA.unionByName(sB),
+          Seq("join", "stream", "window"), k = 20)
+      }),
       // ---- leakage-safe split: q35's hash split made dup-CLUSTER aware —
       //      the split unit is the q37 near-dup component, so no near-dup
       //      pair can straddle train/val; the cross_pairs audit column
@@ -3113,6 +3128,11 @@ object SparkEntry {
     "q85_hybrid_rrf" ->
       graft.ops.Search.hybridRrfSql(toks, Seq("join", "stream", "window"),
         queryVecId = 7L, k = 20, kLeg = 50),
+    // q87: the oracle is the FULL-SCAN bm25 replay over the whole corpus —
+    // hash equality proves the incrementally-merged index returns the
+    // identical ranking (same floats) as a from-scratch batch scan
+    "q87_indexed_bm25" ->
+      graft.ops.Search.bm25Sql(toks, Seq("join", "stream", "window"), 20),
     // q86: the q37 closure assigns group keys, then the q35 fingerprint
     // fold over the GROUP key (':lss1' salt); the leak audit re-joins the
     // pair list against the assignment — must count zero on both sides

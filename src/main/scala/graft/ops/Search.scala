@@ -27,23 +27,13 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
-  /** Top-k docs for `queryTerms` by summed per-term BM25 score.
-    * Output: (doc_id, rank, score_micro) with rank 1-based by
-    * (score desc, doc_id asc). */
-  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val terms = queryTerms.map(_.toLowerCase).distinct.sorted
-    val wl = docs
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"),
-        size(col("toks")).cast("double").as("dl"))
-    val corpus = wl.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl").cast("long")).as("sum_dl"))
-    val tf = wl
-      .select(col("doc_id"), col("dl"),
-        explode(filter(col("toks"), t => t.isInCollection(terms))).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
+  /** Shared BM25 scorer: `tf` = (doc_id, dl, term, tf) rows for the query
+    * terms only; `corpus` = one (n_docs, sum_dl) row. Both the full-scan
+    * path ([[bm25TopK]]) and the index path ([[bm25FromIndex]]) feed this
+    * IDENTICAL expression tree, so their float sequences — and therefore
+    * the DuckDB oracle hashes — agree bit-for-bit. */
+  private def bm25Score(tf: DataFrame, corpus: DataFrame,
+      terms: Seq[String], k: Int, k1: Double, b: Double): DataFrame = {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(dfreq), "term")
@@ -68,6 +58,68 @@ object Search {
     top.withColumn("rank", row_number().over(w))
       .select(col("doc_id"), col("rank"),
         floor(col("score") * lit(1e6)).cast("long").as("score_micro"))
+  }
+
+  /** Top-k docs for `queryTerms` by summed per-term BM25 score.
+    * Output: (doc_id, rank, score_micro) with rank 1-based by
+    * (score desc, doc_id asc). */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queryTerms.map(_.toLowerCase).distinct.sorted
+    val wl = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("double").as("dl"))
+    val corpus = wl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl").cast("long")).as("sum_dl"))
+    val tf = wl
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("toks"), t => t.isInCollection(terms))).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    bm25Score(tf, corpus, terms, k, k1, b)
+  }
+
+  /** Build the persistent keyword index for [[bm25FromIndex]]: postings
+    * (term, doc_id, tf, dl — dl denormalized onto the posting so the query
+    * path needs no per-doc join) and docStats (doc_id, dl — kept separately
+    * because docs whose text matches NO query term, including empty docs,
+    * still count in n_docs/sum_dl).
+    *
+    * Both frames are ADDITIVE in documents: indexing a new batch appends
+    * its postings/stats rows and touches nothing existing — the property
+    * that makes the index a committed APPEND-only table at 100 TB
+    * (partition/bucket postings by term for query-time file skipping),
+    * with ingest cost ∝ delta instead of a corpus rescan. */
+  def buildIndex(docs: DataFrame): (DataFrame, DataFrame) = {
+    val wl = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("double").as("dl"))
+    val postings = wl
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    (postings, wl.select(col("doc_id"), col("dl")))
+  }
+
+  /** BM25 top-k answered FROM the index — no corpus scan: the postings
+    * filter touches only the query terms' rows (file-skippable when the
+    * postings table is partitioned by term), corpus stats reduce docStats,
+    * and the scorer is the [[bm25TopK]] expression tree verbatim — so an
+    * incrementally-grown index provably returns the same ranking, floats
+    * and all, as a from-scratch scan of the merged corpus. */
+  def bm25FromIndex(postings: DataFrame, docStats: DataFrame,
+      queryTerms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queryTerms.map(_.toLowerCase).distinct.sorted
+    val corpus = docStats.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl").cast("long")).as("sum_dl"))
+    val tf = postings
+      .filter(col("term").isInCollection(terms))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    bm25Score(tf, corpus, terms, k, k1, b)
   }
 
   /** Hybrid retrieval: a BM25 keyword leg and an embedding-cosine leg

@@ -270,6 +270,36 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q85 shuffles raw text: $outs")
   }
 
+  test("q87 indexed bm25: term filter below the postings agg; TakeOrdered top-k") {
+    import org.apache.spark.sql.execution.{FilterExec, GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val df = SparkEntry.queries("q87_indexed_bm25")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    // the query-term predicate must reach BELOW the postings aggregate —
+    // a Filter above the agg would score the whole vocabulary. Pushed-down
+    // shape: a Filter on `term` whose subtree reaches the explode WITHOUT
+    // crossing another aggregate.
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    val all = nodes(df.queryExecution.executedPlan)
+    val pushed = all.collect {
+      case f: FilterExec if f.condition.toString.contains("term") &&
+          nodes(f.child).exists(_.isInstanceOf[GenerateExec]) &&
+          !nodes(f.child).exists(_.isInstanceOf[BaseAggregateExec]) => f
+    }
+    assert(pushed.nonEmpty,
+      "no term filter directly over the explode:\n" + plan.take(3000))
+  }
+
   test("q86 leakage split: assignment/audit exchanges are scalar-only") {
     val outs = shuffleOutputs("q86_leakage_split")
     val arrays = outs.filter(_._2.isInstanceOf[org.apache.spark.sql.types.ArrayType])

@@ -544,6 +544,33 @@ class CurationSpec extends AnyFunSuite {
     if (both.nonEmpty && single.nonEmpty) assert(both.max < single.min)
   }
 
+  test("indexed bm25: incremental index == build-once index == direct scan") {
+    val corpus = Seq(
+      (1L, "join join join join join"),
+      (2L, "a join here and a stream there"),
+      (3L, "stream stream stream"),
+      (4L, "nothing relevant at all"),
+      (5L, "window window join stream window"),
+      (6L, "")).toDF("doc_id", "text") // empty doc still counts in stats
+    val terms = Seq("join", "stream", "window")
+    val direct = Search.bm25TopK(corpus, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // build-once
+    val (p, st) = Search.buildIndex(corpus)
+    val once = Search.bm25FromIndex(p, st, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // incremental: two batches, appended
+    val (pA, sA) = Search.buildIndex(corpus.filter($"doc_id" <= 3))
+    val (pB, sB) = Search.buildIndex(corpus.filter($"doc_id" > 3))
+    val incr = Search.bm25FromIndex(pA.unionByName(pB), sA.unionByName(sB),
+        terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(direct.sorted == once.sorted)
+    assert(direct.sorted == incr.sorted)
+    // the index's doc-stat side must count term-less and empty docs
+    assert(st.count() == 6)
+  }
+
   test("bm25: rarer term carries a higher idf weight") {
     val corpus = (1L to 9L).map(i => (i, "common common filler")) :+
       (10L, "rare common")
