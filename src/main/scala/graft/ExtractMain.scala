@@ -35,6 +35,10 @@ object ExtractMain {
       "       ExtractMain maintain <outputDir> snapshots\n" +
       "       ExtractMain maintain <outputDir> expire [keepLast]\n" +
       "       ExtractMain maintain <outputDir> rollback <version>\n" +
+      "       ExtractMain maintain <outputDir> branch <name> <version>\n" +
+      "       ExtractMain maintain <outputDir> branches\n" +
+      "       ExtractMain maintain <outputDir> fast-forward <name>\n" +
+      "       ExtractMain maintain <outputDir> drop-branch <name>\n" +
       "       ExtractMain bench <inputDir> [saltPages]")
     val spark = SparkSession.builder()
       .appName("graft-extract")
@@ -148,6 +152,33 @@ object ExtractMain {
           val seq = Checkpointing.rollback(dir, v, s"rollback-$run")
           println(s"""{"op":"rollback","table":"${name(dir)}",""" +
             s""""to_version":$v,"new_seq":$seq}""")
+        }
+      case "branch" :: bname :: version :: Nil =>
+        val v = version.toInt
+        tables.foreach { dir =>
+          Checkpointing.createBranch(dir, bname, v)
+          println(s"""{"op":"branch","table":"${name(dir)}",""" +
+            s""""name":"$bname","base":$v}""")
+        }
+      case "branches" :: Nil =>
+        tables.foreach { dir =>
+          Checkpointing.branches(dir).toSeq.sortBy(_._1).foreach {
+            case (n, (base, commits)) =>
+              println(s"""{"table":"${name(dir)}","branch":"$n",""" +
+                s""""base":$base,"commits":$commits}""")
+          }
+        }
+      case "fast-forward" :: bname :: Nil =>
+        tables.foreach { dir =>
+          val head = Checkpointing.fastForward(dir, bname)
+          println(s"""{"op":"fast-forward","table":"${name(dir)}",""" +
+            s""""branch":"$bname","new_head":$head}""")
+        }
+      case "drop-branch" :: bname :: Nil =>
+        tables.foreach { dir =>
+          Checkpointing.dropBranch(dir, bname)
+          println(s"""{"op":"drop-branch","table":"${name(dir)}",""" +
+            s""""branch":"$bname"}""")
         }
       case other =>
         throw new IllegalArgumentException(s"unknown maintenance op: $other")

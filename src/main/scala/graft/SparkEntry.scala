@@ -1298,6 +1298,59 @@ object SparkEntry {
       //      (files untouched, readTag exact), dropping it releases both,
       //      and compact refuses while a tag exists (it deletes outright
       //      where upsert defers to tag-aware vacuum)
+      // ---- branches: the writable ref — multi-commit audit work lands
+      //      atomically via fast-forward or is dropped; main readers never
+      //      see branch files; vacuum/compact honor branch liveness;
+      //      diverged fast-forward refuses
+      "x76_branches" -> ((s, _) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-x76").toString + "/t"
+        def frame(lo: Long, hi: Long, mult: Long) =
+          s.range(lo, hi + 1)
+            .select(col("id").as("doc_ord"), col("id").as("doc_id"))
+            .withColumn("temp", (col("doc_ord") * mult).cast("long"))
+            .repartitionByRange(2, col("doc_ord"))
+        val C = graft.pipeline.Checkpointing
+        C.commit(frame(1, 100, 3), dir, "c1")
+        C.commit(frame(101, 200, 3), dir, "c2")
+        C.createBranch(dir, "audit", 2)
+        C.commitToBranch(frame(201, 300, 5), dir, "audit", "b1")
+        C.commitToBranch(frame(301, 400, 5), dir, "audit", "b2")
+        val mainBefore = C.readAt(s, dir, C.snapshots(dir).last.seq)
+        val branch = C.readBranch(s, dir, "audit")
+        val branchRows = branch.count()
+        val branchSum = branch.agg(sum(col("temp"))).collect()(0).getLong(0)
+        val vacuumedWhileBranched = C.vacuum(dir).size.toLong
+        val compactBlocked = scala.util
+          .Try(C.compact(s, dir, 2, "never")).isFailure
+        // a second branch left behind while main advances: fast-forward
+        // must refuse (divergence) and dropping it orphans its files
+        C.createBranch(dir, "exp", 2)
+        C.commitToBranch(frame(401, 500, 7), dir, "exp", "e1")
+        val mainRowsBefore = mainBefore.count()
+        val head = C.fastForward(dir, "audit").toLong
+        val ffDivergedBlocked = scala.util
+          .Try(C.fastForward(dir, "exp")).isFailure
+        C.dropBranch(dir, "exp")
+        val vacuumedAfterDrop = C.vacuum(dir).size.toLong
+        val cur = C.readAt(s, dir, head.toInt)
+        val v2 = C.readAt(s, dir, 2)
+        Seq(
+          ("rows_main_before_ff", mainRowsBefore),
+          ("rows_branch", branchRows),
+          ("sum_temp_branch", branchSum),
+          ("vacuumed_while_branched", vacuumedWhileBranched),
+          ("branch_blocks_compact", if (compactBlocked) 1L else 0L),
+          ("ff_head", head),
+          ("rows_main_after_ff", cur.count()),
+          ("sum_temp_after_ff",
+            cur.agg(sum(col("temp"))).collect()(0).getLong(0)),
+          ("ff_diverged_blocked", if (ffDivergedBlocked) 1L else 0L),
+          ("vacuumed_after_drop", vacuumedAfterDrop),
+          ("rows_at_v2_after_ff", v2.count()))
+          .toDF("metric", "n")
+      }),
       "x68_snapshot_tags" -> ((s, _) => {
         import s.implicits._
         val dir = java.nio.file.Files
@@ -2665,6 +2718,31 @@ object SparkEntry {
     // x68: both table states derive from the commit/upsert arithmetic in
     // SQL — the tagged version is all-3x over 1..200, the current state is
     // x67's shape; lifecycle counts are the retention contract
+    // x76: the branch content and post-fast-forward state derive from the
+    // commit arithmetic (1..200 at 3x on main, 201..400 at 5x on the
+    // branch); lifecycle counts (nothing vacuumed while the branch lives,
+    // compact+diverged-ff refused, the dropped branch's 2 files reclaimed)
+    // are the contract
+    "x76_branches" ->
+      """WITH main_b AS (
+        |  SELECT i AS doc_ord, i*3 AS temp FROM range(1, 201) t(i)),
+        |br AS (
+        |  SELECT doc_ord, temp FROM main_b
+        |  UNION ALL
+        |  SELECT i AS doc_ord, i*5 AS temp FROM range(201, 401) t(i))
+        |SELECT * FROM (VALUES
+        |  ('rows_main_before_ff', (SELECT count(*) FROM main_b)),
+        |  ('rows_branch', (SELECT count(*) FROM br)),
+        |  ('sum_temp_branch', (SELECT CAST(sum(temp) AS BIGINT) FROM br)),
+        |  ('vacuumed_while_branched', 0),
+        |  ('branch_blocks_compact', 1),
+        |  ('ff_head', 4),
+        |  ('rows_main_after_ff', (SELECT count(*) FROM br)),
+        |  ('sum_temp_after_ff', (SELECT CAST(sum(temp) AS BIGINT) FROM br)),
+        |  ('ff_diverged_blocked', 1),
+        |  ('vacuumed_after_drop', 2),
+        |  ('rows_at_v2_after_ff', (SELECT count(*) FROM main_b))
+        |) v(metric, n)""".stripMargin,
     "x68_snapshot_tags" ->
       """WITH tagged AS (
         |  SELECT i AS doc_ord, i*3 AS temp FROM range(1, 201) t(i)),

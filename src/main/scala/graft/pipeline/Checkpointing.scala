@@ -78,10 +78,21 @@ object Checkpointing {
   private def writeSnapshot(dir: String, runId: String, added: Seq[String],
       rows: Long, full: Boolean = false, deletes: Seq[String] = Nil,
       stats: Map[String, (Long, Long)] = Map.empty,
+      spec: String = "doc_ord", rollbackOf: Option[Int] = None): Snapshot =
+    writeSnapshotAt(Paths.get(dir + "_manifest"),
+      snapshots(dir).lastOption.map(_.seq).getOrElse(0) + 1,
+      runId, added, rows, full, deletes, stats, spec, rollbackOf)
+
+  /** [[writeSnapshot]] with the log location and seq made explicit — the
+    * shared writer for the main log and branch logs (a branch log lives
+    * under the main manifest dir and numbers its snapshots CONTINUING from
+    * the branch base, so merge-on-read seq ordering stays global). */
+  private def writeSnapshotAt(manifestDir: java.nio.file.Path, seq: Int,
+      runId: String, added: Seq[String],
+      rows: Long, full: Boolean = false, deletes: Seq[String] = Nil,
+      stats: Map[String, (Long, Long)] = Map.empty,
       spec: String = "doc_ord", rollbackOf: Option[Int] = None): Snapshot = {
-    val manifestDir = Paths.get(dir + "_manifest")
     Files.createDirectories(manifestDir)
-    val seq = snapshots(dir).lastOption.map(_.seq).getOrElse(0) + 1
     val statsJson = stats.toSeq.sortBy(_._1)
       .map { case (f, (mn, mx)) => s""""$f":[$mn,$mx]""" }.mkString(",")
     val rbJson = rollbackOf.map(v => s""""rollback_of":$v,""").getOrElse("")
@@ -97,8 +108,10 @@ object Checkpointing {
   }
 
   /** The snapshot log, oldest first (empty when the dir has no commits). */
-  def snapshots(dir: String): Seq[Snapshot] = {
-    val manifestDir = new java.io.File(dir + "_manifest")
+  def snapshots(dir: String): Seq[Snapshot] =
+    snapshotsAt(new java.io.File(dir + "_manifest"))
+
+  private def snapshotsAt(manifestDir: java.io.File): Seq[Snapshot] = {
     Option(manifestDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("snapshot-") && f.getName.endsWith(".json"))
       .sortBy(_.getName)
@@ -510,12 +523,15 @@ object Checkpointing {
     // tagged versions stay readable until their tag is dropped: their
     // stacks' files (and delete sets, below) are live too
     val tagged = taggedStacks(dir, snaps)
-    val live = (liveSnaps ++ tagged).flatMap(_.files).toSet ++ stagedLive
+    // live branches keep their own commits AND their base stacks readable
+    val branched = branchStacks(dir, snaps)
+    val live = (liveSnaps ++ tagged ++ branched).flatMap(_.files).toSet ++
+      stagedLive
     val orphans = (parquetNames(dir) -- live).toSeq.sorted
     orphans.foreach(n => Files.deleteIfExists(Paths.get(s"$dir/$n")))
     // delete sets referenced by no live snapshot (expired by a rebase, or
     // debris of a crashed deleteWhere) go the same way
-    val liveDels = (liveSnaps ++ tagged).flatMap(_.deletes).toSet
+    val liveDels = (liveSnaps ++ tagged ++ branched).flatMap(_.deletes).toSet
     val delRoot = new java.io.File(s"${dir}_deletes")
     val delOrphans = Option(delRoot.listFiles()).getOrElse(Array.empty)
       .collect { case f if !liveDels.contains(f.getName) => f.getName }
@@ -595,6 +611,124 @@ object Checkpointing {
       effectiveSnaps(dir, v)
     }
 
+  // ------------------------------------------------------------ branches
+  /** Iceberg-style BRANCHES: a writable named ref. Where a tag ([[tag]])
+    * pins a version read-only, a branch accepts its own commits — staged
+    * work (an audit corpus, a re-extraction experiment) accumulates on the
+    * branch while `main` stays untouched, then lands atomically via
+    * [[fastForward]] or is discarded via [[dropBranch]]. This generalizes
+    * the single-batch write-audit-publish flow ([[stage]]/[[publish]]) to
+    * MULTI-commit audits.
+    *
+    * Mechanics: a branch is a sub-log under the main manifest dir
+    * (`<dir>_manifest/branch-<name>/`) holding a base pointer + its own
+    * snapshot files; branch DATA files live in the table dir like any
+    * other commit but are referenced only by the branch log, so main
+    * readers never see them. Branch snapshots number CONTINUING from the
+    * base seq, which keeps merge-on-read delete ordering global and makes
+    * fast-forward a pure metadata copy. Branch commits are APPENDS
+    * ([[commitToBranch]]); rebases (upsert/compact) stay main-only.
+    * [[vacuum]] / [[expireSnapshots]] protect branch logs and their base
+    * stacks; [[compact]] refuses while branches exist (same contract as
+    * tags). */
+  def createBranch(dir: String, name: String, version: Int): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"bad branch name: '$name'")
+    val snaps = snapshots(dir)
+    require(snaps.exists(_.seq == version),
+      s"cannot branch at version $version: unknown or expired " +
+        s"(present: ${snaps.map(_.seq).mkString(",")})")
+    effectiveSnaps(dir, version) // base must be readable NOW — fail here
+    val d = Paths.get(branchPath(dir, name))
+    require(!Files.exists(d), s"branch '$name' already exists — dropBranch first")
+    Files.createDirectories(d)
+    Files.writeString(d.resolve("base.json"),
+      s"""{"name":"$name","base_seq":$version}""")
+    ()
+  }
+
+  private def branchPath(dir: String, name: String) =
+    s"${dir}_manifest/branch-$name"
+
+  /** Live branches: name → (base version, number of branch commits). */
+  def branches(dir: String): Map[String, (Int, Int)] = {
+    val manifestDir = new java.io.File(dir + "_manifest")
+    Option(manifestDir.listFiles()).getOrElse(Array.empty)
+      .collect { case f if f.isDirectory && f.getName.startsWith("branch-") &&
+          Files.exists(f.toPath.resolve("base.json")) =>
+        val name = f.getName.stripPrefix("branch-")
+        name -> (branchBase(dir, name), snapshotsAt(f).size)
+      }.toMap
+  }
+
+  private def branchBase(dir: String, name: String): Int = {
+    val p = Paths.get(branchPath(dir, name), "base.json")
+    require(Files.exists(p), s"no such branch: '$name'")
+    """"base_seq":(\d+)""".r.findFirstMatchIn(Files.readString(p))
+      .get.group(1).toInt
+  }
+
+  private def branchSnaps(dir: String, name: String): Seq[Snapshot] =
+    snapshotsAt(new java.io.File(branchPath(dir, name)))
+
+  /** Append a batch to the branch: data files land in the table dir, the
+    * snapshot lands in the branch log only — invisible to main readers. */
+  def commitToBranch(df: DataFrame, dir: String, name: String,
+      runId: String): Long = {
+    val base = branchBase(dir, name)
+    val (rows, added, stats) = writeInstrumented(df, dir, runId)
+    val seq = math.max(base, branchSnaps(dir, name).lastOption
+      .map(_.seq).getOrElse(0)) + 1
+    writeSnapshotAt(Paths.get(branchPath(dir, name)), seq, runId, added,
+      rows, stats = stats)
+    rows
+  }
+
+  /** Read the branch head: the base version's effective stack plus every
+    * branch commit on top. */
+  def readBranch(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val base = branchBase(dir, name)
+    val stack = effectiveSnaps(dir, base) ++ branchSnaps(dir, name)
+    assemble(spark, dir, base, stack)
+  }
+
+  /** Land the branch on main — Iceberg's `fast_forward`: legal only while
+    * main's head still IS the branch base (a diverged main means the
+    * audit's premise is stale — re-branch and re-validate instead of
+    * silently merging). Pure metadata: each branch snapshot is re-logged
+    * onto main with the SAME seq it already carried (head == base makes
+    * main's next seq the branch's first), then the branch is dropped.
+    * Returns main's new head version. */
+  def fastForward(dir: String, name: String): Int = {
+    val base = branchBase(dir, name)
+    val head = snapshots(dir).last.seq
+    require(head == base,
+      s"cannot fast-forward '$name': main advanced to $head past the " +
+        s"branch base $base — drop the branch and re-stage the audit")
+    val bs = branchSnaps(dir, name)
+    require(bs.nonEmpty, s"branch '$name' has no commits to land")
+    bs.foreach { s =>
+      writeSnapshot(dir, s.runId, s.files, s.rows, s.full, s.deletes,
+        s.stats, s.spec, s.rollbackOf)
+    }
+    dropBranch(dir, name)
+    snapshots(dir).last.seq
+  }
+
+  /** Discard the branch: its log disappears; its data files become
+    * orphans for the next [[vacuum]] to reclaim. */
+  def dropBranch(dir: String, name: String): Unit = {
+    val d = new java.io.File(branchPath(dir, name))
+    require(d.isDirectory, s"no such branch: '$name'")
+    deleteRecursively(d)
+  }
+
+  /** Every snapshot a live branch keeps alive: its own commits plus its
+    * base version's effective stack. */
+  private def branchStacks(dir: String, snaps: Seq[Snapshot]): Seq[Snapshot] =
+    branches(dir).keys.toSeq.flatMap { n =>
+      effectiveSnaps(dir, branchBase(dir, n)) ++ branchSnaps(dir, n)
+    }
+
   /** Iceberg `rollback_to_snapshot` — restore the table to an earlier
     * version as a NEW commit, metadata-only. One snapshot file is written;
     * no data file is copied, rewritten, or even listed — at 100 TB the
@@ -644,8 +778,10 @@ object Checkpointing {
     val baseSeq = snaps(baseIdx).seq
     val keepFromSeq = snaps(math.max(0, snaps.size - keepLast)).seq
     // tags protect their whole effective stack (protecting the tagged seq
-    // alone could leave it unreadable — its deltas-below would be gone)
-    val tagProtected = taggedStacks(dir, snaps).map(_.seq).toSet
+    // alone could leave it unreadable — its deltas-below would be gone);
+    // branches protect their base stacks the same way
+    val tagProtected = (taggedStacks(dir, snaps) ++ branchStacks(dir, snaps))
+      .map(_.seq).toSet
     // the LIVE stack is protected too: when the latest rebase is a
     // rollback, the state it restores lives in snapshots BELOW baseSeq —
     // expiring them would break every future read of the current table
@@ -711,6 +847,11 @@ object Checkpointing {
     val pinned = tags(dir)
     require(pinned.isEmpty, "compact would delete files tagged versions " +
       s"need (tags: ${pinned.keys.mkString(", ")}) — dropTag first")
+    // a branch references both its own commits and its base stack —
+    // the dir swap would destroy them; land or drop branches first
+    val live = branches(dir)
+    require(live.isEmpty, "compact would delete files live branches need " +
+      s"(branches: ${live.keys.mkString(", ")}) — fastForward or dropBranch first")
     def parquetFiles(d: java.io.File): Int =
       Option(d.listFiles()).map(_.count(f => f.getName.endsWith(".parquet"))).getOrElse(0)
     val before = parquetFiles(new java.io.File(dir))

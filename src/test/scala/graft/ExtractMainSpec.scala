@@ -131,6 +131,34 @@ class ExtractMainAuditSpec extends AnyFunSuite {
     assert(n == 4 && total == 12, s"($n, $total)")
   }
 
+  test("maintain branch ops: create, list, fast-forward from the ops surface") {
+    spark.sparkContext.setLogLevel("WARN")
+    val base = java.nio.file.Files.createTempDirectory("graft-embr").toString
+    val input = s"$base/in"
+    val out = s"$base/out"
+    val docs = graft.layout.FixtureCorpus.fixtureDocs
+    spark.createDataset(docs.take(8)).write.parquet(input)
+    ExtractMain.run(spark, input, out, saltPages = 16)
+    val stats = s"$out/stats"
+    val v = graft.pipeline.Checkpointing.snapshots(stats).last.seq
+    ExtractMain.maintain(spark, out, Array("branch", "audit", v.toString))
+    assert(graft.pipeline.Checkpointing.branches(stats).contains("audit"))
+    ExtractMain.maintain(spark, out, Array("branches"))
+    // one audit commit per table, then the fast-forward lands both
+    val frame = spark.range(1).select(
+      org.apache.spark.sql.functions.lit(99990L).as("doc_ord"),
+      org.apache.spark.sql.functions.lit("x99990").as("doc_id"))
+    Seq(stats, s"$out/spans").foreach { dir =>
+      graft.pipeline.Checkpointing.commitToBranch(frame, dir, "audit", "b1")
+    }
+    ExtractMain.maintain(spark, out, Array("fast-forward", "audit"))
+    assert(graft.pipeline.Checkpointing.branches(stats).isEmpty)
+    assert(graft.pipeline.Checkpointing.snapshots(stats).last.seq == v + 1)
+    // drop-branch on a missing branch fails loudly
+    intercept[IllegalArgumentException](
+      ExtractMain.maintain(spark, out, Array("drop-branch", "audit")))
+  }
+
   test("audited run: staged, audited, published — same result as plain; " +
       "re-run no-op") {
     spark.sparkContext.setLogLevel("WARN")

@@ -154,4 +154,48 @@ class SnapshotModelSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("branches: MoR base, seq ordering across the branch, expiry protection") {
+    spark.sparkContext.setLogLevel("WARN")
+    val C = Checkpointing
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-branchspec").toString + "/t"
+    C.commit(df(1L to 10L), dir, "c1")
+    C.deleteWhere(df(Seq(3L, 7L)).select("doc_id"), dir, "d1") // v2: MoR delete
+    C.createBranch(dir, "b", 2)
+    // branch base sees the delete applied
+    assert(idsOf(C.readBranch(spark, dir, "b")) == (1L to 10L).toSet -- Set(3L, 7L))
+    // a branch commit RE-ADDING a deleted id is visible: its snapshot seq
+    // (base+1=3) is ABOVE the delete's (2), the Iceberg sequence rule
+    C.commitToBranch(df(Seq(3L, 11L)), dir, "b", "b1")
+    assert(idsOf(C.readBranch(spark, dir, "b")) ==
+      ((1L to 11L).toSet - 7L))
+    // main remains blind to branch commits
+    assert(idsOf(C.readAt(spark, dir, 2)) == (1L to 10L).toSet -- Set(3L, 7L))
+    // main rebases past the branch point: expiry must NOT expire the
+    // branch's base stack, and the branch must stay readable
+    C.upsert(df(12L to 15L), dir, "u1") // v3 on main: full rebase
+    assert(C.expireSnapshots(dir, keepLast = 1).isEmpty)
+    C.vacuum(dir)
+    assert(idsOf(C.readBranch(spark, dir, "b")) == ((1L to 11L).toSet - 7L))
+    // diverged: fast-forward refuses, content still intact
+    intercept[IllegalArgumentException](C.fastForward(dir, "b"))
+    // after dropping, expiry may reclaim the pre-rebase metadata
+    C.dropBranch(dir, "b")
+    intercept[IllegalArgumentException](C.readBranch(spark, dir, "b"))
+    assert(C.expireSnapshots(dir, keepLast = 1).nonEmpty)
+    // guards: duplicate name, unknown base, bad name
+    C.commit(df(Seq(16L)), dir, "c2")
+    C.createBranch(dir, "x", 4)
+    intercept[IllegalArgumentException](C.createBranch(dir, "x", 4))
+    intercept[IllegalArgumentException](C.createBranch(dir, "y", 99))
+    intercept[IllegalArgumentException](C.createBranch(dir, "bad/name", 4))
+    // fast-forward with head == base lands the branch atomically
+    C.commitToBranch(df(Seq(17L)), dir, "x", "x1")
+    val head = C.fastForward(dir, "x")
+    // v3 upsert state = (1..10 minus the deletes) ++ 12..15; +16 (c2) +17 (x1)
+    assert(idsOf(C.readAt(spark, dir, head)) ==
+      ((1L to 10L).toSet -- Set(3L, 7L)) ++ (12L to 17L).toSet)
+    assert(C.branches(dir).isEmpty)
+  }
 }
