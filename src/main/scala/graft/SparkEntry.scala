@@ -969,6 +969,12 @@ object SparkEntry {
         graft.ops.Search.bm25FromIndex(pA.unionByName(pB), sA.unionByName(sB),
           Seq("join", "stream", "window"), k = 20)
       }),
+      // ---- source-overlap matrix: pairwise shingle containment/Jaccard
+      //      between crawl sources — the "how much of B is already in A"
+      //      profile mixture design consults; shingle text never shuffles
+      //      (16-byte md5 digests), pair fan-out bounded by |sources|
+      "q88_source_overlap" -> ((s, d) =>
+        graft.ops.Dedup.sourceOverlapMatrix(t(s, d, "documents"))),
       // ---- leakage-safe split: q35's hash split made dup-CLUSTER aware —
       //      the split unit is the q37 near-dup component, so no near-dup
       //      pair can straddle train/val; the cross_pairs audit column
@@ -3211,6 +3217,27 @@ object SparkEntry {
     // identical ranking (same floats) as a from-scratch batch scan
     "q87_indexed_bm25" ->
       graft.ops.Search.bm25Sql(toks, Seq("join", "stream", "window"), 20),
+    // q88: the same shingle spelling as q14's oracle, md5 digests (DuckDB's
+    // md5 == Spark's), integer floor-div basis points
+    "q88_source_overlap" -> {
+      val sh = s"list_distinct(list_transform(range(0, greatest(len($toks)-3, 0)+1), " +
+        s"i -> concat_ws(' ', $toks[i+1], $toks[i+2], $toks[i+3])))"
+      s"""WITH sh AS (
+         |  SELECT DISTINCT source, md5(g) AS h FROM (
+         |    SELECT source, unnest($sh) AS g FROM documents)),
+         |counts AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b USING (h)
+         |  WHERE a.source < b.source GROUP BY 1, 2)
+         |SELECT p.src_a, p.src_b, p.n_common, ca.n AS n_a, cb.n AS n_b,
+         |  (p.n_common * 10000) // (ca.n + cb.n - p.n_common) AS jaccard_bp,
+         |  (p.n_common * 10000) // ca.n AS containment_a_bp,
+         |  (p.n_common * 10000) // cb.n AS containment_b_bp
+         |FROM pairs p
+         |JOIN counts ca ON ca.source = p.src_a
+         |JOIN counts cb ON cb.source = p.src_b""".stripMargin
+    },
     // q86: the q37 closure assigns group keys, then the q35 fingerprint
     // fold over the GROUP key (':lss1' salt); the leak audit re-joins the
     // pair list against the assignment — must count zero on both sides

@@ -725,4 +725,40 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Source-overlap matrix: pairwise shingle containment/Jaccard between
+    * crawl sources — the corpus-comparison profile mixture design runs
+    * before weighting sources ("how much of B is already in A?").
+    *
+    * Shape: one distinct over (source, md5(shingle)) — shingle TEXT never
+    * shuffles, only its 16-byte digest (the q13 discipline) — then a
+    * digest self-join whose fan-out per digest is bounded by the number of
+    * SOURCES sharing it (sources are dozens, never corpus-scale), and a
+    * |sources|²-row aggregate. All ratios are integral basis points via
+    * integer floor-div, so the DuckDB replay compares exactly.
+    *
+    * Output, one row per unordered source pair (src_a < src_b) that shares
+    * at least one shingle: (src_a, src_b, n_common, n_a, n_b, jaccard_bp,
+    * containment_a_bp = share of A's shingles present in B,
+    * containment_b_bp vice versa). */
+  def sourceOverlapMatrix(docs: DataFrame, shingleN: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .select(col("source"), explode(shinglesOf(col("toks"), shingleN)).as("g"))
+      .select(col("source"), md5(col("g")).as("h"))
+      .distinct()
+    val counts = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = sh.select(col("source").as("src_a"), col("h"))
+      .join(sh.select(col("source").as("src_b"), col("h")), Seq("h"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(counts.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(counts.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_common"), col("n_a"), col("n_b"),
+        expr("n_common * 10000 div (n_a + n_b - n_common)").as("jaccard_bp"),
+        expr("n_common * 10000 div n_a").as("containment_a_bp"),
+        expr("n_common * 10000 div n_b").as("containment_b_bp"))
+  }
 }

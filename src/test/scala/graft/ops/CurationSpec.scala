@@ -544,6 +544,24 @@ class CurationSpec extends AnyFunSuite {
     if (both.nonEmpty && single.nonEmpty) assert(both.max < single.min)
   }
 
+  test("sourceOverlapMatrix: hand-computed containment/Jaccard; disjoint pairs absent") {
+    val docs = Seq(
+      (1L, "a b c d", "srcA"),   // shingles: "a b c", "b c d"
+      (2L, "a b c x", "srcB"),   // shingles: "a b c", "b c x"
+      (3L, "p q r s t", "srcC")  // disjoint from A and B
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlapMatrix(docs)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    // only the overlapping pair appears
+    assert(got.keySet == Set(("srcA", "srcB")))
+    val (nCommon, nA, nB, jac, contA, contB) = got(("srcA", "srcB"))
+    assert(nCommon == 1 && nA == 2 && nB == 2)
+    assert(jac == 10000 / 3)        // 1 of 3 distinct shingles
+    assert(contA == 5000 && contB == 5000)
+  }
+
   test("indexed bm25: incremental index == build-once index == direct scan") {
     val corpus = Seq(
       (1L, "join join join join join"),
