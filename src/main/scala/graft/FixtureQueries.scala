@@ -377,6 +377,40 @@ object FixtureQueries {
         unnestSpans(Checkpointing.readAt(s, dir, vs.head)),
         unnestSpans(Checkpointing.readAt(s, dir, vs.last)))
     }),
+    // BRANCH-GATED extraction CI — x71's detect step moved BEFORE landing:
+    // the candidate parser revision replaces its changed docs ON A BRANCH
+    // (upsertToBranch: MoR delete + append, main readers blind), the span
+    // diff runs branch-vs-main, and because it finds regressions the
+    // branch is DROPPED — main never carried the bad revision, not even
+    // transiently (x71/x72 detect-then-rollback leaves a bad version in
+    // history; the branch gate never admits it). Oracle: the same x69
+    // diff replay — plus in-query requires that main stayed at v1.
+    "x77_branch_span_ci" -> ((s, _) => {
+      val base = fixtureSpans(s)
+      val dir = java.nio.file.Files.createTempDirectory("graft-x77")
+        .toString + "/table"
+      Checkpointing.commit(nestSpans(base), dir, "extract-v1")
+      Checkpointing.createBranch(dir, "ci", 1)
+      val changed = perturbedSpans(base).withColumn("m", pmod(
+          regexp_extract(col("doc_id"), "^(\\d+)", 1).cast("int"), lit(5)))
+        .filter(col("m") =!= 0).drop("m")
+      Checkpointing.upsertToBranch(nestSpans(changed), dir, "ci",
+        "candidate-v2")
+      val diff = graft.ops.Spans.spanDiff(
+        unnestSpans(Checkpointing.readAt(s, dir, 1)),
+        unnestSpans(Checkpointing.readBranch(s, dir, "ci")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val regressions = diff.filter(!col("equal")).count()
+      require(regressions > 0, "the CI gate must detect the perturbation")
+      // gate verdict: reject — drop the branch; main must be untouched
+      Checkpointing.dropBranch(dir, "ci")
+      require(Checkpointing.snapshots(dir).last.seq == 1,
+        "main must still be at v1 — the bad revision never landed")
+      require(Checkpointing.readAt(s, dir, 1).count() == base
+        .select("doc_id").distinct().count(),
+        "main content must be the v1 extraction")
+      diff
+    }),
     // ROLLBACK (Iceberg rollback_to_snapshot) — the ACT step after x71's
     // detect step: the v2 "bad parser deploy" is undone by ONE metadata
     // write; no data file is copied or rewritten. The query reads the
@@ -1129,6 +1163,9 @@ object FixtureQueries {
     // sharing x69's oracle verbatim IS the contract — the committed-table
     // round trip must not move a single span
     "x71_snapshot_span_ci" -> spanDiffOracleSql,
+    // x77: same diff replay — the branch round trip (branch upsert, read,
+    // diff, drop) must not move a single span vs the direct x69 diff
+    "x77_branch_span_ci" -> spanDiffOracleSql,
     // x72: the restored state must be BIT-IDENTICAL to the v1 goldens,
     // plus exactly the one post-rollback sentinel doc
     "x72_snapshot_rollback" ->

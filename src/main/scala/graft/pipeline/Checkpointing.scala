@@ -683,6 +683,30 @@ object Checkpointing {
     rows
   }
 
+  /** Doc-keyed REBASE on the branch — the branch-side analog of [[upsert]],
+    * expressed merge-on-read (no data rewrite): a branch delete snapshot
+    * tombstones df's doc_ids, then the new rows append. Seq ordering makes
+    * it exact: base rows (seq ≤ base) fall to the delete (seq base+k), the
+    * re-added rows (seq base+k+1) ride above it — so a candidate parser
+    * revision can REPLACE docs on the branch while main readers see
+    * nothing. [[fastForward]] carries the delete snapshot over verbatim. */
+  def upsertToBranch(df: DataFrame, dir: String, name: String,
+      runId: String): Long = {
+    val base = branchBase(dir, name)
+    val keys = df.select("doc_id").distinct()
+    val delDir = s"${dir}_deletes/$runId"
+    require(!Files.exists(Paths.get(delDir)),
+      s"delete set $runId already exists at $delDir")
+    val n = keys.count()
+    require(n > 0, "upsertToBranch with no rows — nothing to rebase")
+    keys.coalesce(1).write.parquet(delDir)
+    val seqDel = math.max(base, branchSnaps(dir, name).lastOption
+      .map(_.seq).getOrElse(0)) + 1
+    writeSnapshotAt(Paths.get(branchPath(dir, name)), seqDel, s"$runId-del",
+      Nil, n, deletes = Seq(runId))
+    commitToBranch(df, dir, name, runId)
+  }
+
   /** Read the branch head: the base version's effective stack plus every
     * branch commit on top. */
   def readBranch(spark: SparkSession, dir: String, name: String): DataFrame = {

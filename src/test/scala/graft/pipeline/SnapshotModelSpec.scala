@@ -198,4 +198,23 @@ class SnapshotModelSpec extends AnyFunSuite {
       ((1L to 10L).toSet -- Set(3L, 7L)) ++ (12L to 17L).toSet)
     assert(C.branches(dir).isEmpty)
   }
+
+  test("upsertToBranch: branch-side MoR rebase; fast-forward carries the deletes") {
+    spark.sparkContext.setLogLevel("WARN")
+    val C = Checkpointing
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-brupsert").toString + "/t"
+    C.commit(df(1L to 6L), dir, "c1")
+    C.createBranch(dir, "rev", 1)
+    // the revision REPLACES docs 2 and 4 (same ids, branch-side rebase)
+    C.upsertToBranch(df(Seq(2L, 4L)), dir, "rev", "v2")
+    assert(idsOf(C.readBranch(spark, dir, "rev")) == (1L to 6L).toSet)
+    // no duplicates: the tombstone must have removed the base copies
+    assert(C.readBranch(spark, dir, "rev").count() == 6)
+    // main is blind until the landing, then sees the rebase exactly
+    assert(C.readAt(spark, dir, 1).count() == 6)
+    val head = C.fastForward(dir, "rev")
+    assert(idsOf(C.readAt(spark, dir, head)) == (1L to 6L).toSet)
+    assert(C.readAt(spark, dir, head).count() == 6)
+  }
 }
