@@ -975,6 +975,50 @@ object SparkEntry {
       //      (16-byte md5 digests), pair fan-out bounded by |sources|
       "q88_source_overlap" -> ((s, d) =>
         graft.ops.Dedup.sourceOverlapMatrix(t(s, d, "documents"))),
+      // ---- declarative data-quality expectation suite (the Deequ shape):
+      //      completeness, uniqueness, cross-column consistency, set
+      //      membership, format, volume and distribution bounds — ALL
+      //      computed in ONE aggregation over ONE scan (every check is an
+      //      aggregate column in a single agg; adding a check adds
+      //      accumulators, never a pass), then unpivoted to one
+      //      (check, metric, passed) row each
+      "q89_expectations" -> ((s, d) =>
+        graft.ops.Expectations.documentsSuite(t(s, d, "documents"))),
+      // ---- bloom-gated incremental exact dedup: the persisted corpus
+      //      membership sketch (Spark's own BloomFilterAggregate, the x47
+      //      runtime-filter engine, here as a first-class artifact) probes
+      //      every delta doc MAP-SIDE; only candidates — true dups + the
+      //      filter's few false positives — reach the broadcast semi-join
+      //      verify, so the per-batch corpus-touching work is proportional
+      //      to the candidate count, not the delta. No false negatives by
+      //      construction + verify kills false positives ⇒ output == the
+      //      plain delta⋉corpus semi join, which IS the oracle
+      "q90_bloom_gate" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+        graft.ops.Dedup.bloomDedupGate(
+          docs.filter(col("doc_id") % 7 =!= 3),
+          docs.filter(col("doc_id") % 7 === 3),
+          expectedItems = 1L << 16)
+      }),
+      // ---- size-targeted output-file planning (Iceberg
+      //      write.target-file-size / bin-pack compaction): docs assigned
+      //      WHOLE to consecutive files by exclusive byte prefix sum div
+      //      target — distributed two-pass scan (q33's machinery), never a
+      //      SinglePartition window; files cover contiguous key ranges
+      //      (range-prunable) and the assignment is append-stable
+      "q91_file_sizing" -> ((s, d) =>
+        graft.ops.FileLayout.planFiles(t(s, d, "documents"),
+          "doc_id", "n_chars", targetBytes = 4096L)),
+      // ---- WATERMARK-BOUNDED streaming exact dedup (native
+      //      dropDuplicatesWithinWatermark): state evicted by event-time
+      //      watermark — bounded state on unbounded keys, the TTL shape
+      //      x21 (state-forever) and x51 (explicit cap) lack; the replay
+      //      stamps all docs inside one horizon so the appended output
+      //      must equal the batch distinct-fingerprint set; eviction +
+      //      late-dup re-emission pinned in ScalaTest
+      "x78_watermark_dedup" -> ((s, d) =>
+        graft.streaming.StreamWatermarkDedup.replayDocsDistinctFp(s,
+          t(s, d, "documents"))),
       // ---- leakage-safe split: q35's hash split made dup-CLUSTER aware —
       //      the split unit is the q37 near-dup component, so no near-dup
       //      pair can straddle train/val; the cross_pairs audit column
@@ -3238,6 +3282,69 @@ object SparkEntry {
          |JOIN counts ca ON ca.source = p.src_a
          |JOIN counts cb ON cb.source = p.src_b""".stripMargin
     },
+    // q89: every check's metric and verdict replayed as one DuckDB
+    // aggregate each, unioned in suite order; integer-division mean
+    "q89_expectations" ->
+      """WITH m AS (
+        |  SELECT
+        |    count(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 END)
+        |      AS complete_text,
+        |    count(doc_id) - count(DISTINCT doc_id) AS unique_doc_id,
+        |    count(CASE WHEN n_chars <> length(text) THEN 1 END)
+        |      AS consistent_n_chars,
+        |    count(CASE WHEN lang NOT IN ('en','de','fr','es','zh') THEN 1 END)
+        |      AS lang_in_set,
+        |    count(CASE WHEN NOT regexp_matches(source, '^[a-z][a-z0-9]*$')
+        |      THEN 1 END) AS source_format,
+        |    count(CASE WHEN n_chars < 1 OR n_chars > 100000 THEN 1 END)
+        |      AS chars_in_bounds,
+        |    count(*) AS min_volume,
+        |    sum(n_chars) // count(*) AS mean_chars
+        |  FROM documents)
+        |SELECT 'complete_text' AS check, CAST(complete_text AS BIGINT)
+        |    AS metric, complete_text = 0 AS passed FROM m
+        |UNION ALL SELECT 'unique_doc_id', CAST(unique_doc_id AS BIGINT),
+        |  unique_doc_id = 0 FROM m
+        |UNION ALL SELECT 'consistent_n_chars',
+        |  CAST(consistent_n_chars AS BIGINT), consistent_n_chars = 0 FROM m
+        |UNION ALL SELECT 'lang_in_set', CAST(lang_in_set AS BIGINT),
+        |  lang_in_set = 0 FROM m
+        |UNION ALL SELECT 'source_format', CAST(source_format AS BIGINT),
+        |  source_format = 0 FROM m
+        |UNION ALL SELECT 'chars_in_bounds', CAST(chars_in_bounds AS BIGINT),
+        |  chars_in_bounds = 0 FROM m
+        |UNION ALL SELECT 'min_volume', CAST(min_volume AS BIGINT),
+        |  min_volume >= 100 FROM m
+        |UNION ALL SELECT 'mean_chars_bounds', CAST(mean_chars AS BIGINT),
+        |  mean_chars BETWEEN 50 AND 2000 FROM m""".stripMargin,
+    // q90: the bloom prefilter has no false negatives and the exact verify
+    // removes its false positives, so the gate must equal the PLAIN
+    // delta⋉corpus semi join — DuckDB replays that equivalence directly
+    "q90_bloom_gate" ->
+      """WITH corpus AS (
+        |  SELECT DISTINCT md5(lower(trim(text))) AS fp
+        |  FROM documents WHERE doc_id % 7 <> 3)
+        |SELECT d.doc_id, md5(lower(trim(d.text))) AS fp,
+        |  md5(lower(trim(d.text))) IN (SELECT fp FROM corpus) AS is_dup
+        |FROM documents d WHERE d.doc_id % 7 = 3""".stripMargin,
+    // q91: the exclusive cumsum replayed as a window (DuckDB's scale is
+    // fine with one partition; the ENGINE must not use one), integer
+    // floor-div file assignment, per-file manifest aggregate
+    "q91_file_sizing" ->
+      """WITH o AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(COALESCE(sum(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) // 4096 AS file_id
+        |  FROM documents)
+        |SELECT file_id, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS file_bytes,
+        |  min(doc_id) AS first_key, max(doc_id) AS last_key
+        |FROM o GROUP BY 1""".stripMargin,
+    // x78: all duplicates arrive inside one watermark horizon, so the
+    // appended stream output must equal the batch distinct set
+    "x78_watermark_dedup" ->
+      "SELECT DISTINCT md5(lower(trim(text))) AS fp FROM documents",
     // q86: the q37 closure assigns group keys, then the q35 fingerprint
     // fold over the GROUP key (':lss1' salt); the leak audit re-joins the
     // pair list against the assignment — must count zero on both sides

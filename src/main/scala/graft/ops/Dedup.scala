@@ -761,4 +761,66 @@ object Dedup {
         expr("n_common * 10000 div n_a").as("containment_a_bp"),
         expr("n_common * 10000 div n_b").as("containment_b_bp"))
   }
+
+  // ------------------------------------------------ bloom membership gate
+
+  /** Corpus content-membership sketch: a bloom filter over the 64-bit fold
+    * of every document's content fingerprint, built by Spark's own
+    * `BloomFilterAggregate` (the engine the runtime join filters of x47
+    * use) and returned as its serialized bytes — the PERSISTABLE artifact
+    * (hundreds of KB for millions of docs at the default sizing, i.e.
+    * ~1 byte per corpus document) an ingest gate keeps next to the corpus
+    * so a new batch can be membership-probed WITHOUT touching the corpus.
+    *
+    * `expectedItems` sizes the filter (Spark's default FPP 3% at that
+    * cardinality); pass the corpus document count or a safe upper bound. */
+  def contentBloom(corpus: DataFrame, expectedItems: Long): Array[Byte] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
+    val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(
+        expression(xxhash64(md5(lower(trim(col("text")))))), expectedItems)
+      .toAggregateExpression()
+    corpus.agg(column(agg).as("bf")).head().getAs[Array[Byte]](0)
+  }
+
+  /** Bloom-gated incremental exact dedup — the two-tier membership check a
+    * continuously-ingesting corpus runs per batch: every delta document is
+    * probed MAP-SIDE against the persisted corpus bloom
+    * ([[contentBloom]]; `BloomFilterMightContain` over a literal, fully
+    * codegen'd, no join, no shuffle), and only the candidates that pass —
+    * true duplicates plus the filter's few false positives — are
+    * exact-verified against the corpus fingerprints with one BROADCAST
+    * left-semi join (candidate side broadcast; the corpus scan streams
+    * map-side, nothing corpus-sized shuffles). No false negatives exist by
+    * bloom construction, and false positives die in the verify, so the
+    * output is EXACTLY the plain delta⋉corpus semi join — that equivalence
+    * is the oracle contract (the q55 pattern at the exact-dup tier).
+    *
+    * Output: one verdict row per delta document (doc_id, fp, is_dup).
+    * Per-ingest cost: one map pass over the delta + one corpus scan feeding
+    * the broadcast semi join; with a persisted fingerprint INDEX table the
+    * verify side shrinks to that index, and a batch whose candidates are
+    * empty does zero corpus work. */
+  def bloomDedupGate(corpus: DataFrame, delta: DataFrame,
+      expectedItems: Long = 1L << 22): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val fp = md5(lower(trim(col("text"))))
+    val bloomBytes = contentBloom(corpus, expectedItems)
+    val mightContain = column(
+      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal
+          .create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+        expression(xxhash64(col("fp")))))
+    val deltaFp = delta.select(col("doc_id"), fp.as("fp"))
+    val candidates = deltaFp.filter(mightContain).select("fp").distinct()
+    val confirmed = corpus.select(fp.as("fp"))
+      .join(broadcast(candidates), Seq("fp"), "left_semi")
+      .distinct()
+      .withColumn("is_dup", lit(true))
+    deltaFp
+      .join(broadcast(confirmed), Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
 }
