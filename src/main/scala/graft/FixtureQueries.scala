@@ -411,6 +411,40 @@ object FixtureQueries {
         "main content must be the v1 extraction")
       diff
     }),
+    // MERGE INTO (Iceberg/Delta analog) — the three DML verbs as ONE
+    // ATOMIC SNAPSHOT: one merge call updates doc 1 (uppercased month),
+    // deletes doc 5 (deleteWhen), and inserts a synthetic doc 99; the
+    // in-query requires pin exactly one snapshot landed and the verb
+    // counts; the oracle is x01's golden with those three verbs applied
+    "x79_merge" -> ((s, _) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-x79")
+        .toString + "/stats"
+      val r = ExtractionPipeline.run(s,
+        s.createDataset(FixtureCorpus.fixtureDocs), persistIntermediate = false)
+      Checkpointing.commit(r.stats.toDF(), dir, "run1")
+      val cur = Checkpointing.readAt(s, dir, 1)
+      def ordIs(n: Int) = expr(s"CAST(split_part(doc_id, '.', 1) AS INT) = $n")
+      val upd = cur.filter(ordIs(1))
+        .withColumn("publish_month", upper(col("publish_month")))
+      val del = cur.filter(ordIs(5))
+      val ins = cur.filter(ordIs(1))
+        .withColumn("doc_id", lit("99.merge_insert.pdf"))
+        .withColumn("doc_ord", lit(99L))
+        .withColumn("publish_month", lit("MERGEJAN"))
+      val (nU, nD, nI) = Checkpointing.merge(
+        upd.unionByName(del).unionByName(ins), dir, "m1",
+        deleteWhen = ordIs(5))
+      require((nU, nD, nI) == ((1L, 1L, 1L)),
+        s"merge verb counts off: upd=$nU del=$nD ins=$nI")
+      require(Checkpointing.snapshots(dir).size == 2,
+        "three DML verbs must land as ONE snapshot")
+      Checkpointing.readAt(s, dir, 2).select(
+        col("doc_id"), col("page_size"), col("criterion_tables_count"),
+        col("merged_tables_count"), col("merged_rows_count"),
+        col("merged_table_start_page"), col("merged_table_end_page"),
+        col("publish_month"))
+    }),
     // ROLLBACK (Iceberg rollback_to_snapshot) — the ACT step after x71's
     // detect step: the v2 "bad parser deploy" is undone by ONE metadata
     // write; no data file is copied or rewritten. The query reads the
@@ -1324,6 +1358,21 @@ object FixtureQueries {
          |  CASE WHEN CAST(split_part(doc_id, '.', 1) AS INTEGER) <= 3
          |       THEN upper(publish_month) ELSE publish_month END AS publish_month
          |FROM (${FixtureGoldens.oracleSql("x01_fixture_stats")}) AS v""".stripMargin,
+    // x01's golden with the three merge verbs applied: doc 1 updated
+    // (uppercased month), doc 5 deleted, doc 99 inserted as a copy of
+    // doc 1's stats under the new id/month
+    "x79_merge" ->
+      s"""WITH g AS (${FixtureGoldens.oracleSql("x01_fixture_stats")})
+         |SELECT doc_id, page_size, criterion_tables_count, merged_tables_count,
+         |  merged_rows_count, merged_table_start_page, merged_table_end_page,
+         |  CASE WHEN CAST(split_part(doc_id, '.', 1) AS INTEGER) = 1
+         |       THEN upper(publish_month) ELSE publish_month END AS publish_month
+         |FROM g WHERE CAST(split_part(doc_id, '.', 1) AS INTEGER) <> 5
+         |UNION ALL
+         |SELECT '99.merge_insert.pdf', page_size, criterion_tables_count,
+         |  merged_tables_count, merged_rows_count, merged_table_start_page,
+         |  merged_table_end_page, 'MERGEJAN'
+         |FROM g WHERE CAST(split_part(doc_id, '.', 1) AS INTEGER) = 1""".stripMargin,
     // x01's golden minus the deleted doc 5, with re-extracted doc 2
     // carrying the rewritten (uppercased) month
     "x46_mor_delete" ->

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession, SaveMode}
 import org.apache.spark.sql.functions._
 import graft.layout.DocRow
 import java.nio.file.{Files, Paths, StandardOpenOption}
@@ -496,6 +496,81 @@ object Checkpointing {
     keys.coalesce(1).write.parquet(delDir)
     writeSnapshot(dir, runId, Nil, n, deletes = Seq(runId))
     n
+  }
+
+  /** MERGE — the Iceberg/Delta `MERGE INTO` analog, the three DML verbs as
+    * ONE ATOMIC SNAPSHOT (a CDC consumer or an auditor never observes the
+    * half-applied states a deleteWhere-then-commit sequence exposes):
+    *
+    *  - source rows whose doc_id is committed and match `deleteWhen`
+    *    → DELETED (WHEN MATCHED AND cond THEN DELETE);
+    *  - other matched source rows → UPDATED, i.e. replace the committed
+    *    row (WHEN MATCHED THEN UPDATE SET *);
+    *  - unmatched source rows (not delete-flagged) → INSERTED
+    *    (WHEN NOT MATCHED THEN INSERT *); unmatched delete-flagged rows
+    *    are ignored (nothing to delete).
+    *
+    * Merge-on-read mechanics: all matched doc_ids land as one tombstone
+    * set (updates must mask their old rows too) and the updated + inserted
+    * rows land as appended data files — BOTH recorded by a single delta
+    * snapshot. Within that snapshot the strict `del_seq > commit_seq`
+    * sequence rule means the tombstones hit only OLDER commits, so the
+    * snapshot's own appends carry the new row versions. No committed data
+    * file is rewritten at any table size; [[compact]] materializes the
+    * merge later, [[cdcBetween]] reads it as delete(old) + insert(new) —
+    * the standard changelog spelling of an update.
+    *
+    * Scale shape: matched ids are found by streaming the current state
+    * once against the BROADCAST source ids (map-side semi join); every
+    * other join broadcasts source-derived frames. Returns
+    * (updated, deleted, inserted) counts; refuses an all-no-op merge. */
+  def merge(source: DataFrame, dir: String, runId: String,
+      deleteWhen: Column = lit(false)): (Long, Long, Long) = {
+    val spark = source.sparkSession
+    val snaps = snapshots(dir)
+    require(snaps.nonEmpty, s"merge needs an existing committed table at $dir")
+    val nDups = source.groupBy("doc_id").count()
+      .filter(col("count") > 1).count()
+    require(nDups == 0,
+      s"merge source has $nDups doc_ids with multiple rows — dedupe first")
+    val delDir = s"${dir}_deletes/$runId"
+    require(!Files.exists(Paths.get(delDir)),
+      s"delete set $runId already exists at $delDir")
+    val cur = readAt(spark, dir, snaps.last.seq)
+    // one pass over the current state, source ids broadcast; the result is
+    // at most source-sized, persisted so the three consumers below don't
+    // re-scan the table per leg
+    val matchedIds = cur.select("doc_id")
+      .join(broadcast(source.select("doc_id")), Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val matched = source.join(broadcast(matchedIds), Seq("doc_id"), "left_semi")
+      val updates = matched.filter(!deleteWhen)
+      val inserts = source
+        .join(broadcast(matchedIds), Seq("doc_id"), "left_anti")
+        .filter(!deleteWhen)
+      val nUpd = updates.count()
+      val nDel = matched.filter(deleteWhen).count()
+      val nIns = inserts.count()
+      require(nUpd + nDel + nIns > 0,
+        "merge matched nothing and inserts nothing — refusing an empty snapshot")
+      val outCols = cur.columns.map(col).toSeq
+      val appends = updates.select(outCols: _*)
+        .unionByName(inserts.select(outCols: _*))
+      val before = parquetNames(dir)
+      appends.write.mode(SaveMode.Append).parquet(dir)
+      val added = (parquetNames(dir) -- before).toSeq
+      val (nApp, stats) = scanFileStats(spark, dir, added)
+      if (nUpd + nDel > 0) {
+        matchedIds.coalesce(1).write.parquet(delDir)
+        writeSnapshot(dir, runId, added, nApp, deletes = Seq(runId),
+          stats = stats)
+      } else writeSnapshot(dir, runId, added, nApp, stats = stats)
+      (nUpd, nDel, nIns)
+    } finally {
+      matchedIds.unpersist(blocking = false)
+      ()
+    }
   }
 
   /** Orphan-file cleanup (Iceberg's remove_orphan_files): delete parquet
