@@ -3,10 +3,13 @@ package graft.pipeline
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Model-based randomized exercise of the snapshot machinery: a seeded
-  * sequence of commit / compact / upsert / delete / re-add / vacuum
-  * operations runs against both the real Checkpointing table and a
+  * sequence of commit / compact / upsert / delete / re-add / merge /
+  * vacuum operations runs against both the real Checkpointing table and a
   * trivial in-memory model (per-snapshot add/delete id sets folded in
-  * sequence order — the fold IS Iceberg's sequence-number rule). After
+  * sequence order — the fold IS Iceberg's sequence-number rule: deletes
+  * apply to OLDER snapshots only, so within one snapshot the fold removes
+  * dels BEFORE applying adds — the order merge depends on, since an
+  * updated id sits in both sets of the same snapshot). After
   * every step the real table must agree with the model on: latest
   * content, every live version's content AND row count (the count check
   * is what catches row duplication, which an id-set compare cannot see),
@@ -24,8 +27,9 @@ class SnapshotModelSpec extends AnyFunSuite {
   private def idsOf(d: org.apache.spark.sql.DataFrame): Set[Long] =
     d.select("doc_ord").as[Long].collect().toSet
 
-  test("random commit/compact/upsert/delete/vacuum sequences agree with the in-memory model") {
+  test("random commit/compact/upsert/delete/merge/vacuum sequences agree with the in-memory model") {
     spark.sparkContext.setLogLevel("WARN")
+    var mergeRuns = 0
     for (seed <- Seq(1, 2, 3)) {
       val rnd = new scala.util.Random(seed)
       val dir = java.nio.file.Files
@@ -35,7 +39,7 @@ class SnapshotModelSpec extends AnyFunSuite {
       var adds = Vector.empty[Set[Long]]
       var dels = Vector.empty[Set[Long]]
       def visible(v: Int): Set[Long] =
-        (0 until v).foldLeft(Set.empty[Long])((s, i) => (s ++ adds(i)) -- dels(i))
+        (0 until v).foldLeft(Set.empty[Long])((s, i) => (s -- dels(i)) ++ adds(i))
       // rebaseAt = seq of the latest full snapshot (0 = none); compact
       // deletes pre-rebase files immediately, upsert leaves them until a
       // vacuum — so "is rebaseAt-1 expired?" depends on which
@@ -50,7 +54,7 @@ class SnapshotModelSpec extends AnyFunSuite {
 
       for (step <- 1 to 8) {
         val nLive = visible(adds.length).size
-        rnd.nextInt(7) match {
+        rnd.nextInt(8) match {
           case 0 => // commit a fresh batch
             val n = 1 + rnd.nextInt(4)
             val ids = (nextId until nextId + n)
@@ -95,6 +99,30 @@ class SnapshotModelSpec extends AnyFunSuite {
             adds :+= restored; dels :+= (cur -- restored)
             rebaseAt = adds.length
             rebaseKind = "rollback"; vacuumedSinceRebase = false
+          case 6 if nLive > 0 => // MERGE: update + optional delete + insert,
+            // all three verbs in ONE snapshot; the updated id lands in BOTH
+            // the snapshot's delete set and its adds — the case the
+            // dels-then-adds fold order exists for
+            val live = visible(adds.length).toSeq.sorted
+            val upd = live(rnd.nextInt(live.size))
+            val others = live.filterNot(_ == upd)
+            val del =
+              if (others.nonEmpty && rnd.nextBoolean())
+                Some(others(rnd.nextInt(others.size)))
+              else None
+            val fresh = nextId
+            nextId += 1
+            val when = del match {
+              case Some(d) => org.apache.spark.sql.functions.col("doc_ord") === d
+              case None => org.apache.spark.sql.functions.lit(false)
+            }
+            val (nU, nD, nI) = Checkpointing.merge(
+              df(Seq(upd, fresh) ++ del.toSeq), dir, s"s$seed-m$step",
+              deleteWhen = when)
+            assert((nU, nD, nI) == ((1L, del.size.toLong, 1L)),
+              s"seed=$seed step=$step merge verbs")
+            adds :+= Set(upd, fresh); dels :+= (Set(upd) ++ del)
+            mergeRuns += 1
           case _ => // crash debris, then vacuum it away
             val orphan = new java.io.File(dir, s"part-orphan-$step.snappy.parquet")
             java.nio.file.Files.write(orphan.toPath, Array[Byte](9, 9))
@@ -153,6 +181,7 @@ class SnapshotModelSpec extends AnyFunSuite {
             Checkpointing.changesBetween(spark, dir, rebaseAt - 2, rebaseAt))
       }
     }
+    assert(mergeRuns >= 1, "no seed exercised the merge op — re-seed the mix")
   }
 
   test("branches: MoR base, seq ordering across the branch, expiry protection") {
