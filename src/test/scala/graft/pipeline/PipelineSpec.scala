@@ -873,4 +873,47 @@ class WapSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Checkpointing.abandon(dir, "nope"))
   }
+
+  test("merge edges: insert-only merge stays delta-readable; unmatched " +
+      "delete flag is a no-op; all-no-op and dup-source merges refuse") {
+    import org.apache.spark.sql.functions.col
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = freshDir("merge-edges")
+    Checkpointing.commit(rows(0 until 4), dir, "c1")
+    // insert-only: nothing matched, so NO tombstone set is logged — the
+    // snapshot stays append-only and the incremental reader can consume it
+    // (a merge that logged an empty delete set would permanently poison
+    // changesBetween across this range)
+    val (u0, d0, i0) = Checkpointing.merge(rows(10 until 12), dir, "m1")
+    assert((u0, d0, i0) == ((0L, 0L, 2L)))
+    assert(Checkpointing.changesBetween(spark, dir, 1, 2)
+      .select("doc_ord").as[Long].collect().toSet == Set(10L, 11L))
+    // a delete flag on an UNMATCHED source row is ignored (WHEN MATCHED
+    // AND cond THEN DELETE — there is no committed row to delete), while
+    // the matched row in the same call is updated
+    val src = rows(1 until 2, tag = "fixed")
+      .unionByName(rows(99 until 100))
+    val (u1, d1, i1) = Checkpointing.merge(src, dir, "m2",
+      deleteWhen = col("doc_ord") === 99L)
+    assert((u1, d1, i1) == ((1L, 0L, 0L)))
+    val latest = Checkpointing.readAt(spark, dir, 3)
+    assert(latest.count() == 6) // updated row replaced, never duplicated
+    assert(latest.filter(col("doc_ord") === 1L)
+      .select("payload").as[String].head() == "fixed-1")
+    assert(latest.filter(col("doc_ord") === 99L).count() == 0)
+    // the update logged a tombstone, so the delta across m2 refuses
+    // (append-only contract) while the m1 delta above still reads
+    intercept[IllegalArgumentException](
+      Checkpointing.changesBetween(spark, dir, 2, 3))
+    // guards: all-no-op merge (only an unmatched delete-flagged row) and a
+    // duplicate-id source both refuse BEFORE writing anything
+    val snapsBefore = Checkpointing.snapshots(dir).size
+    intercept[IllegalArgumentException](
+      Checkpointing.merge(rows(50 until 51), dir, "m3",
+        deleteWhen = col("doc_ord") === 50L))
+    intercept[IllegalArgumentException](
+      Checkpointing.merge(rows(60 until 61).unionByName(rows(60 until 61)),
+        dir, "m4"))
+    assert(Checkpointing.snapshots(dir).size == snapsBefore)
+  }
 }
