@@ -445,6 +445,47 @@ object FixtureQueries {
         col("merged_table_start_page"), col("merged_table_end_page"),
         col("publish_month"))
     }),
+    // STREAMING CDC APPLY — the x75 consumption loop as a Structured
+    // Streaming sink, each micro-batch landing through merge's atomic
+    // three-verb snapshot: batch 0 updates doc 1 + inserts doc 99, batch 1
+    // RE-updates doc 1 (cross-batch last-writer-wins) + deletes doc 5.
+    // In-query requires pin one-snapshot-per-batch, the deterministic
+    // runIds, and at-least-once replay idempotence (re-applying batch 0 is
+    // a no-op); the oracle is x01's golden with the net verbs applied
+    "x80_stream_merge_apply" -> ((s, _) => {
+      import s.implicits._
+      import graft.streaming.StreamMergeApply
+      import StreamMergeApply.StatChange
+      val dir = java.nio.file.Files.createTempDirectory("graft-x80")
+        .toString + "/stats"
+      val r = ExtractionPipeline.run(s,
+        s.createDataset(FixtureCorpus.fixtureDocs), persistIntermediate = false)
+      Checkpointing.commit(r.stats.toDF(), dir, "base")
+      val byOrd = r.stats.collect().map(p => p.doc_ord -> p).toMap
+      val d1 = byOrd(1L); val d5 = byOrd(5L)
+      val b0 = Seq(
+        StatChange("upsert",
+          d1.copy(publish_month = d1.publish_month.map(_.toUpperCase))),
+        StatChange("upsert", d1.copy(doc_id = "99.merge_insert.pdf",
+          doc_ord = 99L, publish_month = Some("MERGEJAN"))))
+      val b1 = Seq(
+        StatChange("upsert", d1.copy(publish_month = Some("FINAL JAN"))),
+        StatChange("delete", d5))
+      val runIds = StreamMergeApply.replayStatChanges(s, dir, Seq(b0, b1))
+      require(runIds == Seq("apply-000", "apply-001"),
+        s"one atomic snapshot per micro-batch, got $runIds")
+      // at-least-once replay: re-landing an already-committed batch id
+      // must be a no-op, not a duplicate snapshot
+      StreamMergeApply.applyBatch(dir)(
+        s.createDataset(b0).select(col("op"), col("stat.*")), 0L)
+      require(Checkpointing.snapshots(dir).size == 3,
+        "replayed micro-batch must be skipped")
+      Checkpointing.readAt(s, dir, 3).select(
+        col("doc_id"), col("page_size"), col("criterion_tables_count"),
+        col("merged_tables_count"), col("merged_rows_count"),
+        col("merged_table_start_page"), col("merged_table_end_page"),
+        col("publish_month"))
+    }),
     // ROLLBACK (Iceberg rollback_to_snapshot) — the ACT step after x71's
     // detect step: the v2 "bad parser deploy" is undone by ONE metadata
     // write; no data file is copied or rewritten. The query reads the
@@ -1367,6 +1408,21 @@ object FixtureQueries {
          |  merged_rows_count, merged_table_start_page, merged_table_end_page,
          |  CASE WHEN CAST(split_part(doc_id, '.', 1) AS INTEGER) = 1
          |       THEN upper(publish_month) ELSE publish_month END AS publish_month
+         |FROM g WHERE CAST(split_part(doc_id, '.', 1) AS INTEGER) <> 5
+         |UNION ALL
+         |SELECT '99.merge_insert.pdf', page_size, criterion_tables_count,
+         |  merged_tables_count, merged_rows_count, merged_table_start_page,
+         |  merged_table_end_page, 'MERGEJAN'
+         |FROM g WHERE CAST(split_part(doc_id, '.', 1) AS INTEGER) = 1""".stripMargin,
+    // x01's golden with the streaming batches' NET effect: doc 1 carries
+    // batch 1's month (last writer wins across micro-batches), doc 5
+    // deleted, doc 99 inserted in batch 0 as a copy of doc 1's stats
+    "x80_stream_merge_apply" ->
+      s"""WITH g AS (${FixtureGoldens.oracleSql("x01_fixture_stats")})
+         |SELECT doc_id, page_size, criterion_tables_count, merged_tables_count,
+         |  merged_rows_count, merged_table_start_page, merged_table_end_page,
+         |  CASE WHEN CAST(split_part(doc_id, '.', 1) AS INTEGER) = 1
+         |       THEN 'FINAL JAN' ELSE publish_month END AS publish_month
          |FROM g WHERE CAST(split_part(doc_id, '.', 1) AS INTEGER) <> 5
          |UNION ALL
          |SELECT '99.merge_insert.pdf', page_size, criterion_tables_count,
