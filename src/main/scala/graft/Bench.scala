@@ -115,7 +115,7 @@ object Bench {
     * window; the pure-streaming parquet SCAN stage sat at the same 0.72),
     * while -XX:ActiveProcessorCount pinning moved nothing — the job is
     * bandwidth-bound at these thread counts, not ALU- or GC-bound. */
-  private def bwBurn(threads: Int, millis: Long): Double = {
+  private[graft] def bwBurn(threads: Int, millis: Long): Double = {
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val counters = Array.fill(threads)(0L)
     val ts = (0 until threads).map { i =>
