@@ -676,6 +676,17 @@ object SparkEntry {
       //      rows for every pair-less doc (includeIsolatedFrom), running
       //      with DURABLE per-round checkpoints (executor-loss-safe star
       //      contraction) — the cluster-grade configuration driver-checked
+      // ---- QUALITY-AWARE keeper: within each q37 near-dup cluster keep
+      //      the LONGEST copy (ties -> lowest id) — the "keep the most
+      //      complete variant" dedup policy, emitted as a per-doc decision
+      //      manifest. The argmax key is one BIGINT (len·2^32 − id) so
+      //      Spark's max_by and DuckDB's arg_max replay it bit-exactly.
+      "q92_best_copy_keepers" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+        graft.ops.Components.bestCopyKeepers(
+          graft.ops.Dedup.ngramJaccardPairs(docs, minJaccardBp = 2000L),
+          docs.select(col("doc_id"), length(col("text")).cast("long")))
+      }),
       "q53_dup_keepers" -> ((s, d) => {
         val ckpt = java.nio.file.Files
           .createTempDirectory(s"graft-q53-${s.sparkContext.applicationId}")
@@ -2265,6 +2276,32 @@ object SparkEntry {
          |  FROM reach r JOIN edges e ON e.src = r.id),
          |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
          |SELECT component, count(*) AS n_docs FROM comp GROUP BY 1""".stripMargin,
+    "q92_best_copy_keepers" ->
+      // q37's closure re-labeled to min-id components, every doc joined in
+      // (isolated docs are their own component), keeper = arg_max on the
+      // same composite key the Spark side builds
+      s"""WITH RECURSIVE pairs AS ($ngramPairsOracleSql),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |verts AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM verts
+         |  UNION
+         |  SELECT e.dst AS id, r.lbl AS lbl
+         |  FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+         |labeled AS (
+         |  SELECT d.doc_id AS id, COALESCE(c.component, d.doc_id) AS component,
+         |    CAST(length(d.text) AS BIGINT) AS score
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |keyed AS (SELECT *, score * 4294967296 - id AS k FROM labeled),
+         |keepers AS (SELECT component, arg_max(id, k) AS keeper
+         |            FROM keyed GROUP BY 1)
+         |SELECT y.id AS doc_id, y.component, p.keeper AS keeper_id,
+         |  (y.id = p.keeper) AS kept
+         |FROM keyed y JOIN keepers p USING (component)""".stripMargin,
     "q53_dup_keepers" ->
       // q37's closure + a singleton row for every doc with no near-dup pair
       s"""WITH RECURSIVE pairs AS ($ngramPairsOracleSql),

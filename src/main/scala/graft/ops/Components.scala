@@ -350,4 +350,45 @@ object Components {
         clustered.unionByName(isolated)
     }
   }
+
+  /** QUALITY-AWARE keeper selection — "keep the best copy", the dedup
+    * policy a curation pass actually wants where [[dupClusters]]'s
+    * min-id keeper is arbitrary: within each near-dup cluster the
+    * survivor is the doc with the HIGHEST score (e.g. text length — keep
+    * the most complete variant — or a model quality score in basis
+    * points), ties broken to the LOWEST id so the choice is total-ordered
+    * and engine-exact. Emits one row per doc — the full dedup decision
+    * manifest: (doc_id, component, keeper_id, kept).
+    *
+    * `scored` is a two-column frame (id, score); both are cast to long —
+    * the composite argmax key is the single scalar `score·2^32 − id`, so
+    * scores must fit 2^20-ish and ids 2^32 (any realistic doc-ord space;
+    * the point of one BIGINT key is that max_by needs no struct ordering
+    * and any engine replays it bit-exactly). Docs absent from every pair
+    * are their own keeper (component = own id). Scale shape: the
+    * contraction's own cost + one id-keyed join of the (paired-verts)
+    * labels against the corpus scores + a component-keyed argmax agg —
+    * scalar rows through every exchange. */
+  def bestCopyKeepers(pairs: DataFrame, scored: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b",
+      checkpointDir: Option[String] = None,
+      localSolveEdges: Long = 200000L): DataFrame = {
+    val cc = connectedComponentsStar(pairs, aCol, bCol,
+      checkpointDir = checkpointDir, localSolveEdges = localSolveEdges)
+    val ids = scored.select(
+      col(scored.columns(0)).cast("long").as("id"),
+      col(scored.columns(1)).cast("long").as("score"))
+    val labeled = ids.join(cc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"),
+        col("score"))
+    val keyed = labeled.withColumn("k",
+      col("score") * lit(4294967296L) - col("id"))
+    val keepers = keyed.groupBy("component")
+      .agg(expr("max_by(id, k)").as("keeper"))
+    keyed.join(keepers, Seq("component"))
+      .select(col("id").as("doc_id"), col("component"),
+        col("keeper").as("keeper_id"),
+        (col("id") === col("keeper")).as("kept"))
+  }
 }

@@ -32,6 +32,23 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Map(3L -> 3L, 4L -> 3L, 5L -> 3L))
   }
 
+  test("bestCopyKeepers: highest score wins, ties to lowest id, isolated " +
+      "docs keep themselves") {
+    // cluster {1,2,3}: doc 2 is longest -> keeper; cluster {7,8}: equal
+    // scores -> tie to lowest id 7; doc 9 isolated -> its own keeper
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val scored = Seq((1L, 10L), (2L, 30L), (3L, 20L), (7L, 5L), (8L, 5L),
+      (9L, 1L)).toDF("doc_id", "score")
+    val got = Components.bestCopyKeepers(pairs, scored, localSolveEdges = 0L)
+      .select("doc_id", "component", "keeper_id", "kept")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((1L, 2L, false)), 2L -> ((1L, 2L, true)), 3L -> ((1L, 2L, false)),
+      7L -> ((7L, 7L, true)), 8L -> ((7L, 7L, false)),
+      9L -> ((9L, 9L, true))))
+  }
+
   test("star contraction equals min-label propagation on random graphs") {
     val rnd = new scala.util.Random(11)
     for (_ <- 1 to 3) {
