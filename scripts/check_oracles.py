@@ -30,8 +30,13 @@ def load_spark_result(path):
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
     def norm(v):
+        # NULL must stay distinguishable from '' — the driver's gate
+        # distinguishes them (r4: q61/q64/q71/x62 red on exactly this
+        # axis while this script stayed green). NaN floats collapse to
+        # the same sentinel because pandas surfaces SQL NULL numerics
+        # as NaN on both the Spark-parquet and DuckDB sides.
         if v is None or (isinstance(v, float) and math.isnan(v)):
-            return ""
+            return "\x00NULL"
         if isinstance(v, float):
             # shortest round-trip repr: bit-exact float compare, matching
             # the repo's integral-output discipline (no 6-sig-fig masking)

@@ -1790,7 +1790,7 @@ object SparkEntry {
          |    CAST((len(tk.tk)-1)//12 + 1 AS BIGINT) AS n_units,
          |    CAST(coalesce(len(drops.drops), 0) AS BIGINT) AS n_dropped
          |  FROM tk LEFT JOIN drops USING (doc_id))
-         |SELECT doc_id, array_to_string(keptl, ' ') AS clean_text,
+         |SELECT doc_id, coalesce(array_to_string(keptl, ' '), '') AS clean_text,
          |  n_units, n_dropped,
          |  CAST(len(keptl) AS BIGINT) AS n_kept_tokens
          |FROM outp""".stripMargin
@@ -2728,7 +2728,7 @@ object SparkEntry {
          |      p -> tk.tk[CAST(p AS BIGINT) + 1]) AS keptl,
          |    CAST(len(tk.tk) AS BIGINT) AS n_total
          |  FROM tk LEFT JOIN covl USING (doc_id))
-         |SELECT doc_id, array_to_string(keptl, ' ') AS clean_text,
+         |SELECT doc_id, coalesce(array_to_string(keptl, ' '), '') AS clean_text,
          |  CAST(len(keptl) AS BIGINT) AS n_kept,
          |  n_total - CAST(len(keptl) AS BIGINT) AS n_dropped
          |FROM outp""".stripMargin,
@@ -2996,7 +2996,7 @@ object SparkEntry {
          |    CAST(coalesce(len(drops.drops), 0) AS BIGINT) AS n_dropped
          |  FROM tk LEFT JOIN drops USING (doc_id)
          |  WHERE tk.doc_id % 7 = 3)
-         |SELECT doc_id, array_to_string(keptl, ' ') AS clean_text,
+         |SELECT doc_id, coalesce(array_to_string(keptl, ' '), '') AS clean_text,
          |  n_units, n_dropped,
          |  CAST(len(keptl) AS BIGINT) AS n_kept_tokens
          |FROM outp""".stripMargin,

@@ -428,6 +428,58 @@ object Dedup {
             concat_ws(" ", slice(col("tk"), i + 1, lit(k)))))))
       .toDF("doc_id", "total_tokens", "pos", "h")
 
+  /** SHARED drop-array reconstruction for the whole scrub family —
+    * substring scrub (q61), sentence dedup (q64), incremental sentence
+    * dedup (q71) and its streaming shadow (x62) all rebuild clean text
+    * through THIS one code path, so the reconstruction contract cannot
+    * drift per operator.
+    *
+    * `drops` is one row per AFFECTED doc: (doc_id, drops: array<int>) of
+    * TOKEN positions when unitTokens == 1 (q61) or UNIT indexes when
+    * unitTokens > 1 (q64/q71/x62). Emits one row per input doc:
+    * (doc_id, clean_text, n_total_tokens, n_units, n_dropped,
+    * n_kept_tokens, carry...) — call sites project/rename.
+    *
+    * EMPTY-DOCUMENT CONTRACT (SURVEY §1.2's blank-duality note, resolved):
+    * a document whose every token is dropped yields clean_text = ''
+    * (empty string, NEVER null) — `array_join` over an empty array is ''
+    * and the input text column is non-null by the corpus contract. The
+    * DuckDB oracles must `coalesce(array_to_string(...), '')` because
+    * DuckDB 1.x returns NULL for array_to_string over an empty list.
+    * Pinned in DedupSpec ("fully-scrubbed doc") and
+    * StreamSentenceDedupSpec.
+    *
+    * 100 TB shape: the drop arrays are dup-density-bounded (far smaller
+    * than the corpus) — at driver scale AQE broadcasts them; at cluster
+    * scale with a heavy-dup corpus read the input from a doc_id-bucketed
+    * table (io.Bucketed / the committed sink's clustered compaction) and
+    * this join is exchange-free on the corpus side. Reconstruction is a
+    * projection over that join: token text never enters an exchange. */
+  private[graft] def rebuildFromDrops(docs: DataFrame, drops: DataFrame,
+      unitTokens: Int, carryCols: Seq[String] = Nil): DataFrame = {
+    require(unitTokens > 0, s"unit size must be positive, got $unitTokens")
+    val emptyInts = array().cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType))
+    val carry = carryCols.map(col)
+    val unitOf: Column => Column =
+      if (unitTokens == 1) i => i.cast("int")
+      else i => floor(i / unitTokens).cast("int")
+    docs.join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id") +: tokens(col("text")).as("tk") +:
+        coalesce(col("drops"), emptyInts).as("da") +: carry: _*)
+      .select(col("doc_id") +:
+        filter(col("tk"), (_, i) => !array_contains(col("da"), unitOf(i)))
+          .as("kept") +:
+        size(col("tk")).cast("long").as("n_total_tokens") +:
+        (floor((size(col("tk")) - 1) / unitTokens) + 1).cast("long")
+          .as("n_units") +:
+        size(col("da")).cast("long").as("n_dropped") +: carry: _*)
+      .select(col("doc_id") +:
+        array_join(col("kept"), " ").as("clean_text") +:
+        col("n_total_tokens") +: col("n_units") +: col("n_dropped") +:
+        size(col("kept")).cast("long").as("n_kept_tokens") +: carry: _*)
+  }
+
   /** Incremental sentence-level dedup — the O(delta) ingest composition
     * of [[sentenceDedup]]: clean a DELTA batch against a standing corpus
     * WITHOUT re-reading corpus text. The corpus contributes only its
@@ -486,20 +538,9 @@ object Dedup {
     val drops = inCorpus.union(laterInDelta).distinct()
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("drops"))
-    val emptyInts = array().cast(org.apache.spark.sql.types.ArrayType(
-      org.apache.spark.sql.types.IntegerType))
-    delta.join(drops, Seq("doc_id"), "left")
-      .select(col("doc_id"), tokens(col("text")).as("tk"),
-        coalesce(col("drops"), emptyInts).as("da"))
-      .select(col("doc_id"),
-        filter(col("tk"), (_, i) =>
-          !array_contains(col("da"), floor(i / unitTokens).cast("int"))).as("kept"),
-        (floor((size(col("tk")) - 1) / unitTokens) + 1).cast("long").as("n_units"),
-        size(col("da")).cast("long").as("n_dropped"))
-      .select(col("doc_id"),
-        array_join(col("kept"), " ").as("clean_text"),
-        col("n_units"), col("n_dropped"),
-        size(col("kept")).cast("long").as("n_kept_tokens"))
+    rebuildFromDrops(delta, drops, unitTokens)
+      .select("doc_id", "clean_text", "n_units", "n_dropped",
+        "n_kept_tokens")
   }
 
   /** N-gram cross-corpus decontamination (the GPT-3 appendix-C shape:
@@ -565,20 +606,13 @@ object Dedup {
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
       .distinct()
     val drops = covered.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("p"))).as("drops"))
-    val tk = tokens(col("text"))
-    val dropsA = coalesce(col("drops"),
-      array().cast(org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.IntegerType)))
-    docs.join(drops, Seq("doc_id"), "left")
-      .select(col("doc_id"), tk.as("tk"), dropsA.as("da"))
-      .select(col("doc_id"),
-        filter(col("tk"), (_, i) => !array_contains(col("da"), i)).as("kept"),
-        size(col("tk")).cast("long").as("n_total"))
-      .select(col("doc_id"),
-        array_join(col("kept"), " ").as("clean_text"),
-        size(col("kept")).cast("long").as("n_kept"),
-        (col("n_total") - size(col("kept"))).cast("long").as("n_dropped"))
+      .agg(sort_array(collect_list(col("p")).cast(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType))).as("drops"))
+    rebuildFromDrops(docs, drops, unitTokens = 1)
+      .select(col("doc_id"), col("clean_text"),
+        col("n_kept_tokens").as("n_kept"),
+        (col("n_total_tokens") - col("n_kept_tokens")).as("n_dropped"))
   }
 
   // ---------------------------------------- sentence-level exact dedup
@@ -624,21 +658,9 @@ object Dedup {
       .select(col("doc_id"), col("pos"))
     val drops = dropped.groupBy("doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("drops"))
-    val emptyInts = array().cast(org.apache.spark.sql.types.ArrayType(
-      org.apache.spark.sql.types.IntegerType))
-    val carry = carryCols.map(col)
-    docs.join(drops, Seq("doc_id"), "left")
-      .select(col("doc_id") +: tokens(col("text")).as("tk") +:
-        coalesce(col("drops"), emptyInts).as("da") +: carry: _*)
-      .select(col("doc_id") +:
-        filter(col("tk"), (_, i) =>
-          !array_contains(col("da"), floor(i / unitTokens).cast("int"))).as("kept") +:
-        (floor((size(col("tk")) - 1) / unitTokens) + 1).cast("long").as("n_units") +:
-        size(col("da")).cast("long").as("n_dropped") +: carry: _*)
-      .select(col("doc_id") +:
-        array_join(col("kept"), " ").as("clean_text") +:
-        col("n_units") +: col("n_dropped") +:
-        size(col("kept")).cast("long").as("n_kept_tokens") +: carry: _*)
+    rebuildFromDrops(docs, drops, unitTokens, carryCols)
+      .select((Seq("doc_id", "clean_text", "n_units", "n_dropped",
+        "n_kept_tokens") ++ carryCols).map(col): _*)
   }
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)

@@ -336,11 +336,14 @@ class PlanAuditSpec extends AnyFunSuite {
     * including exchanges buried inside query stages: one inner Seq per
     * exchange. */
   private def shuffleOutputSets(name: String)
+      : Seq[Seq[(String, org.apache.spark.sql.types.DataType)]] =
+    shuffleOutputSetsOf(SparkEntry.queries(name)(spark, sf))
+
+  private def shuffleOutputSetsOf(df: org.apache.spark.sql.DataFrame)
       : Seq[Seq[(String, org.apache.spark.sql.types.DataType)]] = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    val df = SparkEntry.queries(name)(spark, sf)
     df.collect()
     def walk(p: SparkPlan): Seq[SparkPlan] = {
       val self = p match { case _: ShuffleExchangeLike => Seq(p); case _ => Nil }
@@ -357,6 +360,49 @@ class PlanAuditSpec extends AnyFunSuite {
   private def shuffleOutputs(name: String)
       : Seq[(String, org.apache.spark.sql.types.DataType)] =
     shuffleOutputSets(name).flatten
+
+  test("scrub-family reconstruction over a doc_id-bucketed corpus: the " +
+      "corpus (text) side is exchange-free even with broadcast disabled") {
+    // Pins the cluster-scale claim in Dedup.rebuildFromDrops's scaladoc:
+    // at driver scale the drop arrays broadcast (q61/q64 pins above), but
+    // on a heavy-dup corpus where they outgrow the broadcast threshold the
+    // promised fallback is a doc_id-bucketed corpus whose bucket layout
+    // the join reuses — only the tiny drops side exchanges; document text
+    // never does. Broadcast is disabled to force that exact regime.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-scrub-bkt").toString
+    val docs = (0L until 2000L)
+      .map(i => (i, s"tok${i % 7} alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    graft.io.Bucketed.writeBucketed(
+      docs, "graft_scrub_bkt_corpus", s"$dir/corpus", 8, "doc_id")
+    val corpus = spark.table("graft_scrub_bkt_corpus")
+    val drops = Seq((5L, Seq(0, 1)), (17L, Seq(2)), (23L, Seq(0)))
+      .toDF("doc_id", "drops")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val out = graft.ops.Dedup.rebuildFromDrops(corpus, drops, unitTokens = 1)
+      val sets = shuffleOutputSetsOf(out)
+      // exactly one exchange — the drops side aligning to the corpus's
+      // bucket partitioning; a second one would mean the corpus text
+      // column went through a shuffle
+      assert(sets.size == 1, sets.map(_.map(_._1)))
+      assert(sets.head.map(_._1.toLowerCase).toSet
+        .subsetOf(Set("doc_id", "drops")), sets)
+      // and the rebuilt rows are right where touched, untouched elsewhere
+      val got = out.filter(col("doc_id").isin(5L, 17L, 1L))
+        .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+      assert(got(5L) == "beta gamma delta")
+      assert(got(17L) == "tok3 alpha gamma delta")
+      assert(got(1L) == "tok1 alpha beta gamma delta")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_scrub_bkt_corpus")
+    }
+  }
 
   test("q58 incremental components: the corpus-scale prior never shuffles " +
       "(both prior joins broadcast; total shuffle records are delta-bounded)") {

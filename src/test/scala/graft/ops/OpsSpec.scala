@@ -326,6 +326,35 @@ class DedupSpec extends AnyFunSuite {
     assert(full == out)
   }
 
+  test("empty-document contract: a fully-scrubbed doc emits clean_text = '' " +
+      "(empty string, NEVER null) on every scrub-family path") {
+    // Pins the contract documented on Dedup.rebuildFromDrops against the
+    // r4 regression class (q61/q64/q71/x62): DuckDB's array_to_string over
+    // an empty list returns NULL where Spark's array_join returns '' — the
+    // engine side must stay '' so the oracles' coalesce(.., '') is the only
+    // place the duality is reconciled. getString throws on NULL, so each
+    // assertion pins both value AND non-nullness.
+    def cleanOf(df: org.apache.spark.sql.DataFrame, id: Long): String =
+      df.filter(col("doc_id") === id).select("clean_text")
+        .collect().head.getString(0)
+    // scrub path (q61 shape): doc 21 identical to doc 20 → all tokens drop
+    val scrubDocs = Seq(
+      (20L, "m n o p q r s t u"), (21L, "m n o p q r s t u"))
+      .toDF("doc_id", "text")
+    assert(cleanOf(Dedup.scrubDupSubstrings(scrubDocs, k = 8), 21L) == "")
+    // sentence path (q64 shape): doc 31's single unit owned by doc 30
+    val sentDocs = Seq((30L, "a b c"), (31L, "a b c")).toDF("doc_id", "text")
+    assert(cleanOf(Dedup.sentenceDedup(sentDocs, unitTokens = 3), 31L) == "")
+    // incremental path (q71 shape): delta doc fully owned by the corpus
+    val corpus = Seq((40L, "a b c d e f")).toDF("doc_id", "text")
+    val delta = Seq((41L, "a b c"), (42L, "d e f keep this tail"))
+      .toDF("doc_id", "text")
+    val incr = Dedup.incrementalSentenceDedup(corpus, delta, unitTokens = 3)
+    assert(cleanOf(incr, 41L) == "")
+    assert(cleanOf(incr, 42L) == "keep this tail")
+    // streaming shadow (x62) pinned in StreamSentenceDedupSpec (doc 3)
+  }
+
   test("sentence dedup winner is the globally smallest (doc_id, pos) pair") {
     // the dup unit sits at pos 1 in doc 1 but pos 0 in doc 2: doc-id order
     // dominates position order, so doc 1 keeps it
