@@ -100,8 +100,22 @@ EOF
 # argument as /dev/shm above); the summary divides the min-based
 # efficiency by the BEST observed ceiling (smallest correction).
 bwprobe() {
-  java -cp "$JAR:${SPARK_HOME:-/opt/spark}/jars/*" graft.MembwCeiling \
-    "$NSMALL" 2>/dev/null | sed -n 's/^membw_ceiling=//p'
+  # explicit heap: the probe's live arrays (256 MB/thread at 8 threads)
+  # exceed some default max heaps, and an OOM silenced by 2>/dev/null
+  # would yield empty output
+  local out
+  out=$(java -Xmx4g -cp "$JAR:${SPARK_HOME:-/opt/spark}/jars/*" \
+    graft.MembwCeiling "$NSMALL" 2>/dev/null |
+    sed -n 's/^membw_ceiling=//p')
+  case "$out" in
+    ''|*[!0-9.]*)
+      # empty/non-numeric (probe JVM died): ceiling 1.0 = NO correction —
+      # the conservative direction (can only lower the headline) — and
+      # say so rather than letting the summary divide by zero
+      echo "bwprobe FAILED (output: '$out') — defaulting round ceiling to 1.0" >&2
+      echo "1.0" ;;
+    *) echo "$out" ;;
+  esac
 }
 
 echo "corpus=$CORPUS rounds=$ROUNDS pair=local[$NSMALL] vs local[$NBIG] mode=$MODE"
@@ -140,9 +154,15 @@ awk '{ts[NR]=$1; tb[NR]=$2; ld[NR]=$3; cl[NR]=($4>1)?1:$4;
     # insertion-sort the quiet paired ratios, take the median
     for(i=1;i<nq;i++){v=eq[i];j=i-1;while(j>=0&&eq[j]>v){eq[j+1]=eq[j];j--}eq[j+1]=v}
     med=(nq%2)?eq[int(nq/2)]:(eq[nq/2-1]+eq[nq/2])/2
-    printf "min-based: t_small=%.1fs t_big=%.1fs efficiency=%.3f\n", mins, minb, mins/(4*minb)
+    raw=mins/(4*minb)
+    printf "min-based: t_small=%.1fs t_big=%.1fs efficiency=%.3f (raw %s vs >=0.8)\n", mins, minb, raw, (raw>=0.8)?"PASS":"FAIL"
     printf "median paired efficiency over quiet rounds [%s]: %.3f\n", qf, med
-    hl=mins/(4*minb)/bestc; if(hl>1)hl=1
-    printf "headline (min-based / best membw ceiling %.3f): %.3f (criterion >=0.8)\n", bestc, hl
+    # same sanity bound as graft.Bench: a combined ceiling under 0.6 is
+    # more likely a broken probe than a box that slow — refuse the
+    # correction (divide by 1.0) rather than inflate the headline; and
+    # bestc==0 (every probe failed) must never divide by zero
+    if(bestc<0.6){printf "ceiling %.3f below sanity bound 0.6 — correction REFUSED\n", bestc; bestc=1}
+    hl=raw/bestc; if(hl>1)hl=1
+    printf "headline (min-based / best membw ceiling %.3f): %.3f (%s vs criterion >=0.8)\n", bestc, hl, (hl>=0.8)?"PASS":"FAIL"
   }'
 rm -rf "$SCRATCH"

@@ -452,11 +452,25 @@ object Bench {
       //    ceiling is the consistent choice. Raw numbers, paired medians,
       //    and both per-round ceiling arrays stay embedded for audit.
       val bestCeil = rs.map(_.combinedCeiling(nSmall)).max
-      def headline(f: Timing => Double): Double = {
+      // The correction only ever divides — a spuriously LOW probe reading
+      // (GC pause or allocation skew inside the 1.5 s probe, a co-tenant
+      // spike the probe caught but the job didn't) could only inflate the
+      // headline. Bound it: r4's real sustained drains bottomed at
+      // ~0.67-0.76, so a combined ceiling under 0.6 is more likely a
+      // broken probe than a box that slow — refuse the correction (divide
+      // by 1.0) and flag it. Pass/fail vs the 0.8 bar is reported on BOTH
+      // the raw min-based efficiency and the corrected headline, so a
+      // reader never has to trust the correction to see the raw verdict.
+      val ceilSane = bestCeil >= 0.6
+      val effCeil = if (ceilSane) bestCeil else 1.0
+      val scalingBar = 0.8
+      def rawEff(f: Timing => Double): Double = {
         val tS = minF(rs.map(r => f(r.small)))
         val tB = minF(rs.map(r => f(r.big)))
-        math.min(1.0, (tS / (4.0 * tB)) / bestCeil)
+        tS / (4.0 * tB)
       }
+      def headline(f: Timing => Double): Double =
+        math.min(1.0, rawEff(f) / effCeil)
       def block(f: Timing => Double): String = {
         val tS = minF(rs.map(r => f(r.small)))
         val tB = minF(rs.map(r => f(r.big)))
@@ -466,6 +480,10 @@ object Bench {
           s""""efficiency_vs_cpu_ceiling_median":${fmt(median(effVsCeil(f, _.ceiling(nSmall))))},""" +
           s""""efficiency_vs_membw_ceiling_median":${fmt(median(effVsCeil(f, _.bwCeiling)))},""" +
           s""""best_combined_ceiling":${fmt(bestCeil)},""" +
+          s""""ceiling_correction_sane":$ceilSane,""" +
+          s""""ceiling_correction_applied":${fmt(effCeil)},""" +
+          s""""pass_raw":${rawEff(f) >= scalingBar},""" +
+          s""""pass_headline":${headline(f) >= scalingBar},""" +
           s""""efficiency_headline":${fmt(headline(f))}}"""
       }
       scaling =
@@ -486,6 +504,9 @@ object Bench {
         s"""{"n_small":$nSmall,"n_big":$nBig,"docs":$scaleDocs,""" +
           s""""full_job_efficiency_headline":${fmt(headline(_.full))},""" +
           s""""full_job_efficiency_min":${fmt(minF(rs.map(_.small.full)) / (4.0 * minF(rs.map(_.big.full))))},""" +
+          s""""full_job_pass_raw":${rawEff(_.full) >= scalingBar},""" +
+          s""""full_job_pass_headline":${headline(_.full) >= scalingBar},""" +
+          s""""ceiling_correction_sane":$ceilSane,""" +
           s""""extract_stage_efficiency_headline":${fmt(headline(_.mapOnly))},""" +
           s""""quiet_rounds":${quietFlags.count(identity)},"rounds":${rs.size}}"""
     }

@@ -687,6 +687,23 @@ object SparkEntry {
           graft.ops.Dedup.ngramJaccardPairs(docs, minJaccardBp = 2000L),
           docs.select(col("doc_id"), length(col("text")).cast("long")))
       }),
+      // ---- GENERIC 64-bit-signature near-dup exercised on a third
+      //      modality (beyond q60's text SimHash and x60's image aHash):
+      //      an audio-fingerprint-shaped sign signature folded from the
+      //      embedding table's 64 dims (bit i = dim i positive). Bands
+      //      derived pigeonhole-complete from maxHamming; the oracle
+      //      recomputes the signature and brute-forces hamming, so the
+      //      banding is recall-checked, not just rows-counted.
+      "q93_signature_near_dup" -> ((s, d) => {
+        val sigs = t(s, d, "embeddings").select(
+          col("vec_id").as("doc_id"),
+          expr("aggregate(transform(sequence(0, 63), i -> " +
+            "IF(element_at(embedding, CAST(i + 1 AS INT)) > 0F, " +
+            "shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)), " +
+            "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a | x)")
+            .as("sig"))
+        graft.ops.Dedup.signatureNearDupPairs(sigs, maxHamming = 15)
+      }),
       "q53_dup_keepers" -> ((s, d) => {
         val ckpt = java.nio.file.Files
           .createTempDirectory(s"graft-q53-${s.sparkContext.applicationId}")
@@ -854,6 +871,14 @@ object SparkEntry {
       //      before the LM join — see TextAnalysis.lmFluency
       "q66_lm_fluency" -> ((s, d) =>
         TextAnalysis.lmFluency(t(s, d, "documents"))),
+      // ---- q66's real FLOAT log-perplexity, hash-exact via guarded
+      //      quantization (1e-4-nat floor + 1e-3-quanta guard band): the
+      //      DuckDB oracle recomputes Σ k·ln(c12/c1)/nb with ITS libm and
+      //      must land on the same quantized value wherever the guard
+      //      admits one — a genuine cross-engine float check, not a
+      //      trusted flag
+      "q66b_lm_logprob" -> ((s, d) =>
+        TextAnalysis.lmLogProb(t(s, d, "documents"))),
       // ---- unicode cleaning: NFC canonical composition (native codegen
       //      expression — Spark has no built-in normalizer), control-char
       //      strip, whitespace collapse. The corpus is ASCII, so the query
@@ -2302,6 +2327,24 @@ object SparkEntry {
          |SELECT y.id AS doc_id, y.component, p.keeper AS keeper_id,
          |  (y.id = p.keeper) AS kept
          |FROM keyed y JOIN keepers p USING (component)""".stripMargin,
+    // q93: the oracle rebuilds the sign signature (bit 63 spelled as
+    // Long.MinValue — DuckDB checks 1<<63 overflow where Java wraps) and
+    // brute-forces all pairs, so the banded path is recall-audited
+    "q93_signature_near_dup" ->
+      """WITH s AS (
+        |  SELECT vec_id AS doc_id,
+        |    (SELECT bit_or(CASE
+        |       WHEN i = 63 AND embedding[64] > 0
+        |         THEN (-9223372036854775807 - 1)::BIGINT
+        |       WHEN i < 63 AND embedding[CAST(i + 1 AS BIGINT)] > 0
+        |         THEN (1::BIGINT << i)
+        |       ELSE 0::BIGINT END)
+        |     FROM range(0, 64) t(i)) AS sig
+        |  FROM embeddings)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 15""".stripMargin,
     "q53_dup_keepers" ->
       // q37's closure + a singleton row for every doc with no near-dup pair
       s"""WITH RECURSIVE pairs AS ($ngramPairsOracleSql),
@@ -3072,6 +3115,39 @@ object SparkEntry {
          |  CAST(coalesce(sm, 0) AS BIGINT) AS sum_cond_micro,
          |  CAST(coalesce(sm // nb, 0) AS BIGINT) AS avg_cond_micro
          |FROM tk LEFT JOIN sc USING (doc_id)""".stripMargin,
+    // q66b: the same bigram LM scored as FLOAT avg log-probability —
+    // ln AFTER one IEEE division (matches the Spark spelling), floor-
+    // quantized to 1e-4 nats, emitted only outside the 1e-3-quanta guard
+    // band so two independent libms agree on every emitted value
+    "q66b_lm_logprob" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, $toks AS tk FROM documents),
+         |bi AS (
+         |  SELECT doc_id,
+         |    tk[CAST(i+1 AS BIGINT)] || ' ' || tk[CAST(i+2 AS BIGINT)] AS bg
+         |  FROM tk, UNNEST(range(0, greatest(len(tk)-1, 0))) AS t(i)
+         |  WHERE len(tk) >= 2),
+         |docbi AS (SELECT doc_id, bg, count(*) AS k FROM bi GROUP BY 1, 2),
+         |bic AS (SELECT bg, sum(k) AS c12 FROM docbi GROUP BY 1),
+         |pre AS (
+         |  SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
+         |  FROM bic GROUP BY 1),
+         |lm AS (
+         |  SELECT bg, c12, c1 FROM bic
+         |  JOIN pre ON split_part(bg, ' ', 1) = w1),
+         |sc AS (
+         |  SELECT d.doc_id, sum(d.k) AS nb,
+         |    sum(d.k * ln(CAST(c12 AS DOUBLE) / c1)) AS s
+         |  FROM docbi d JOIN lm USING (bg) GROUP BY 1),
+         |q AS (
+         |  SELECT doc_id, nb, (s / nb) * 10000.0 AS dd FROM sc)
+         |SELECT tk.doc_id,
+         |  CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+         |  CASE WHEN (dd - floor(dd)) >= 0.001 AND (dd - floor(dd)) <= 0.999
+         |    THEN CAST(floor(dd) AS BIGINT) END AS avg_logprob_q,
+         |  coalesce((dd - floor(dd)) >= 0.001 AND (dd - floor(dd)) <= 0.999,
+         |    false) AS quant_safe
+         |FROM tk LEFT JOIN q USING (doc_id)""".stripMargin,
     // q65: DuckDB's nfc_normalize (utf8proc) vs the engine's JDK
     // Normalizer — two independent UAX #15 implementations must agree
     // byte-wise on the composed output; same control-strip + whitespace

@@ -382,8 +382,17 @@ object Components {
       .select(col("id"),
         coalesce(col("component"), col("id")).as("component"),
         col("score"))
+    // the composite key silently overflows (wrong keeper, no error) outside
+    // 0 <= score < 2^31, 0 <= id < 2^32 — enforce in the same projection
+    // that builds the key (no extra pass; fires on the first bad row)
+    val inRange = col("score") >= 0L && col("score") < lit(1L << 31) &&
+      col("id") >= 0L && col("id") < lit(1L << 32)
     val keyed = labeled.withColumn("k",
-      col("score") * lit(4294967296L) - col("id"))
+      when(inRange, col("score") * lit(4294967296L) - col("id"))
+        .otherwise(raise_error(concat(
+          lit("bestCopyKeepers: composite argmax key needs 0 <= score < 2^31" +
+            " and 0 <= id < 2^32; got id="), col("id"),
+          lit(" score="), col("score"))).cast("long")))
     val keepers = keyed.groupBy("component")
       .agg(expr("max_by(id, k)").as("keeper"))
     keyed.join(keepers, Seq("component"))

@@ -212,6 +212,60 @@ object TextAnalysis {
         coalesce(expr("sm div nb"), lit(0L)).as("avg_cond_micro"))
   }
 
+  /** Real FLOAT log-perplexity companion to [[lmFluency]] (q66b): per doc
+    * the average bigram conditional log-probability
+    * `avg_lp = Σ k·ln(c12/c1) / nb` (nats, always <= 0).
+    *
+    * [[lmFluency]] keeps true log-perplexity out of its contract because
+    * libm `ln` isn't bit-stable across engines — this surface ships it
+    * anyway under the q36/q44/q54 tolerance-flag discipline, made
+    * hash-exact by QUANTIZATION WITH A GUARD BAND: the value is emitted
+    * floor-quantized to 1e-4 nats (`avg_logprob_q`), and only when the
+    * pre-quantization value sits at least 1e-3 quanta away from the floor
+    * boundary (`quant_safe`); boundary-straddling docs emit NULL on both
+    * engines. Cross-engine ln/summation drift is ~1e-12 quanta — six
+    * orders inside the guard — so two independent libms agree on every
+    * emitted value by construction, and the oracle CHECKS the float
+    * computation rather than trusting a flag blindly.
+    *
+    * Scale shape is lmFluency's: same bigram/prefix aggregation, shuffles
+    * carry (bigram key, longs) + one double; the LM join broadcasts for
+    * bounded vocabularies. */
+  def lmLogProb(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    val docBi = base
+      .select(col("doc_id"),
+        explode(when(size(col("tk")) >= 2,
+          transform(sequence(lit(0), size(col("tk")) - 2),
+            i => concat_ws(" ", element_at(col("tk"), i + 1),
+              element_at(col("tk"), i + 2))))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("k"))
+    val biCnt = docBi.groupBy("bg").agg(sum("k").as("c12"))
+    val pre = biCnt
+      .select(substring_index(col("bg"), " ", 1).as("w1"), col("c12"))
+      .groupBy("w1").agg(sum("c12").as("c1"))
+    val lm = biCnt
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(pre, "w1")
+      .select(col("bg"), col("c12"), col("c1"))
+    // division BEFORE ln (not ln(c12)-ln(c1)): the quotient is one IEEE
+    // op (bit-identical everywhere); only the single ln call varies ±1ulp
+    val scored = docBi.join(lm, "bg")
+      .withColumn("lp",
+        col("k") * log(col("c12").cast("double") / col("c1")))
+      .groupBy("doc_id")
+      .agg(sum("k").as("nb"), sum("lp").as("s"))
+    val d = (col("s") / col("nb")) * lit(10000.0)
+    val safe = col("nb").isNotNull &&
+      (d - floor(d)) >= 0.001 && (d - floor(d)) <= 0.999
+    base.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        when(safe, floor(d).cast("long")).as("avg_logprob_q"),
+        coalesce(safe, lit(false)).as("quant_safe"))
+  }
+
   def vocabCoverage(docs: DataFrame, coverageBp: Long = 9500L,
       textCol: String = "text"): DataFrame = {
     require(coverageBp >= 0L && coverageBp <= 10000L, s"bad bp $coverageBp")

@@ -38,8 +38,21 @@ object StreamMergeApply {
 
   /** Land ONE change micro-batch on the committed table at `dir` as one
     * atomic snapshot. Idempotent in `id`: replays of an already-landed
-    * batch are no-ops. Empty batches are skipped (no empty snapshots). */
-  def applyBatch(dir: String, opCol: String = "op")(
+    * batch are no-ops. Empty batches are skipped (no empty snapshots).
+    *
+    * A micro-batch carrying SEVERAL changes to the same doc_id (routine in
+    * real change streams) is compacted to the LAST change per doc_id
+    * before merging — merge's duplicate-source guard would otherwise throw
+    * inside foreachBatch and the replay of that batch would re-throw
+    * forever, wedging the stream. "Last" is ordered by `seqCol` when the
+    * upstream carries a change sequence/offset column (pass its name; the
+    * column is dropped before the merge); without one, by arrival order
+    * within the batch (partition-major — deterministic for a
+    * single-partition source, best-effort otherwise, so upstreams with
+    * cross-partition ordering needs must supply seqCol). The compaction
+    * shuffles only the batch (never the table) on doc_id. */
+  def applyBatch(dir: String, opCol: String = "op",
+      seqCol: Option[String] = None)(
       batch: DataFrame, id: Long): Unit = {
     val runId = f"apply-$id%03d"
     val snaps = Checkpointing.snapshots(dir)
@@ -54,7 +67,19 @@ object StreamMergeApply {
       rm(delDir)
     }
     if (!batch.isEmpty) {
-      Checkpointing.merge(batch, dir, runId,
+      val seq = "__graft_change_seq"
+      val ordered = seqCol match {
+        case Some(c) => batch.withColumn(seq, col(c))
+        case None => batch.withColumn(seq, monotonically_increasing_id())
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col(seq).desc)
+      val compacted = ordered
+        .withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") === 1)
+        .drop("__graft_rn", seq)
+        .drop(seqCol.toSeq: _*)
+      Checkpointing.merge(compacted, dir, runId,
         deleteWhen = col(opCol) === "delete")
       ()
     }

@@ -52,12 +52,17 @@ object StreamWatermarkDedup {
   def replayDocsDistinctFp(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // stamp by DENSE RANK (row index after the doc_id sort), not raw
+    // doc_id: with sparse ids (max id >> row count) doc_id-second stamps
+    // could straddle the 2*count-second horizon below and re-emit dups,
+    // breaking the 'equals batch distinct set' contract
     val rows = docs
       .select(md5(lower(trim(col("text")))).as("fp"), col("doc_id"))
       .orderBy("doc_id")
       .collect()
-      .map(r => Stamped(r.getString(0), r.getLong(1),
-        new java.sql.Timestamp(base.getTime + r.getLong(1) * 1000L)))
+      .zipWithIndex
+      .map { case (r, i) => Stamped(r.getString(0), r.getLong(1),
+        new java.sql.Timestamp(base.getTime + i * 1000L)) }
       .toSeq
     replayDistinctFp(spark, rows, delaySeconds = rows.length * 2L + 10L)
   }

@@ -102,6 +102,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q66 shuffles arrays: $outs")
   }
 
+  test("q66b float log-perplexity: same exchange discipline as q66 — no " +
+      "shuffle carries document text, one extra double per doc only") {
+    val outs = shuffleOutputs("q66b_lm_logprob")
+    assert(!outs.exists(_._1.toLowerCase == "text"),
+      s"q66b shuffles raw text: $outs")
+    assert(!outs.exists(_._2.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+      s"q66b shuffles arrays: $outs")
+  }
+
+  test("q93 generic signature near-dup: banded self-join on (band, bits) " +
+      "scalars; no UDF; signature built in the scan projection") {
+    val plan = planOf("q93_signature_near_dup")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      plan.take(3000))
+    val outs = shuffleOutputs("q93_signature_near_dup")
+    assert(!outs.exists(_._2.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+      s"q93 shuffles the embedding array: $outs")
+  }
+
   test("q67 corpus shuffle: one exchange (the shard partitioning the " +
       "write needs anyway), never a global sort") {
     val plan = planOf("q67_corpus_shuffle")

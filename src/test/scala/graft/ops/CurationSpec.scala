@@ -49,6 +49,30 @@ class CurationSpec extends AnyFunSuite {
       9L -> ((9L, 9L, true))))
   }
 
+  test("bestCopyKeepers: a score or id outside the composite-key range " +
+      "raises instead of silently electing a wrong keeper") {
+    // score*2^32 - id overflows Long at score >= 2^31 and misorders at
+    // id >= 2^32 — the guard fires in the key projection itself
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val badScore = Seq((1L, 1L << 31), (2L, 5L)).toDF("doc_id", "score")
+    val e1 = intercept[Exception] {
+      Components.bestCopyKeepers(pairs, badScore, localSolveEdges = 0L)
+        .collect()
+    }
+    assert(e1.getMessage.contains("composite argmax key") ||
+      Option(e1.getCause).exists(_.getMessage.contains("composite argmax key")))
+    // the oversized id is an isolated doc (absent from pairs) so the
+    // guard in the key projection is what fires, not the contraction
+    val badId = Seq((1L, 10L), (2L, 5L), (1L << 32, 5L))
+      .toDF("doc_id", "score")
+    val e2 = intercept[Exception] {
+      Components.bestCopyKeepers(pairs, badId, localSolveEdges = 0L)
+        .collect()
+    }
+    assert(e2.getMessage.contains("composite argmax key") ||
+      Option(e2.getCause).exists(_.getMessage.contains("composite argmax key")))
+  }
+
   test("star contraction equals min-label propagation on random graphs") {
     val rnd = new scala.util.Random(11)
     for (_ <- 1 to 3) {

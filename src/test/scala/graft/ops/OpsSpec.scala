@@ -264,6 +264,24 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, 0L, 0L))) // bigram-less docs still emit a row
   }
 
+  test("lmLogProb: float avg log-probability matches hand math, guard-" +
+      "quantized; bigram-less docs emit (0, NULL, unsafe)") {
+    // corpus identical to the lmFluency test: p(b|a)=1, p(a|b)=p(c|b)=0.5
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.lmLogProb(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"),
+          Option(r.getAs[java.lang.Long]("avg_logprob_q")).map(_.toLong),
+          r.getAs[Boolean]("quant_safe")))).toMap
+    // doc 1: 2·ln(1) + 1·ln(1/2) over 3 bigrams; doc 2: ln(1)+ln(1/2) over 2
+    val d1 = (math.log(0.5) / 3) * 10000
+    val d2 = (math.log(0.5) / 2) * 10000
+    assert(out(1L) == ((3L, Some(math.floor(d1).toLong), true)))
+    assert(out(2L) == ((2L, Some(math.floor(d2).toLong), true)))
+    assert(out(3L) == ((0L, None, false)))
+  }
+
   test("crossContamination: eval k-gram collisions against train, " +
       "zero-hit and short docs still emit rows") {
     val train = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")

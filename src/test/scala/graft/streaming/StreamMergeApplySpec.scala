@@ -67,6 +67,39 @@ class StreamMergeApplySpec extends AnyFunSuite {
     assert(Checkpointing.readAt(spark, dir, 2).count() == 3) // doc 3 intact
   }
 
+  test("a micro-batch with several changes to one doc_id compacts to " +
+      "last-writer-wins instead of wedging the stream") {
+    // merge's duplicate-source guard throws inside foreachBatch and the
+    // replay re-throws forever — applyBatch must compact first
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = freshDir("smerge-compact")
+    base(dir)
+    // doc 1: upsert v2 then delete (seq order) → deleted
+    // doc 2: upsert old then upsert newer     → newer payload wins
+    val batch = Seq(
+      ("upsert", "doc-1", 1L, "v2-1", 10L),
+      ("delete", "doc-1", 1L, "v2-1", 11L),
+      ("upsert", "doc-2", 2L, "stale-2", 12L),
+      ("upsert", "doc-2", 2L, "newest-2", 13L))
+      .toDF("op", "doc_id", "doc_ord", "payload", "change_seq")
+    StreamMergeApply.applyBatch(dir, seqCol = Some("change_seq"))(batch, 0L)
+    val got = Checkpointing.readAt(spark, dir, 2)
+    assert(got.count() == 3) // doc-1 gone, docs 0/2/3 present
+    assert(got.filter(col("doc_ord") === 1L).count() == 0)
+    assert(got.filter(col("doc_ord") === 2L)
+      .select("payload").as[String].head() == "newest-2")
+    // without a seq column, arrival order within the batch decides
+    val dir2 = freshDir("smerge-compact2")
+    base(dir2)
+    StreamMergeApply.applyBatch(dir2)(
+      rows(Seq(1), op = "upsert", tag = "first")
+        .unionByName(rows(Seq(1), op = "upsert", tag = "second"))
+        .coalesce(1), 0L)
+    assert(Checkpointing.readAt(spark, dir2, 2)
+      .filter(col("doc_ord") === 1L)
+      .select("payload").as[String].head() == "second-1")
+  }
+
   test("empty micro-batch lands no snapshot") {
     spark.sparkContext.setLogLevel("WARN")
     val dir = freshDir("smerge-empty")

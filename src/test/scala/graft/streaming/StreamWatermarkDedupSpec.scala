@@ -68,4 +68,18 @@ class StreamWatermarkDedupSpec extends AnyFunSuite {
       .distinct().collect().map(_.getString(0)).sorted.toSeq
     assert(got == want && got.length == 3)
   }
+
+  test("driver surface holds under SPARSE doc_ids: dense-rank stamping " +
+      "keeps all duplicates inside one dedup horizon") {
+    // raw-doc_id-second stamps would put these two dups 10^7 s apart —
+    // far past the 2*count+10 s horizon — and the dup would re-emit
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "same text"), (10000000L, "same text"), (99999999L, "other"))
+      .toDF("doc_id", "text")
+    val got = StreamWatermarkDedup.replayDocsDistinctFp(spark, docs)
+      .collect().map(_.getString(0)).toSeq
+    assert(got.length == 2 && got.distinct.length == 2,
+      s"sparse-id duplicate re-emitted: $got")
+  }
 }
