@@ -30,7 +30,11 @@ import graft.ops.{Components, Dedup, Similarity}
   *
   * Usage: SPARK_GRAFT_SCALE_CPUS=8 sbt 'runMain graft.ScaleCheck DIR...'
   * where each DIR holds documents.parquet + embeddings.parquet. Prints one
-  * JSON line per corpus; results are transcribed into BASELINE.md.
+  * JSON line per corpus AND writes the whole run to
+  * SPARK_GRAFT_SCALE_OUT (default `scale_out.json`) as one JSON document
+  * — the committed round artifact, so successive rounds' 100× runs can be
+  * diffed the way BENCH_r*.json diffs the bench; BASELINE.md's scale
+  * table is generated from it.
   */
 object ScaleCheck {
 
@@ -81,7 +85,9 @@ object ScaleCheck {
     val cores = sys.env.getOrElse("SPARK_GRAFT_SCALE_CPUS", "8").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
     val shingleN = sys.env.getOrElse("SPARK_GRAFT_SHINGLE_N", "5").toInt
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_out.json")
     val spark = session(cores)
+    val corpusLines = scala.collection.mutable.ArrayBuffer[String]()
 
     args.foreach { dir =>
       val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -186,7 +192,7 @@ object ScaleCheck {
       }
 
       def f(x: Double) = if (x == Double.MaxValue) "null" else f"$x%.2f"
-      println(
+      val line =
         s"""{"dir":"$dir","docs":$nDocs,"vectors":$nVecs,"n_lists":$nLists,"shingle_n":$shingleN,""" +
         s""""ngram_pairs":{"sec":${f(pairTime)},"pairs":$nPairs},""" +
         s""""contraction_distributed":{"sec":${f(distTime)},"clusters":$nClusters,""" +
@@ -201,7 +207,15 @@ object ScaleCheck {
         s""""edges_per_round":${semTrace.edgeSeq.mkString("[", ",", "]")}},""" +
         s""""incremental_ingest":{"delta_docs":$deltaCut,""" +
         s""""pairs_sec":${f(ingestPairTime)},"delta_pairs":$nDeltaPairs,""" +
-        s""""fold_sec":${f(foldTime)},"labeled":$nLabeled}}""")
+        s""""fold_sec":${f(foldTime)},"labeled":$nLabeled}}"""
+      println(line)
+      corpusLines += line
+      // write-after-every-corpus so a killed multi-hour run still leaves
+      // a diffable artifact for the corpora it finished
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+        s"""{"generated_by":"graft.ScaleCheck","cores":$cores,""" +
+          s""""reps":$reps,"shingle_n":$shingleN,""" +
+          corpusLines.mkString("\"corpora\":[", ",", "]}"))
     }
     spark.stop()
   }
