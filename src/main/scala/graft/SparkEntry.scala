@@ -704,6 +704,25 @@ object SparkEntry {
             .as("sig"))
         graft.ops.Dedup.signatureNearDupPairs(sigs, maxHamming = 15)
       }),
+      // ---- q93's INGEST shape: pairs a delta batch introduces against a
+      //      standing signature corpus — the persisted band index probed
+      //      by broadcast delta rows, corpus never re-paired (the
+      //      q55/q71 O(delta) discipline on the 64-bit-signature family).
+      //      Oracle = the full brute-force restricted to delta-touching
+      //      pairs, so the incremental path is equivalence-checked, not
+      //      just counted
+      "q94_incr_signature_near_dup" -> ((s, d) => {
+        val sigs = t(s, d, "embeddings").select(
+          col("vec_id").as("doc_id"),
+          expr("aggregate(transform(sequence(0, 63), i -> " +
+            "IF(element_at(embedding, CAST(i + 1 AS INT)) > 0F, " +
+            "shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)), " +
+            "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a | x)")
+            .as("sig"))
+        graft.ops.Dedup.incrementalSignaturePairs(
+          sigs.filter(col("doc_id") >= 300),
+          sigs.filter(col("doc_id") < 300), maxHamming = 15)
+      }),
       "q53_dup_keepers" -> ((s, d) => {
         val ckpt = java.nio.file.Files
           .createTempDirectory(s"graft-q53-${s.sparkContext.applicationId}")
@@ -1154,6 +1173,25 @@ object SparkEntry {
           .createTempDirectory("graft-x62").toString
         graft.streaming.StreamSentenceDedup.replaySentenceDedup(
           s, docs, dir, unitTokens = 12, nBatches = 3)
+      }),
+      // ---- STREAMING generic-signature near-dup: per-batch pairs against
+      //      a standing versioned band-index table (the q94 probe inside
+      //      foreachBatch); every pair is introduced by exactly one batch,
+      //      so the replayed union equals batch q93 (shared oracle)
+      "x81_stream_signature_near_dup" -> ((s, d) => {
+        import s.implicits._
+        val rows = t(s, d, "embeddings").select(
+          col("vec_id").as("doc_id"),
+          expr("aggregate(transform(sequence(0, 63), i -> " +
+            "IF(element_at(embedding, CAST(i + 1 AS INT)) > 0F, " +
+            "shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)), " +
+            "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a | x)")
+            .as("sig"))
+          .as[graft.streaming.StreamSignatureNearDup.SigRow].collect().toSeq
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-x81").toString
+        graft.streaming.StreamSignatureNearDup.replaySignaturePairs(
+          s, rows, dir, maxHamming = 15, nBatches = 3)
       }),
       // ---- STREAMING token-budget mixture: one running token total per
       //      stratum as state; the budgets-are-floors contract makes the
@@ -1785,6 +1823,24 @@ object SparkEntry {
 
   /** q64's full replay — shared with x62's streaming shadow (the replayed
     * per-batch union must equal the batch operator exactly). */
+  /** Shared by q93 (batch) and x81 (streaming replay): brute-force
+    * hamming over the rebuilt sign signature, no band predicate. */
+  private lazy val signatureNearDupSql: String =
+    """WITH s AS (
+      |  SELECT vec_id AS doc_id,
+      |    (SELECT bit_or(CASE
+      |       WHEN i = 63 AND embedding[64] > 0
+      |         THEN (-9223372036854775807 - 1)::BIGINT
+      |       WHEN i < 63 AND embedding[CAST(i + 1 AS BIGINT)] > 0
+      |         THEN (1::BIGINT << i)
+      |       ELSE 0::BIGINT END)
+      |     FROM range(0, 64) t(i)) AS sig
+      |  FROM embeddings)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 15""".stripMargin
+
   private lazy val sentenceDedupSql: String =
     s"""WITH tk AS (
          |  SELECT doc_id, $toks AS tk FROM documents),
@@ -2329,8 +2385,14 @@ object SparkEntry {
          |FROM keyed y JOIN keepers p USING (component)""".stripMargin,
     // q93: the oracle rebuilds the sign signature (bit 63 spelled as
     // Long.MinValue — DuckDB checks 1<<63 overflow where Java wraps) and
-    // brute-forces all pairs, so the banded path is recall-audited
-    "q93_signature_near_dup" ->
+    // brute-forces all pairs, so the banded path is recall-audited; x81
+    // (streaming) must converge to the same pair set
+    "q93_signature_near_dup" -> signatureNearDupSql,
+    "x81_stream_signature_near_dup" -> signatureNearDupSql,
+    // q94: the full brute-force restricted to pairs touching the delta
+    // (vec_id < 300) — hash equality proves the incremental index probe
+    // is EQUIVALENT to re-pairing, not merely similar
+    "q94_incr_signature_near_dup" ->
       """WITH s AS (
         |  SELECT vec_id AS doc_id,
         |    (SELECT bit_or(CASE
@@ -2344,7 +2406,8 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.sig, b.sig)) <= 15""".stripMargin,
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 15
+        |  AND (a.doc_id < 300 OR b.doc_id < 300)""".stripMargin,
     "q53_dup_keepers" ->
       // q37's closure + a singleton row for every doc with no near-dup pair
       s"""WITH RECURSIVE pairs AS ($ngramPairsOracleSql),

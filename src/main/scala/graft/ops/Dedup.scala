@@ -723,17 +723,72 @@ object Dedup {
   /** Band-join + exact-verify core over precomputed (doc_id, sig) rows —
     * split out so the band-completeness boundary is unit-testable on
     * hand-built signatures. */
-  private[ops] def bandedSimhashPairs(sigs: DataFrame, maxHamming: Int,
-      nBands: Int): DataFrame = {
+  /** (doc_id, sig, band, bits) rows for a (doc_id, sig) frame at the
+    * given band count — the banding pass shared by the batch and
+    * incremental signature finders, and the frame a persisted signature
+    * index table holds (8·nBands + 8 bytes per doc). */
+  private[graft] def signatureBandRows(sigs: DataFrame, nBands: Int)
+      : DataFrame = {
     require(nBands > 0 && 64 % nBands == 0,
       s"nBands must divide 64, got $nBands")
     val width = 64 / nBands
     val mask = if (width == 64) lit(-1L) else lit((1L << width) - 1)
-    val banded = sigs.select(
+    sigs.select(
       col("doc_id"), col("sig"),
       posexplode(array((0 until nBands).map(b =>
         shiftrightunsigned(col("sig"), b * width).bitwiseAND(mask)): _*))
         .as(Seq("band", "bits")))
+  }
+
+  /** The persisted-index spelling of [[signatureBandRows]]: banded at the
+    * maxHamming-DERIVED pigeonhole-complete width, so rows appended per
+    * ingest stay complete for the chosen radius. */
+  def signatureBandIndex(sigs: DataFrame, maxHamming: Int): DataFrame =
+    signatureBandRows(sigs, exactBands(maxHamming))
+
+  /** Incremental generic-signature near-dup: the pairs a NEW batch
+    * (`deltaSigs`) introduces — delta×corpus and delta×delta — at
+    * hamming <= maxHamming, complete by the derived pigeonhole bands,
+    * WITHOUT re-pairing the corpus against itself. The q55/q71 ingest
+    * discipline applied to the 64-bit-signature family (text SimHash,
+    * image aHash, audio-style fingerprints):
+    *
+    *  - `prebuiltIndex` is the production path — the
+    *    [[signatureBandIndex]] table a deployment persists and appends
+    *    each ingest's rows to; passing it makes the per-ingest cost a
+    *    SCAN of the index, never a corpus signature recompute.
+    *  - The delta's band rows BROADCAST and probe the index map-side;
+    *    the index never shuffles (pinned — a shuffle of the index would
+    *    be the full-corpus cost this operator exists to avoid).
+    *  - Verify is the codegen'd bit_count(xor) on the probe join itself
+    *    (signatures ride the index rows; no second join).
+    *
+    * Equivalence contract (the q94 oracle): identical to
+    * [[signatureNearDupPairs]] over corpus ∪ delta restricted to pairs
+    * touching the delta. */
+  def incrementalSignaturePairs(corpusSigs: DataFrame, deltaSigs: DataFrame,
+      maxHamming: Int, prebuiltIndex: Option[DataFrame] = None): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    val index = prebuiltIndex
+      .getOrElse(signatureBandIndex(corpusSigs, maxHamming))
+      .unionByName(signatureBandIndex(deltaSigs, maxHamming))
+    val probe = signatureBandIndex(deltaSigs, maxHamming)
+      .select(col("band"), col("bits"),
+        col("doc_id").as("probe_id"), col("sig").as("probe_sig"))
+    index.join(broadcast(probe), Seq("band", "bits"))
+      .where(col("doc_id") =!= col("probe_id"))
+      .select(least(col("doc_id"), col("probe_id")).as("doc_a"),
+        greatest(col("doc_id"), col("probe_id")).as("doc_b"),
+        bit_count(col("sig").bitwiseXOR(col("probe_sig")))
+          .cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  private[ops] def bandedSimhashPairs(sigs: DataFrame, maxHamming: Int,
+      nBands: Int): DataFrame = {
+    val banded = signatureBandRows(sigs, nBands)
     val a = banded.select(col("band"), col("bits"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bits"),

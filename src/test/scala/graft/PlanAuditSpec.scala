@@ -121,6 +121,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q93 shuffles the embedding array: $outs")
   }
 
+  test("q94 incremental signature near-dup: the delta probe broadcasts — " +
+      "the standing index never shuffles; one exchange (the pair distinct)") {
+    val df = SparkEntry.queries("q94_incr_signature_near_dup")(spark, sf)
+    df.collect()
+    val plan = graft.io.Bucketed.finalSection(df)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // a hash-partitioned exchange on the index side would be the
+    // full-corpus cost the operator exists to avoid; the only shuffle
+    // allowed is the candidate distinct on (doc_a, doc_b, hamming) scalars
+    assert(graft.io.Bucketed.shuffleExchangeCount(df) == 1, plan.take(3000))
+  }
+
   test("q67 corpus shuffle: one exchange (the shard partitioning the " +
       "write needs anyway), never a global sort") {
     val plan = planOf("q67_corpus_shuffle")

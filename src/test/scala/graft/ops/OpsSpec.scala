@@ -185,6 +185,40 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalSignaturePairs == full signatureNearDupPairs restricted " +
+      "to delta-touching pairs, recomputed and prebuilt-index paths alike") {
+    // random 64-bit signatures with planted near-dups (xor a few bits off
+    // a base) so delta×corpus, delta×delta, and corpus×corpus pairs all
+    // exist; the incremental result must carry exactly the first two
+    val rnd = new scala.util.Random(7)
+    val base = Seq.fill(30)(rnd.nextLong())
+    val sigRows = base.zipWithIndex.map { case (s, i) => (i.toLong, s) } ++
+      base.take(12).zipWithIndex.map { case (s, i) =>
+        (30L + i, s ^ (1L << rnd.nextInt(64)) ^ (1L << rnd.nextInt(64)))
+      }
+    val all = sigRows.toDF("doc_id", "sig")
+    val corpus = all.filter(col("doc_id") < 30L)
+    val delta = all.filter(col("doc_id") >= 30L)
+    for (h <- Seq(3, 8)) {
+      val want = Dedup.signatureNearDupPairs(all, maxHamming = h)
+        .filter(col("doc_a") >= 30L || col("doc_b") >= 30L)
+        .as[(Long, Long, Int)].collect().toSet
+      val got = Dedup.incrementalSignaturePairs(corpus, delta, maxHamming = h)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == want, s"h=$h")
+      // production path: the persisted band-index table read back
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sigidx").toString
+      Dedup.signatureBandIndex(corpus, maxHamming = h).write
+        .mode("overwrite").parquet(dir)
+      val viaIndex = Dedup.incrementalSignaturePairs(corpus, delta,
+          maxHamming = h,
+          prebuiltIndex = Some(spark.read.parquet(dir)))
+        .as[(Long, Long, Int)].collect().toSet
+      assert(viaIndex == want, s"h=$h via index")
+    }
+  }
+
   test("simhashPairs is expression-only end to end (no UDF, no typed-map boundary)") {
     // a parquet-backed input: over a LocalRelation the optimizer evaluates
     // the (deterministic) signature expression at PLANNING time and it
