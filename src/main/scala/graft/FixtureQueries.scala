@@ -299,6 +299,32 @@ object FixtureQueries {
             (pmod(col("doc_id") * 5 + col("ord") * 3, lit(14)) + 1).cast("int")))
       graft.ops.Multimodal.refIntegrity(spans, assets)
     }),
+    // REAL audio decode, sample-level: WAV bytes -> JDK javax.sound codec
+    // -> PCM frame loop; the oracle replays the sample FORMULA in SQL (no
+    // codec), so a decoder bug (container parse, byte order, sign
+    // extension, frame count) breaks the hash — the audio analog of x53
+    "x82_audio_pcm_stats" -> ((s, _) =>
+      graft.ops.Multimodal.audioStats(
+          graft.ops.Multimodal.fixtureAudio(s)
+            .union(graft.ops.Multimodal.perturbedFixtureAudio(s))).toDF()
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("duration_ms"), col("sum_samp"),
+          col("sum_abs"), col("peak"))),
+    // AUDIO near-dup: 8 base WAV clips + 4 loudness-perturbed variants
+    // -> REAL decode -> 64-frame energy-delta fingerprint -> banded
+    // signature join (pigeonhole-complete at hamming<=8). The oracle
+    // recomputes every fingerprint from the sample formula (no codec)
+    // and brute-forces all pairs — the generic signatureNearDupPairs
+    // entry point's fourth modality (text q60, image x60, synthetic q93)
+    "x83_audio_neardup" -> ((s, _) => {
+      val media = graft.ops.Multimodal.fixtureAudio(s)
+        .union(graft.ops.Multimodal.perturbedFixtureAudio(s))
+      val sigs = graft.ops.Multimodal.audioFingerprint(media)
+        .select(col("media_id").as("doc_id"), col("afp").as("sig"))
+      graft.ops.Dedup.signatureNearDupPairs(sigs, maxHamming = 8)
+        .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+          col("hamming"))
+    }),
     // STRUCTURE-PRESERVING PII SCRUB over an interleaved span table:
     // only kind='text' spans are rewritten; page markers, media spans
     // (whose synthetic rows would otherwise match the planted patterns),
@@ -1088,7 +1114,69 @@ object FixtureQueries {
         |      AS sig
         |  FROM sig)""".stripMargin
 
+  /** The x82/x83 sample replay (Knuth-multiplicative-hash waveform +
+    * frame-loudness perturbation), shared by both audio oracles — the
+    * audio analog of [[imageSigSql]]. */
+  private lazy val audioSampleSql: String =
+    """clips AS (
+      |  SELECT 500 + id AS media_id, id, 0 AS pert
+      |  FROM (SELECT CAST(i AS BIGINT) AS id FROM range(0,8) t(i))
+      |  UNION ALL
+      |  SELECT 600 + id, id, 1
+      |  FROM (SELECT CAST(i AS BIGINT) AS id FROM range(0,4) t(i))),
+      |par AS (
+      |  SELECT media_id, id, pert, 4096 + id*512 AS ns, 64 + id*8 AS hop
+      |  FROM clips),
+      |samp AS (
+      |  SELECT media_id, ns, n // hop AS f,
+      |    ((((n * 2654435761 + id * 1013904223) // 4096) % 4096) - 2048) * 13
+      |      + CASE WHEN pert = 1 AND ((n // hop) % 23) = 0
+      |        THEN 3000 ELSE 0 END AS s
+      |  FROM par, (SELECT CAST(i AS BIGINT) AS n FROM range(0,7680) t(i))
+      |  WHERE n < ns)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // x82: the sample FORMULA replayed in SQL — Spark's row went formula
+    // -> WAV encode -> javax.sound decode -> PCM loop; the oracle never
+    // touches a codec, so any decoder defect (container parse, byte
+    // order, sign extension, frame count) breaks the hash
+    "x82_audio_pcm_stats" ->
+      s"""WITH $audioSampleSql
+         |SELECT media_id, 8000 AS sample_rate, 1 AS channels,
+         |  CAST(ns AS INTEGER) AS n_samples,
+         |  CAST(ns // 8 AS BIGINT) AS duration_ms,
+         |  CAST(sum(s) AS BIGINT) AS sum_samp,
+         |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+         |  CAST(max(abs(s)) AS INTEGER) AS peak
+         |FROM samp GROUP BY media_id, ns""".stripMargin,
+    // x83: every energy-delta fingerprint recomputed from the sample
+    // formula (frame energies, strict neighbor comparison, HUGEINT bit
+    // assembly) and all pairs brute-forced with NO band predicate — the
+    // engine's real-codec decode + banded join must land on identical
+    // pairs and distances
+    "x83_audio_neardup" ->
+      s"""WITH $audioSampleSql,
+         |en AS (SELECT media_id, f, sum(abs(s)) AS e FROM samp GROUP BY 1, 2),
+         |bits AS (
+         |  SELECT a.media_id, CAST(a.f AS INTEGER) AS bit
+         |  FROM en a JOIN en b ON a.media_id = b.media_id
+         |    AND b.f = (a.f + 1) % 64
+         |  WHERE a.e > b.e),
+         |sigu AS (
+         |  SELECT media_id,
+         |    sum(CAST(CAST(1 AS HUGEINT) << bit AS HUGEINT)) AS sigu
+         |  FROM bits GROUP BY 1),
+         |sig AS (
+         |  SELECT c.media_id,
+         |    CAST(CASE WHEN u.sigu IS NULL THEN 0
+         |         WHEN u.sigu >= (CAST(1 AS HUGEINT) << 63)
+         |         THEN u.sigu - (CAST(1 AS HUGEINT) << 64)
+         |         ELSE u.sigu END AS BIGINT) AS sig
+         |  FROM clips c LEFT JOIN sigu u USING (media_id))
+         |SELECT a.media_id AS media_a, b.media_id AS media_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         |FROM sig a JOIN sig b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 8""".stripMargin,
     // x53: the pixel FORMULA replayed in SQL — Spark's row went pixel
     // formula -> PNG encode -> javax.imageio decode -> channel-sum loop;
     // the oracle never touches a codec, so any decoder defect (stride,

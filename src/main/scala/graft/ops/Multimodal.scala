@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   * JVM, zero added dependencies) inside the same batched per-partition
   * kernel, and [[imageStats]] exposes decoded-pixel truth (channel sums)
   * that the driver's oracle recomputes from the pixel formula
-  * independently (x53). Audio and video codecs are NOT available in this
-  * environment, so those kinds remain clearly-marked DETERMINISTIC STUBS
-  * over a synthetic container format; everything Spark-side — schema,
+  * independently (x53). AUDIO decode is REAL too: WAV/PCM payloads go
+  * through the JDK's own codec (`javax.sound.sampled.AudioSystem`) with
+  * decoded-sample truth in [[audioStats]] (x82) and an energy-delta
+  * fingerprint in [[audioFingerprint]] (x83). Only VIDEO codecs are
+  * absent from the JDK, so that kind remains a clearly-marked
+  * DETERMINISTIC STUB over a synthetic container format; everything
+  * Spark-side — schema,
   * batched per-partition execution (the Scala analog of mapInPandas: one
   * init per partition, fixed-size batches through the kernel),
   * partitioning — is real and tested for all kinds.
@@ -73,8 +77,9 @@ object Multimodal {
   /** Batch decode: PNG/JPEG payloads take the REAL codec path
     * (`payload_bytes` = decoded RGB buffer size, w*h*3 — the number
     * capacity planning needs downstream of a decoder); GRFT containers
-    * take the stub header parse (audio/video codecs absent in this
-    * environment). The per-partition batched shape is what a decoder
+    * take the stub header parse (real WAV audio goes through
+    * [[audioStats]]/[[audioFingerprint]] instead; video codecs are absent
+    * from the JDK). The per-partition batched shape is what a decoder
     * needs either way (amortized init, bounded memory per batch). */
   private def decodeBatch(batch: Seq[MediaRow]): Seq[MediaMeta] =
     batch.map { m =>
@@ -305,6 +310,168 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "png", bos)
       MediaRow(100L + id, id.toLong, "image", bos.toByteArray)
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Real-codec AUDIO surface (WAV/PCM via javax.sound.sampled)
+
+  final case class AudioStats(media_id: Long, sample_rate: Int, channels: Int,
+      n_samples: Int, duration_ms: Long, sum_samp: Long, sum_abs: Long,
+      peak: Int)
+
+  /** Sample formula for the deterministic WAV fixtures — duplicated in the
+    * x82/x83 DuckDB oracles, so the driver recomputes audio truth with no
+    * codec in the loop. High bits of a Knuth multiplicative hash (the low
+    * 12 bits of n*odd are a permutation of n's low bits — structured), so
+    * frame energies are pseudo-random and fingerprints of distinct clips
+    * sit ~32 bits apart. Range ±26,624 (< 2^15 even with the +3000
+    * perturbation) — always representable in PCM16. */
+  def fixtureSample(id: Int, n: Int): Int =
+    (((((n.toLong * 2654435761L + id.toLong * 1013904223L) / 4096L) % 4096L)
+      - 2048L) * 13L).toInt
+
+  /** (nSamples, frameHop) for fixture clip `id`: nSamples = 64 * hop
+    * exactly, so the 64-frame fingerprint covers every sample and
+    * duration_ms = nSamples / 8 is exact at the 8 kHz fixture rate. */
+  def fixtureAudioParams(id: Int): (Int, Int) = (4096 + id * 512, 64 + id * 8)
+
+  final val FixtureAudioRate = 8000
+
+  /** Canonical 44-byte RIFF/WAVE container around PCM16LE mono samples.
+    * The writer is hand-rolled and the reader is the JDK codec
+    * ([[decodeWav]]) — two independent implementations of the container,
+    * so a header/byte-order defect on either side breaks the x82 hash. */
+  def wavBytes(samples: Array[Int], rate: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + samples.length * 2)
+      .put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(samples.length * 2)
+    var i = 0
+    while (i < samples.length) { bb.putShort(samples(i).toShort); i += 1 }
+    bb.array()
+  }
+
+  /** REAL decode of a WAV payload via the JDK codec
+    * (`javax.sound.sampled.AudioSystem` — ships with the JVM, zero added
+    * dependencies, headless-safe): container parse + format detection come
+    * from the codec, then PCM16LE frames are widened to Int samples.
+    * Returns (sampleRate, channels, samples). */
+  private def decodeWav(m: MediaRow): (Int, Int, Array[Int]) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(m.payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+      fmt.getChannels == 1, s"unsupported WAV shape for media ${m.media_id}")
+    val bytes = ais.readAllBytes()
+    val out = new Array[Int](bytes.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+      i += 1
+    }
+    (fmt.getSampleRate.toInt, fmt.getChannels, out)
+  }
+
+  /** `n` REAL WAV clips (media_id 500+id, PCM16 mono 8 kHz,
+    * 4096 + 512*id samples), every sample set from [[fixtureSample]] —
+    * PCM is lossless, so decode recovers the formula exactly. */
+  def fixtureAudio(spark: SparkSession, n: Int = 8): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).map { i =>
+      val id = i.toInt
+      val ns = fixtureAudioParams(id)._1
+      val samples = Array.tabulate(ns)(fixtureSample(id, _))
+      MediaRow(500L + id, id.toLong, "audio", wavBytes(samples, FixtureAudioRate))
+    }
+  }
+
+  /** Near-duplicate variants of the first `n` fixture clips: identical
+    * length and formula except +3000 on every sample of frames where
+    * frame % 23 == 0 (3 of 64 frames) — a loudness bump on a few frames
+    * that flips 1–4 fingerprint bits (measured per fixture id), which an
+    * audio fingerprint must see through. media_id 400+id. */
+  def perturbedFixtureAudio(spark: SparkSession, n: Int = 4): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).map { i =>
+      val id = i.toInt
+      val (ns, hop) = fixtureAudioParams(id)
+      val samples = Array.tabulate(ns) { k =>
+        fixtureSample(id, k) + (if ((k / hop) % 23 == 0) 3000 else 0)
+      }
+      MediaRow(600L + id, id.toLong, "audio", wavBytes(samples, FixtureAudioRate))
+    }
+  }
+
+  /** Decoded-sample truth per clip, batched per partition (same
+    * mapInPandas-shaped kernel as [[imageStats]]): rate/channels from the
+    * codec's format parse, counts and integral sums from the PCM frames.
+    * duration_ms = n*1000/rate in integer math (exact for the fixtures).
+    * Payload bytes never shuffle — the output is 8 scalars per clip. */
+  def audioStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map { m =>
+        val (rate, ch, samples) = decodeWav(m)
+        var (sum, sumAbs, peak) = (0L, 0L, 0)
+        var i = 0
+        while (i < samples.length) {
+          val s = samples(i)
+          sum += s
+          val a = math.abs(s); sumAbs += a
+          if (a > peak) peak = a
+          i += 1
+        }
+        AudioStats(m.media_id, rate, ch, samples.length,
+          samples.length.toLong * 1000L / rate, sum, sumAbs, peak)
+      })
+    }
+  }
+
+  /** 64-bit energy-delta fingerprint of a decoded clip — the classic
+    * acoustic-fingerprint shape (per-band energy deltas, cf. the
+    * Haitsma–Kalker construction) reduced to one band so it stays an
+    * exact integer function of the samples: split the clip into 64
+    * equal frames (hop = n/64, tail beyond 64*hop ignored), frame energy
+    * E(f) = sum |s| (integral — no squares, no floats), bit f set iff
+    * E(f) > E((f+1) mod 64). Loudness bumps move few frames, so
+    * near-identical audio lands at small hamming distance; feed the
+    * output to [[Dedup.signatureNearDupPairs]] for the banded
+    * (never all-pairs) candidate join — the generic 64-bit entry point's
+    * fourth modality (text SimHash q60, image aHash x60, synthetic sign
+    * signatures q93, audio here).
+    *
+    * REAL codec in the loop: bytes -> javax.sound.sampled decode -> frame
+    * loop; the x83 oracle recomputes the same fingerprint from the
+    * fixture sample formula without any codec. */
+  def audioFingerprint(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map { m =>
+        val (_, _, samples) = decodeWav(m)
+        val hop = samples.length / 64
+        require(hop > 0, s"clip ${m.media_id} shorter than 64 samples")
+        val e = new Array[Long](64)
+        var f = 0
+        while (f < 64) {
+          var k = f * hop
+          val end = k + hop
+          var acc = 0L
+          while (k < end) { acc += math.abs(samples(k)); k += 1 }
+          e(f) = acc
+          f += 1
+        }
+        var sig = 0L
+        var i = 0
+        while (i < 64) {
+          if (e(i) > e((i + 1) % 64)) sig |= (1L << i)
+          i += 1
+        }
+        (m.media_id, sig)
+      })
+    }.toDF("media_id", "afp")
   }
 
   /** Media-ref integrity audit for an interleaved corpus: the referential

@@ -931,6 +931,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got("orphan_spans") == 0L && got("orphan_refs") == 0L &&
       got("docs_with_orphans") == 0L && got("assets_unreferenced") == 0L)
   }
+
+  test("audioStats: JDK WAV codec decode recovers the sample formula exactly") {
+    val stats = Multimodal.audioStats(Multimodal.fixtureAudio(spark, 4))
+      .collect().map(s => s.media_id -> s).toMap
+    (0 until 4).foreach { id =>
+      val (ns, _) = Multimodal.fixtureAudioParams(id)
+      val samples = Array.tabulate(ns)(Multimodal.fixtureSample(id, _))
+      val s = stats(500L + id)
+      assert(s.sample_rate == 8000 && s.channels == 1, s"clip $id format")
+      assert(s.n_samples == ns, s"clip $id frame count")
+      assert(s.duration_ms == ns.toLong * 1000L / 8000L)
+      assert(s.sum_samp == samples.map(_.toLong).sum, s"clip $id sum")
+      assert(s.sum_abs == samples.map(v => math.abs(v).toLong).sum)
+      assert(s.peak == samples.map(math.abs).max)
+    }
+  }
+
+  test("audioFingerprint: survives loudness bumps, separates clips") {
+    import org.apache.spark.sql.functions.col
+    val media = Multimodal.fixtureAudio(spark)
+      .union(Multimodal.perturbedFixtureAudio(spark))
+    val sigs = Multimodal.audioFingerprint(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("afp")).toMap
+    // every perturbed variant fingerprints within hamming 8 of its base
+    // (nonzero for 4/4 at the fixture delta — the perturbation is visible)
+    (0 until 4).foreach { id =>
+      val d = java.lang.Long.bitCount(sigs(500L + id) ^ sigs(600L + id))
+      assert(d <= 8, s"variant $id drifted to hamming $d")
+    }
+    // distinct clips stay far apart (measured minimum 25 across fixtures)
+    for (a <- 0 until 8; b <- 0 until 8 if a < b) {
+      val d = java.lang.Long.bitCount(sigs(500L + a) ^ sigs(500L + b))
+      assert(d > 8, s"clips $a/$b collided at hamming $d")
+    }
+    // the banded pair join recovers exactly the four planted pairs
+    val pairs = Dedup.signatureNearDupPairs(
+        Multimodal.audioFingerprint(media)
+          .select(col("media_id").as("doc_id"), col("afp").as("sig")),
+        maxHamming = 8)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs == (0 until 4).map(id => (500L + id, 600L + id)).toSet)
+  }
+
+  test("audioFingerprint: constant clip (all frame energies equal) is all-zero") {
+    import spark.implicits._
+    val silent = Multimodal.wavBytes(Array.fill(640)(100), 8000)
+    val media = spark.createDataset(
+      Seq(Multimodal.MediaRow(1L, 0L, "audio", silent)))
+    val sig = Multimodal.audioFingerprint(media).collect().head.getAs[Long]("afp")
+    assert(sig == 0L) // strict > on equal energies sets no bits
+  }
 }
 
 class ExpressionSpec extends AnyFunSuite {
