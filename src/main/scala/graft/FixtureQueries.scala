@@ -325,6 +325,19 @@ object FixtureQueries {
         .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
           col("hamming"))
     }),
+    // REAL decimating resample (decode -> keep every 2nd sample -> WAV
+    // re-encode -> decode): out(k) = in(2k) at half the rate, duration
+    // preserved exactly — the audio analog of x54's nearest-neighbor
+    // resize; the oracle recomputes decimated stats from the formula
+    // restricted to even sample indices
+    "x84_audio_decimate" -> ((s, _) =>
+      graft.ops.Multimodal.audioStats(graft.ops.Multimodal.decimateAudio(
+          graft.ops.Multimodal.fixtureAudio(s)
+            .union(graft.ops.Multimodal.perturbedFixtureAudio(s)),
+          factor = 2)).toDF()
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("duration_ms"), col("sum_samp"),
+          col("sum_abs"), col("peak"))),
     // STRUCTURE-PRESERVING PII SCRUB over an interleaved span table:
     // only kind='text' spans are rewritten; page markers, media spans
     // (whose synthetic rows would otherwise match the planted patterns),
@@ -1128,7 +1141,7 @@ object FixtureQueries {
       |  SELECT media_id, id, pert, 4096 + id*512 AS ns, 64 + id*8 AS hop
       |  FROM clips),
       |samp AS (
-      |  SELECT media_id, ns, n // hop AS f,
+      |  SELECT media_id, ns, n, n // hop AS f,
       |    ((((n * 2654435761 + id * 1013904223) // 4096) % 4096) - 2048) * 13
       |      + CASE WHEN pert = 1 AND ((n // hop) % 23) = 0
       |        THEN 3000 ELSE 0 END AS s
@@ -1149,6 +1162,19 @@ object FixtureQueries {
          |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
          |  CAST(max(abs(s)) AS INTEGER) AS peak
          |FROM samp GROUP BY media_id, ns""".stripMargin,
+    // x84: decimated stats from the formula restricted to even indices —
+    // the engine's row went formula -> WAV -> decode -> drop odd samples
+    // -> WAV re-encode at rate/2 -> decode -> PCM loop (codec TWICE);
+    // duration is invariant under decimation ((ns/2)*1000/4000 = ns/8)
+    "x84_audio_decimate" ->
+      s"""WITH $audioSampleSql
+         |SELECT media_id, 4000 AS sample_rate, 1 AS channels,
+         |  CAST(ns // 2 AS INTEGER) AS n_samples,
+         |  CAST(ns // 8 AS BIGINT) AS duration_ms,
+         |  CAST(sum(s) AS BIGINT) AS sum_samp,
+         |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+         |  CAST(max(abs(s)) AS INTEGER) AS peak
+         |FROM samp WHERE n % 2 = 0 GROUP BY media_id, ns""".stripMargin,
     // x83: every energy-delta fingerprint recomputed from the sample
     // formula (frame energies, strict neighbor comparison, HUGEINT bit
     // assembly) and all pairs brute-forced with NO band predicate — the

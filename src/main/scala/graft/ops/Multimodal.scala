@@ -430,6 +430,25 @@ object Multimodal {
     }
   }
 
+  /** Decimating resample re-encoded as WAV — REAL decode + REAL re-encode
+    * (the audio analog of [[resizeImages]]): keep every `factor`-th PCM
+    * sample and halve/divide the container rate, so out(k) = in(k*factor)
+    * and the clip DURATION is preserved exactly — decimated stats remain
+    * oracle-derivable from the sample formula with no interpolation
+    * arithmetic to replay. */
+  def decimateAudio(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    require(factor > 0, s"decimation factor must be positive, got $factor")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map { m =>
+        val (rate, _, samples) = decodeWav(m)
+        require(rate % factor == 0, s"rate $rate not divisible by $factor")
+        val out = Array.tabulate(samples.length / factor)(k => samples(k * factor))
+        MediaRow(m.media_id, m.doc_id, m.kind, wavBytes(out, rate / factor))
+      })
+    }
+  }
+
   /** 64-bit energy-delta fingerprint of a decoded clip — the classic
     * acoustic-fingerprint shape (per-band energy deltas, cf. the
     * Haitsma–Kalker construction) reduced to one band so it stays an

@@ -974,6 +974,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == (0 until 4).map(id => (500L + id, 600L + id)).toSet)
   }
 
+  test("decimateAudio: out(k) = in(2k) at half the rate, duration preserved") {
+    val stats = Multimodal.audioStats(
+        Multimodal.decimateAudio(Multimodal.fixtureAudio(spark, 3), factor = 2))
+      .collect().map(s => s.media_id -> s).toMap
+    (0 until 3).foreach { id =>
+      val (ns, _) = Multimodal.fixtureAudioParams(id)
+      val kept = Array.tabulate(ns / 2)(k => Multimodal.fixtureSample(id, 2 * k))
+      val s = stats(500L + id)
+      assert(s.sample_rate == 4000 && s.n_samples == ns / 2)
+      assert(s.duration_ms == ns.toLong / 8L) // invariant under decimation
+      assert(s.sum_samp == kept.map(_.toLong).sum, s"clip $id")
+      assert(s.peak == kept.map(math.abs).max)
+    }
+  }
+
   test("audioFingerprint: constant clip (all frame energies equal) is all-zero") {
     import spark.implicits._
     val silent = Multimodal.wavBytes(Array.fill(640)(100), 8000)
