@@ -723,6 +723,25 @@ object SparkEntry {
           sigs.filter(col("doc_id") >= 300),
           sigs.filter(col("doc_id") < 300), maxHamming = 15)
       }),
+      // ---- link-graph curation signal: fixed-iteration INTEGER PageRank
+      //      over a deterministic formula graph on the documents table
+      //      (each doc links to (i²+1) mod n and (7i+3) mod n — the
+      //      quadratic map is non-bijective, so in-degrees spread 1..21
+      //      at sf0.001 and the integer-truncation paths are exercised,
+      //      not a regular graph's fixed point) — the
+      //      domain-authority propagation a crawl pipeline runs before
+      //      sampling. Integer arithmetic makes the power iteration
+      //      order-independent, so the oracle unrolls the SAME three
+      //      iterations in SQL and must match bit-exactly
+      "q95_domain_rank" -> ((s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"))
+        val n = docs.count()
+        val edges = docs.select(col("doc_id").as("src"),
+            ((col("doc_id") * col("doc_id") + 1L) % n).as("dst"))
+          .unionByName(docs.select(col("doc_id").as("src"),
+            ((col("doc_id") * 7L + 3L) % n).as("dst")))
+        graft.ops.LinkGraph.domainRank(edges, iters = 3)
+      }),
       "q53_dup_keepers" -> ((s, d) => {
         val ckpt = java.nio.file.Files
           .createTempDirectory(s"graft-q53-${s.sparkContext.applicationId}")
@@ -2389,6 +2408,40 @@ object SparkEntry {
     // (streaming) must converge to the same pair set
     "q93_signature_near_dup" -> signatureNearDupSql,
     "x81_stream_signature_near_dup" -> signatureNearDupSql,
+    // q95: the SAME three integer power iterations unrolled in SQL —
+    // scaled-integer ranks commute, so the oracle must match bit-exactly
+    // at every parallelism (a float PageRank could never be gated this way)
+    "q95_domain_rank" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |cnt AS (SELECT count(*) AS n FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS src, (doc_id*doc_id+1) % cnt.n AS dst
+        |  FROM ids, cnt
+        |  UNION
+        |  SELECT doc_id, (doc_id*7+3) % cnt.n FROM ids, cnt),
+        |edges AS (SELECT src, dst FROM e0 WHERE src <> dst),
+        |nodes AS (SELECT DISTINCT id
+        |          FROM (SELECT src AS id FROM edges
+        |                UNION ALL SELECT dst FROM edges) t),
+        |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+        |c1 AS (SELECT e.dst, sum((r.rank * 85) // (100 * g.d)) AS m
+        |       FROM edges e JOIN r0 r ON e.src = r.id
+        |       JOIN deg g ON e.src = g.src GROUP BY 1),
+        |r1 AS (SELECT n.id, 150000 + coalesce(c.m, 0) AS rank
+        |       FROM nodes n LEFT JOIN c1 c ON n.id = c.dst),
+        |c2 AS (SELECT e.dst, sum((r.rank * 85) // (100 * g.d)) AS m
+        |       FROM edges e JOIN r1 r ON e.src = r.id
+        |       JOIN deg g ON e.src = g.src GROUP BY 1),
+        |r2 AS (SELECT n.id, 150000 + coalesce(c.m, 0) AS rank
+        |       FROM nodes n LEFT JOIN c2 c ON n.id = c.dst),
+        |c3 AS (SELECT e.dst, sum((r.rank * 85) // (100 * g.d)) AS m
+        |       FROM edges e JOIN r2 r ON e.src = r.id
+        |       JOIN deg g ON e.src = g.src GROUP BY 1),
+        |r3 AS (SELECT n.id, 150000 + coalesce(c.m, 0) AS rank
+        |       FROM nodes n LEFT JOIN c3 c ON n.id = c.dst)
+        |SELECT id AS domain_id, CAST(rank AS BIGINT) AS rank
+        |FROM r3""".stripMargin,
     // q94: the full brute-force restricted to pairs touching the delta
     // (vec_id < 300) — hash equality proves the incremental index probe
     // is EQUIVALENT to re-pairing, not merely similar

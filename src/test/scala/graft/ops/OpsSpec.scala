@@ -1060,3 +1060,52 @@ class ExpressionSpec extends AnyFunSuite {
     assert(out(2L) == (("already clean", 13L, 13L, 0)))
   }
 }
+
+class LinkGraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    LinkGraph.domainRank(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getAs[Long]("domain_id") -> r.getAs[Long]("rank"))
+      .toMap
+
+  test("a regular cycle sits at the fixed point: rank stays at scale") {
+    // 3-cycle, out-degree 1 everywhere: base + floor(85% of scale) = scale
+    val got = ranks(Seq((1L, 2L), (2L, 3L), (3L, 1L)), iters = 3)
+    assert(got == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+  }
+
+  test("star graph: hand-computed two-iteration ranks, dangling mass drops") {
+    // A -> B, A -> C; B and C are dangling (their mass vanishes)
+    // iter1: A = 150000; B = C = 150000 + (1000000*85) DIV 200 = 575000
+    // iter2: A = 150000; B = C = 150000 + (150000*85) DIV 200 = 213750
+    val got = ranks(Seq((1L, 2L), (1L, 3L)), iters = 2)
+    assert(got == Map(1L -> 150000L, 2L -> 213750L, 3L -> 213750L))
+  }
+
+  test("self-loops and duplicate edges are dropped (simple-graph contract)") {
+    val got = ranks(Seq((1L, 2L), (1L, 2L), (1L, 1L), (2L, 1L)), iters = 3)
+    // reduces to the 2-cycle: fixed point at scale
+    assert(got == Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("integer ranks are identical at any partitioning") {
+    val edges = (0L until 200L).flatMap(i =>
+      Seq((i, (i * i + 1) % 200), (i, (i * 7 + 3) % 200)))
+    val one = LinkGraph.domainRank(
+      edges.toDF("src", "dst").repartition(1), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val many = LinkGraph.domainRank(
+      edges.toDF("src", "dst").repartition(17), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(one.sameElements(many))
+    assert(one.map(_._2).distinct.length > 5) // irregular graph, spread ranks
+  }
+
+  test("iteration bound is enforced") {
+    intercept[IllegalArgumentException] {
+      LinkGraph.domainRank(Seq((1L, 2L)).toDF("src", "dst"), iters = 0)
+    }
+  }
+}
