@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Components, Dedup, Similarity}
+import graft.ops.{Components, Dedup, LinkGraph, Similarity}
 
 /** Beyond-bench scale validation for the LOOP operators (the star
   * contraction and IVF families), whose per-run cost is dominated by a
@@ -106,6 +106,8 @@ object ScaleCheck {
       var nKeeperRows = 0L
       var semTime = Double.MaxValue
       var nKept = 0L
+      var rankTime = Double.MaxValue
+      var nRanked = 0L
       var distTrace = new RoundTrace
       var semTrace = new RoundTrace
 
@@ -145,6 +147,19 @@ object ScaleCheck {
         }
         if (tS < semTime) { semTime = tS; semTrace = trace2 }
         nKept = cS
+
+        // q95's graph scaled with the corpus (2 formula edges per doc):
+        // per-iteration cost must grow ∝ edges, with the fixed iteration
+        // count — not rounds — setting the job count
+        val (tR, cR) = timed { () =>
+          val ids = docs.select(col("doc_id"))
+          val edges = ids.select(col("doc_id").as("src"),
+              ((col("doc_id") * col("doc_id") + 1L) % nDocs).as("dst"))
+            .unionByName(ids.select(col("doc_id").as("src"),
+              ((col("doc_id") * 7L + 3L) % nDocs).as("dst")))
+          LinkGraph.domainRank(edges, iters = 3).count()
+        }
+        rankTime = math.min(rankTime, tR); nRanked = cR
       }
 
       // ---- incremental ingest at fixed delta: the O(delta) claim.
@@ -205,6 +220,7 @@ object ScaleCheck {
         s""""rounds":${semTrace.contractionRounds},""" +
         s""""local_tail":${semTrace.handedToLocalTail},""" +
         s""""edges_per_round":${semTrace.edgeSeq.mkString("[", ",", "]")}},""" +
+        s""""link_rank":{"sec":${f(rankTime)},"nodes":$nRanked,"iters":3},""" +
         s""""incremental_ingest":{"delta_docs":$deltaCut,""" +
         s""""pairs_sec":${f(ingestPairTime)},"delta_pairs":$nDeltaPairs,""" +
         s""""fold_sec":${f(foldTime)},"labeled":$nLabeled}}"""

@@ -742,6 +742,22 @@ object SparkEntry {
             ((col("doc_id") * 7L + 3L) % n).as("dst")))
         graft.ops.LinkGraph.domainRank(edges, iters = 3)
       }),
+      // ---- q95's SEEDED form: topic-sensitive rank — teleport mass lands
+      //      only on the vetted seed set (docs with id % 10 == 0), so
+      //      authority flows strictly outward from seeds along links (the
+      //      seed-quality-expansion signal a curation pipeline feeds its
+      //      sampler). 269/500 sf0.01 nodes are >3 hops from every seed
+      //      and rank exactly 0 — reachability is part of the contract
+      "q96_seeded_rank" -> ((s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"))
+        val n = docs.count()
+        val edges = docs.select(col("doc_id").as("src"),
+            ((col("doc_id") * col("doc_id") + 1L) % n).as("dst"))
+          .unionByName(docs.select(col("doc_id").as("src"),
+            ((col("doc_id") * 7L + 3L) % n).as("dst")))
+        graft.ops.LinkGraph.domainRank(edges, iters = 3,
+          seeds = Some(docs.filter(col("doc_id") % 10L === 0L)))
+      }),
       "q53_dup_keepers" -> ((s, d) => {
         val ckpt = java.nio.file.Files
           .createTempDirectory(s"graft-q53-${s.sparkContext.applicationId}")
@@ -2439,6 +2455,44 @@ object SparkEntry {
         |       FROM edges e JOIN r2 r ON e.src = r.id
         |       JOIN deg g ON e.src = g.src GROUP BY 1),
         |r3 AS (SELECT n.id, 150000 + coalesce(c.m, 0) AS rank
+        |       FROM nodes n LEFT JOIN c3 c ON n.id = c.dst)
+        |SELECT id AS domain_id, CAST(rank AS BIGINT) AS rank
+        |FROM r3""".stripMargin,
+    // q96: q95's unrolled iterations with the teleport CASE'd to the seed
+    // set — zero-rank rows (nodes >3 hops from every seed) are part of
+    // the gated result, so reachability must match too
+    "q96_seeded_rank" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |cnt AS (SELECT count(*) AS n FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS src, (doc_id*doc_id+1) % cnt.n AS dst
+        |  FROM ids, cnt
+        |  UNION
+        |  SELECT doc_id, (doc_id*7+3) % cnt.n FROM ids, cnt),
+        |edges AS (SELECT src, dst FROM e0 WHERE src <> dst),
+        |nodes AS (SELECT DISTINCT id, id % 10 = 0 AS is_seed
+        |          FROM (SELECT src AS id FROM edges
+        |                UNION ALL SELECT dst FROM edges) t),
+        |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+        |r0 AS (SELECT id, CAST(CASE WHEN is_seed THEN 1000000 ELSE 0 END
+        |                       AS BIGINT) AS rank FROM nodes),
+        |c1 AS (SELECT e.dst, sum((r.rank * 85) // (100 * g.d)) AS m
+        |       FROM edges e JOIN r0 r ON e.src = r.id
+        |       JOIN deg g ON e.src = g.src GROUP BY 1),
+        |r1 AS (SELECT n.id, CASE WHEN n.is_seed THEN 150000 ELSE 0 END
+        |         + coalesce(c.m, 0) AS rank
+        |       FROM nodes n LEFT JOIN c1 c ON n.id = c.dst),
+        |c2 AS (SELECT e.dst, sum((r.rank * 85) // (100 * g.d)) AS m
+        |       FROM edges e JOIN r1 r ON e.src = r.id
+        |       JOIN deg g ON e.src = g.src GROUP BY 1),
+        |r2 AS (SELECT n.id, CASE WHEN n.is_seed THEN 150000 ELSE 0 END
+        |         + coalesce(c.m, 0) AS rank
+        |       FROM nodes n LEFT JOIN c2 c ON n.id = c.dst),
+        |c3 AS (SELECT e.dst, sum((r.rank * 85) // (100 * g.d)) AS m
+        |       FROM edges e JOIN r2 r ON e.src = r.id
+        |       JOIN deg g ON e.src = g.src GROUP BY 1),
+        |r3 AS (SELECT n.id, CASE WHEN n.is_seed THEN 150000 ELSE 0 END
+        |         + coalesce(c.m, 0) AS rank
         |       FROM nodes n LEFT JOIN c3 c ON n.id = c.dst)
         |SELECT id AS domain_id, CAST(rank AS BIGINT) AS rank
         |FROM r3""".stripMargin,

@@ -40,9 +40,19 @@ object LinkGraph {
     * shuffle, and the node relabel is a left join on id. Lineage is
     * truncated per iteration (localCheckpoint, the [[Components]]
     * discipline) so the plan does not double per round. Returns
-    * (domain_id, rank). */
+    * (domain_id, rank).
+    *
+    * `seeds` switches to TOPIC-SENSITIVE rank (seed-quality expansion —
+    * the crawl-curation use: propagate trust outward from a vetted seed
+    * list): the teleport mass lands ONLY on seed nodes (rank_0 = scale on
+    * seeds / 0 elsewhere; the per-iteration base term likewise), so
+    * authority flows strictly out of the seed set along links. The seed
+    * frame's first column is cast to long ids; seeds broadcast (a seed
+    * list is small by construction) and seeds with no edges are outside
+    * the node set and carry no rank — documented, not an error. */
   def domainRank(edges: DataFrame, iters: Int, scale: Long = 1000000L,
-      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      seeds: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
     require(dampNum > 0 && dampDen > dampNum,
       s"damping must satisfy 0 < dampNum < dampDen, got $dampNum/$dampDen")
@@ -53,10 +63,19 @@ object LinkGraph {
     // one edge shuffle total: src-keyed join materialized once, every
     // iteration's rank join reuses it
     val withDeg = e.join(deg, "src").persist()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().persist()
+    val bare = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val nodes = (seeds match {
+      case Some(sd) =>
+        val s = sd.select(col(sd.columns.head).cast("long").as("id"))
+          .distinct().withColumn("is_seed", lit(true))
+        bare.join(broadcast(s), Seq("id"), "left")
+          .select(col("id"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      case None => bare.withColumn("is_seed", lit(true))
+    }).persist()
     val base = scale * (dampDen - dampNum) / dampDen
-    var ranks = nodes.select(col("id"), lit(scale).as("rank"))
+    var ranks = nodes.select(col("id"),
+      when(col("is_seed"), scale).otherwise(0L).as("rank"))
     (1 to iters).foreach { _ =>
       val mass = withDeg
         .join(ranks.withColumnRenamed("id", "src"), "src")
@@ -66,7 +85,8 @@ object LinkGraph {
       ranks = nodes
         .join(mass.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"),
-          (lit(base) + coalesce(col("in_mass"), lit(0L))).as("rank"))
+          (when(col("is_seed"), base).otherwise(0L) +
+            coalesce(col("in_mass"), lit(0L))).as("rank"))
         .localCheckpoint()
     }
     withDeg.unpersist(); nodes.unpersist()

@@ -1108,4 +1108,33 @@ class LinkGraphSpec extends AnyFunSuite {
       LinkGraph.domainRank(Seq((1L, 2L)).toDF("src", "dst"), iters = 0)
     }
   }
+
+  test("seeded rank: teleport mass lands only on seeds, hand-computed star") {
+    // seed {1}; 1 -> 2, 1 -> 3
+    // iter1: seed = 150000; 2 = 3 = (1000000*85) DIV 200 = 425000
+    // iter2: seed = 150000; 2 = 3 = (150000*85) DIV 200 = 63750
+    val got = LinkGraph.domainRank(
+        Seq((1L, 2L), (1L, 3L)).toDF("src", "dst"), iters = 2,
+        seeds = Some(Seq(1L).toDF("id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 150000L, 2L -> 63750L, 3L -> 63750L))
+  }
+
+  test("seeded rank: components unreachable from every seed rank exactly 0") {
+    val got = LinkGraph.domainRank(
+        Seq((1L, 2L), (4L, 5L)).toDF("src", "dst"), iters = 3,
+        seeds = Some(Seq(1L).toDF("id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(4L) == 0L && got(5L) == 0L)
+    assert(got(1L) == 150000L && got(2L) > 0L)
+  }
+
+  test("seeds = all nodes reproduces the unseeded rank") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    val unseeded = ranks(edges, iters = 3)
+    val seeded = LinkGraph.domainRank(edges.toDF("src", "dst"), iters = 3,
+        seeds = Some(Seq(1L, 2L, 3L).toDF("id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unseeded == seeded)
+  }
 }
