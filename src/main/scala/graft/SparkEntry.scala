@@ -758,6 +758,26 @@ object SparkEntry {
         graft.ops.LinkGraph.domainRank(edges, iters = 3,
           seeds = Some(docs.filter(col("doc_id") % 10L === 0L)))
       }),
+      // ---- the graph-signal-to-sampler composition: q95's rank over the
+      //      20-node DOMAIN graph sets per-source quotas (∝ authority,
+      //      integer DIV, floor at 1), q84's exact bottom-k-by-salted-hash
+      //      fills them — authority-weighted corpus sampling, quotas
+      //      spread 1..13 at sf0.01. Every stage integer/hash-exact, so
+      //      the oracle replays rank, quota, and sample bit-for-bit
+      "q97_rank_weighted_sample" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+        val doms = docs.select(
+          expr("CAST(substring(source, 4) AS BIGINT)").as("dom")).distinct()
+        val edges = doms.select(col("dom").as("src"),
+            ((col("dom") * col("dom") + 1L) % 20L).as("dst"))
+          .unionByName(doms.select(col("dom").as("src"),
+            ((col("dom") * 7L + 3L) % 20L).as("dst")))
+        val ranks = graft.ops.LinkGraph.domainRank(edges, iters = 3)
+          .select(concat(lit("src"), col("domain_id")).as("source"),
+            col("rank"))
+        graft.ops.Curation.rankWeightedSample(docs, "source", "doc_id",
+          ranks, totalK = 100, salt = ":rws1")
+      }),
       "q53_dup_keepers" -> ((s, d) => {
         val ckpt = java.nio.file.Files
           .createTempDirectory(s"graft-q53-${s.sparkContext.applicationId}")
@@ -2458,6 +2478,58 @@ object SparkEntry {
         |       FROM nodes n LEFT JOIN c3 c ON n.id = c.dst)
         |SELECT id AS domain_id, CAST(rank AS BIGINT) AS rank
         |FROM r3""".stripMargin,
+    // q97: the full composition replayed — domain-graph rank (q95's
+    // unrolled iterations over 20 nodes), integer quota derivation, and
+    // the q84 salted-hash window, joined and trimmed to each quota
+    "q97_rank_weighted_sample" ->
+      """WITH doms AS (SELECT DISTINCT CAST(substring(source, 4) AS BIGINT)
+        |              AS dom FROM documents),
+        |e0 AS (
+        |  SELECT dom AS src, (dom*dom+1) % 20 AS dst FROM doms
+        |  UNION
+        |  SELECT dom, (dom*7+3) % 20 FROM doms),
+        |edges AS (SELECT src, dst FROM e0 WHERE src <> dst),
+        |nodes AS (SELECT DISTINCT id
+        |          FROM (SELECT src AS id FROM edges
+        |                UNION ALL SELECT dst FROM edges) t),
+        |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+        |c1 AS (SELECT e.dst, sum((r.rank * 85) // (100 * g.d)) AS m
+        |       FROM edges e JOIN r0 r ON e.src = r.id
+        |       JOIN deg g ON e.src = g.src GROUP BY 1),
+        |r1 AS (SELECT n.id, 150000 + coalesce(c.m, 0) AS rank
+        |       FROM nodes n LEFT JOIN c1 c ON n.id = c.dst),
+        |c2 AS (SELECT e.dst, sum((r.rank * 85) // (100 * g.d)) AS m
+        |       FROM edges e JOIN r1 r ON e.src = r.id
+        |       JOIN deg g ON e.src = g.src GROUP BY 1),
+        |r2 AS (SELECT n.id, 150000 + coalesce(c.m, 0) AS rank
+        |       FROM nodes n LEFT JOIN c2 c ON n.id = c.dst),
+        |c3 AS (SELECT e.dst, sum((r.rank * 85) // (100 * g.d)) AS m
+        |       FROM edges e JOIN r2 r ON e.src = r.id
+        |       JOIN deg g ON e.src = g.src GROUP BY 1),
+        |r3 AS (SELECT n.id, 150000 + coalesce(c.m, 0) AS rank
+        |       FROM nodes n LEFT JOIN c3 c ON n.id = c.dst),
+        |quotas AS (
+        |  SELECT 'src' || CAST(id AS VARCHAR) AS source,
+        |    greatest(1, (rank * 100) // (SELECT sum(rank) FROM r3)) AS quota
+        |  FROM r3),
+        |f AS (
+        |  SELECT source, doc_id,
+        |    list_reduce(list_prepend(CAST(3421674724 AS HUGEINT),
+        |      list_transform(split(CAST(doc_id AS VARCHAR) || ':rws1', ''),
+        |        c -> CAST(ord(c) AS HUGEINT))),
+        |      (h, c) -> (h * 1000003 + c) % (CAST(1 AS HUGEINT) << 64)) AS hu
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST(CASE WHEN hu >= (CAST(1 AS HUGEINT) << 63)
+        |        THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END AS BIGINT),
+        |        doc_id) AS INT) AS rn
+        |  FROM f)
+        |SELECT r.source, r.doc_id, r.rn, CAST(q.quota AS BIGINT) AS quota
+        |FROM r JOIN quotas q USING (source)
+        |WHERE r.rn <= q.quota""".stripMargin,
     // q96: q95's unrolled iterations with the teleport CASE'd to the seed
     // set — zero-rank rows (nodes >3 hops from every seed) are part of
     // the gated result, so reachability must match too

@@ -315,6 +315,39 @@ object Curation {
           concat(col(idCol).cast("string"), lit(salt))).as("h")),
       stratumCol, "h", idCol, k)
 
+  /** Authority-weighted exact sampling — the graph-signal-to-sampler
+    * composition: per-stratum quotas proportional to a rank column (e.g.,
+    * [[LinkGraph.domainRank]]'s domain authority), materialized as the
+    * exact bottom-k-by-salted-hash of [[exactKSample]] within each
+    * stratum. quota_s = max(minQuota, (rank_s · totalK) DIV Σrank) — all
+    * integer, so quotas are deterministic and oracle-replayable.
+    *
+    * `ranks` is (stratum, rank); strata with no rank row are DROPPED
+    * (unranked domains contribute nothing — the curation semantics of an
+    * authority gate). Scale: the rank and quota frames are
+    * stratum-cardinality (small; both sides of the quota join broadcast),
+    * the sample shuffle is k-bounded per stratum (k = totalK caps any
+    * quota since rank_s ≤ Σrank), and the doc side moves only (stratum,
+    * id, hash) scalars. Output: (stratumCol, idCol, rn, quota). */
+  def rankWeightedSample(docs: DataFrame, stratumCol: String, idCol: String,
+      ranks: DataFrame, totalK: Int, salt: String,
+      minQuota: Long = 1L): DataFrame = {
+    require(totalK > 0 && minQuota >= 0, s"bad totalK=$totalK/minQuota=$minQuota")
+    val tot = ranks.agg(sum(col("rank")).as("tot"))
+    val quotas = ranks.crossJoin(broadcast(tot))
+      .select(col(ranks.columns.head).cast("string").as(stratumCol),
+        greatest(lit(minQuota), expr(s"(rank * ${totalK}L) DIV tot"))
+          .as("quota"))
+    TopK.bottomKByLongStr(
+        docs.select(col(stratumCol), col(idCol),
+          TextAnalysis.fingerprint64(
+            concat(col(idCol).cast("string"), lit(salt))).as("h")),
+        stratumCol, "h", idCol, totalK)
+      .join(broadcast(quotas), stratumCol)
+      .filter(col("rn") <= col("quota"))
+      .select(col(stratumCol), col(idCol), col("rn"), col("quota"))
+  }
+
   /** Leakage-safe train/val split: q35's hash-bucket split made DUP-CLUSTER
     * aware. A plain per-doc hash split (q35) lets two near-duplicates land
     * on opposite sides — the classic eval-contamination leak. Here the

@@ -638,4 +638,27 @@ class CurationSpec extends AnyFunSuite {
       .select("doc_id", "rank").as[(Long, Int)].collect().toMap
     assert(got(10L) == 1) // the only doc with the rare term ranks first
   }
+  test("rankWeightedSample: quotas proportional to rank, exact and hash-stable") {
+    import spark.implicits._
+    val docs = ((0 until 10).map(i => ("a", i.toLong)) ++
+      (0 until 10).map(i => ("b", 100L + i)) ++
+      (0 until 4).map(i => ("c", 200L + i))) // c has NO rank row -> dropped
+      .toDF("source", "doc_id")
+    val ranks = Seq(("a", 300L), ("b", 100L)).toDF("source", "rank")
+    val got = Curation.rankWeightedSample(docs, "source", "doc_id", ranks,
+      totalK = 4, salt = ":t")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getLong(3)))
+    // tot = 400: quota_a = (300*4) DIV 400 = 3, quota_b = max(1, 1) = 1
+    assert(got.count(_._1 == "a") == 3 && got.count(_._1 == "b") == 1)
+    assert(!got.exists(_._1 == "c"))
+    assert(got.forall(r => r._3 <= r._4))
+    // determinism: same picks on a different partitioning
+    val again = Curation.rankWeightedSample(docs.repartition(7), "source",
+      "doc_id", ranks, totalK = 4, salt = ":t")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getLong(3)))
+    assert(got.sortBy(r => (r._1, r._3)).sameElements(
+      again.sortBy(r => (r._1, r._3))))
+  }
 }
