@@ -325,6 +325,31 @@ object FixtureQueries {
         .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
           col("hamming"))
     }),
+    // AUDIO-ASSET dedup over an INTERLEAVED corpus — x61's composition on
+    // the audio modality: x83's perceptual pairs cluster into asset
+    // classes (star contraction), every audio span rewrites to its
+    // class's canonical (min) media_id. Same span formula as x61 over
+    // the 12 audio fixture ids; the oracle replays fingerprint, pairs,
+    // recursive closure, canonical election, and the span formula
+    "x85_audio_asset_dedup" -> ((s, _) => {
+      val media = graft.ops.Multimodal.fixtureAudio(s)
+        .union(graft.ops.Multimodal.perturbedFixtureAudio(s))
+      val sigs = graft.ops.Multimodal.audioFingerprint(media)
+        .select(col("media_id").as("doc_id"), col("afp").as("sig"))
+      val pairs = graft.ops.Dedup.signatureNearDupPairs(sigs, maxHamming = 8)
+      val clusters = graft.ops.Components.connectedComponentsStar(
+        pairs, "doc_a", "doc_b")
+      val ids = Seq.tabulate(8)(500L + _) ++ Seq.tabulate(4)(600L + _)
+      val spans = s.range(20L).select(col("id").as("doc_id"))
+        .select(col("doc_id"), explode(array((0 until 3).map(lit): _*)).as("ord"))
+        .withColumn("media_id",
+          element_at(array(ids.map(lit): _*),
+            (pmod(col("doc_id") * 5 + col("ord") * 3, lit(12)) + 1).cast("int")))
+      spans.join(clusters.withColumnRenamed("id", "media_id"),
+          Seq("media_id"), "left")
+        .select(col("doc_id"), col("ord"), col("media_id"),
+          coalesce(col("component"), col("media_id")).as("canonical_id"))
+    }),
     // REAL decimating resample (decode -> keep every 2nd sample -> WAV
     // re-encode -> decode): out(k) = in(2k) at half the rate, duration
     // preserved exactly — the audio analog of x54's nearest-neighbor
@@ -1148,6 +1173,30 @@ object FixtureQueries {
       |  FROM par, (SELECT CAST(i AS BIGINT) AS n FROM range(0,7680) t(i))
       |  WHERE n < ns)""".stripMargin
 
+  /** [[audioSampleSql]] extended to the 64-bit energy-delta fingerprint
+    * (frame energies, strict neighbor comparison, HUGEINT bit assembly,
+    * signed fold) — shared by the x83 and x85 oracles the way
+    * [[imageSigSql]] serves x60/x61. */
+  private lazy val audioSigSql: String =
+    s"""$audioSampleSql,
+       |en AS (SELECT media_id, f, sum(abs(s)) AS e FROM samp GROUP BY 1, 2),
+       |bits AS (
+       |  SELECT a.media_id, CAST(a.f AS INTEGER) AS bit
+       |  FROM en a JOIN en b ON a.media_id = b.media_id
+       |    AND b.f = (a.f + 1) % 64
+       |  WHERE a.e > b.e),
+       |sigu AS (
+       |  SELECT media_id,
+       |    sum(CAST(CAST(1 AS HUGEINT) << bit AS HUGEINT)) AS sigu
+       |  FROM bits GROUP BY 1),
+       |sig AS (
+       |  SELECT c.media_id,
+       |    CAST(CASE WHEN u.sigu IS NULL THEN 0
+       |         WHEN u.sigu >= (CAST(1 AS HUGEINT) << 63)
+       |         THEN u.sigu - (CAST(1 AS HUGEINT) << 64)
+       |         ELSE u.sigu END AS BIGINT) AS sig
+       |  FROM clips c LEFT JOIN sigu u USING (media_id))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // x82: the sample FORMULA replayed in SQL — Spark's row went formula
     // -> WAV encode -> javax.sound decode -> PCM loop; the oracle never
@@ -1181,28 +1230,38 @@ object FixtureQueries {
     // engine's real-codec decode + banded join must land on identical
     // pairs and distances
     "x83_audio_neardup" ->
-      s"""WITH $audioSampleSql,
-         |en AS (SELECT media_id, f, sum(abs(s)) AS e FROM samp GROUP BY 1, 2),
-         |bits AS (
-         |  SELECT a.media_id, CAST(a.f AS INTEGER) AS bit
-         |  FROM en a JOIN en b ON a.media_id = b.media_id
-         |    AND b.f = (a.f + 1) % 64
-         |  WHERE a.e > b.e),
-         |sigu AS (
-         |  SELECT media_id,
-         |    sum(CAST(CAST(1 AS HUGEINT) << bit AS HUGEINT)) AS sigu
-         |  FROM bits GROUP BY 1),
-         |sig AS (
-         |  SELECT c.media_id,
-         |    CAST(CASE WHEN u.sigu IS NULL THEN 0
-         |         WHEN u.sigu >= (CAST(1 AS HUGEINT) << 63)
-         |         THEN u.sigu - (CAST(1 AS HUGEINT) << 64)
-         |         ELSE u.sigu END AS BIGINT) AS sig
-         |  FROM clips c LEFT JOIN sigu u USING (media_id))
+      s"""WITH $audioSigSql
          |SELECT a.media_id AS media_a, b.media_id AS media_b,
          |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
          |FROM sig a JOIN sig b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.sig, b.sig)) <= 8""".stripMargin,
+    // x85: the x61 composition replayed on the audio fragment — shared
+    // fingerprint SQL + recursive closure + the span formula
+    "x85_audio_asset_dedup" ->
+      s"""WITH RECURSIVE $audioSigSql,
+         |pairs AS (
+         |  SELECT a.media_id AS doc_a, b.media_id AS doc_b
+         |  FROM sig a JOIN sig b ON a.media_id < b.media_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 8),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |verts AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM verts
+         |  UNION
+         |  SELECT e.dst AS id, r.lbl AS lbl
+         |  FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY 1),
+         |spans AS (
+         |  SELECT CAST(d AS BIGINT) AS doc_id, CAST(o AS INTEGER) AS ord,
+         |    ([500,501,502,503,504,505,506,507,600,601,602,603])[
+         |      CAST((d*5 + o*3) % 12 AS BIGINT) + 1] AS media_id
+         |  FROM range(0,20) t(d), range(0,3) u(o))
+         |SELECT s.doc_id, s.ord, s.media_id,
+         |  coalesce(c.component, s.media_id) AS canonical_id
+         |FROM spans s LEFT JOIN comp c ON c.id = s.media_id""".stripMargin,
     // x53: the pixel FORMULA replayed in SQL — Spark's row went pixel
     // formula -> PNG encode -> javax.imageio decode -> channel-sum loop;
     // the oracle never touches a codec, so any decoder defect (stride,
