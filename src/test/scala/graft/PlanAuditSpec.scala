@@ -528,6 +528,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffleExchangeCount(df) == 1)
   }
 
+  test("q97 rank-weighted sample: aggregator sample (no Window), quota " +
+      "join broadcasts") {
+    val df = SparkEntry.queries("q97_rank_weighted_sample")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the corpus-scale sample is the k-bounded Aggregator, never a Window
+    assert(!plan.contains("Window"), plan.take(2000))
+    // the stratum-cardinality quota frame broadcasts onto the sample
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("x73 cdc read: the delete leg's key join broadcasts — the data side " +
       "is never shuffled, and no SortMergeJoin appears") {
     val df = SparkEntry.queries("x73_cdc_read")(spark, sf)
