@@ -328,8 +328,9 @@ object Bench {
       "q15_minhash_lsh_pairs", "q16_simhash_pairs", "q19_embedding_neardup",
       "q23_knn_ivf", "q33_sequence_packing", "q37_dup_clusters",
       "q40_bm25_search", "q53_dup_keepers", "q56_dup_substrings",
-      "q57_semantic_dedup", "x01_fixture_stats", "x11_resume_counts",
-      "x38_salted_extract", "x52_interleaved_pack")
+      "q57_semantic_dedup", "q95_domain_rank", "q97_rank_weighted_sample",
+      "x01_fixture_stats", "x11_resume_counts",
+      "x38_salted_extract", "x52_interleaved_pack", "x83_audio_neardup")
     def compactJson: String = {
       val total = best.values.filter(_ > 0).sum
       val opt =
