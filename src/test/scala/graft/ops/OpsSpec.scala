@@ -1129,6 +1129,29 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(got(1L) == 150000L && got(2L) > 0L)
   }
 
+  test("random graphs match an in-memory reference implementation") {
+    val rnd = new scala.util.Random(41)
+    (1 to 3).foreach { trial =>
+      val n = 30 + rnd.nextInt(40)
+      val edges = (0 until 3 * n).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val simple = edges.filter(e => e._1 != e._2).distinct
+      val deg = simple.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val nodes = simple.flatMap(e => Seq(e._1, e._2)).distinct
+      var rank = nodes.map(_ -> 1000000L).toMap
+      (1 to 3).foreach { _ =>
+        val mass = scala.collection.mutable.Map[Long, Long]()
+          .withDefaultValue(0L)
+        simple.foreach { case (a, b) =>
+          mass(b) += (rank(a) * 85L) / (100L * deg(a))
+        }
+        rank = nodes.map(v => v -> (150000L + mass(v))).toMap
+      }
+      val got = ranks(edges, iters = 3)
+      assert(got == rank, s"trial $trial (n=$n) diverged from reference")
+    }
+  }
+
   test("seeds = all nodes reproduces the unseeded rank") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
     val unseeded = ranks(edges, iters = 3)
