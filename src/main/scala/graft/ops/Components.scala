@@ -152,7 +152,8 @@ object Components {
     // min-label row-identical. At 10^12-doc scale the loop always ends
     // here: the graph shrinks geometrically, and the last ~log rounds on
     // a tiny remnant are the ones this skips.
-    def finishLocally(cur: DataFrame): DataFrame = {
+    val sparkForLocal = raw.sparkSession
+    def finishLocallyRows(edgeRows: Array[org.apache.spark.sql.Row]): DataFrame = {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -164,17 +165,18 @@ object Components {
       // union-by-min: the larger root links under the smaller, so every
       // root IS its component's min id — the same label the star forest
       // converges to
-      cur.select("src", "dst").collect().foreach { r =>
+      edgeRows.foreach { r =>
         val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
         if (a != b) parent(math.max(a, b)) = math.min(a, b)
       }
-      val spark = cur.sparkSession
-      import spark.implicits._
+      import sparkForLocal.implicits._
       val nodes = (parent.keysIterator ++ parent.valuesIterator).toSet
       val labelDf = nodes.toSeq.map(n => (n, find(n))).toDF("id", "lbl")
       verts.join(labelDf, Seq("id"), "left")
         .select(col("id"), coalesce(col("lbl"), col("id")).as("component"))
     }
+    def finishLocally(cur: DataFrame): DataFrame =
+      finishLocallyRows(cur.select("src", "dst").collect())
     def neighbors(e: DataFrame): DataFrame =
       e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     // large-star: every neighbor v > u links to m(u) = min(N(u) ∪ {u})
@@ -219,7 +221,10 @@ object Components {
       return out
     }
     var it = 0
-    var done = e.isEmpty
+    // the checksum above already proved the frame non-empty
+    // (prev._1 > localSolveEdges >= 0) — the old isEmpty probe here was a
+    // redundant extra job on the same checkpointed frame
+    var done = false
     while (!done && it < maxIter) {
       val next = truncate(smallStar(largeStar(e)), durable)
       val cur = checksum(next)

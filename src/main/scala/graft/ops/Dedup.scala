@@ -173,6 +173,13 @@ object Dedup {
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
+    // verify tail: left to the planner's build-side choice on purpose —
+    // at bench scale it broadcasts the (small) shingle frames so the two
+    // sides build in PARALLEL jobs; forcing broadcast(candidates) here
+    // (verifyPairs' shape) serializes the two shingle passes behind the
+    // candidate pipeline (measured +0.6 s on q15 at sf0.1). At corpus
+    // scale the estimates exceed the broadcast threshold and the planner
+    // flips to broadcasting the candidate side itself.
     candidates
       .join(shingleSide(docs, "doc_a", "sh_a"), Seq("doc_a"))
       .join(shingleSide(docs, "doc_b", "sh_b"), Seq("doc_b"))
@@ -303,10 +310,18 @@ object Dedup {
     * slightly lower recall for heavy edits. */
   def ngramJaccardPairs(docs: DataFrame, minJaccardBp: Long = 3000L,
       shingleN: Int = 3): DataFrame = {
+    // len_bucket is statically NON-nullable (coalesce): as a plain
+    // FLOOR(size/10) the blocking join's inferred IsNotNull constraint is
+    // pushed into a Filter that re-evaluates the whole tokenize under it —
+    // one extra regex-split pass over every document on BOTH key sides.
+    // Row-equivalent: a null-text doc previously dropped at the null join
+    // key now carries bucket -1 but still emits ZERO key rows, because its
+    // shingle array is null and explode(null) generates nothing.
     val keyed = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), shinglesOf(col("toks"), shingleN).as("sh"),
-        floor(size(col("toks")) / 10).cast("long").as("len_bucket"))
+        coalesce(floor(size(col("toks")) / 10).cast("long"), lit(-1L))
+          .as("len_bucket"))
     val keys = keyed.select(col("doc_id"), col("len_bucket"),
       explode(slice(array_sort(col("sh")), 1, 2)).as("blk"))
     val a = keys.select(col("len_bucket"), col("blk"), col("doc_id").as("doc_a"))
@@ -315,6 +330,7 @@ object Dedup {
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
+    // verify tail: planner-chosen build side (see minhashLshPairs)
     cand
       .join(shingleSide(docs, "doc_a", "sh_a", shingleN), Seq("doc_a"))
       .join(shingleSide(docs, "doc_b", "sh_b", shingleN), Seq("doc_b"))
