@@ -1803,7 +1803,32 @@ object SparkEntry {
             sum(length(col("text"))).as("total_text_len"))
       }))
 
-    relational ++ text ++ curation ++ FixtureQueries.queries
+    (relational ++ text ++ curation ++ FixtureQueries.queries)
+      .map { case (n, f) => n -> tuned(f) }
+  }
+
+  /** Session tuning applied to every declared query (guide §2.2 / §9):
+    * AQE's partition coalescing defaults to `parallelismFirst=true`, which
+    * refuses to coalesce a post-shuffle stage below the cluster-parallelism
+    * floor — so a reduce stage whose whole input is a few KB still runs
+    * `defaultParallelism` tasks, and an iterative operator pays that tax
+    * per round. Spark's own config reference recommends setting it to
+    * false so partitions are sized by bytes
+    * (`spark.sql.adaptive.advisoryPartitionSizeInBytes`, default 64 MB —
+    * the production-sane size; §2.2's "fewer, larger reduce partitions").
+    * Scale-adaptive by construction: big shuffles still split at the
+    * advisory size, tiny ones stop paying 32 empty-task overheads.
+    * Results are partition-count-independent for every declared query
+    * (the full 183-query oracle sweep is the gate for that claim). */
+  private def tuned(fn: (SparkSession, String) => DataFrame)
+      : (SparkSession, String) => DataFrame = (s, d) => {
+    s.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    // persist()/localCheckpoint() fragments otherwise run WITHOUT AQE
+    // (cached-plan partitioning is pinned by default), so the iterative
+    // operators' per-round materializations kept paying full-parallelism
+    // empty tasks no matter what the coalescing policy said
+    s.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    fn(s, d)
   }
 
   // ====================================================================

@@ -432,35 +432,13 @@ object Checkpointing {
     val cur = readAt(spark, dir, snaps.last.seq)
     val kept = cur.join(broadcast(df.select("doc_id").distinct()),
       Seq("doc_id"), "left_anti")
-    val before = parquetNames(dir)
-    kept.unionByName(df.select(cur.columns.map(col): _*))
-      .write.mode(SaveMode.Append).parquet(dir)
-    val added = (parquetNames(dir) -- before).toSeq
-    val (rows, stats) = scanFileStats(spark, dir, added)
+    // instrumented write: rows + per-file ord stats come from the write
+    // job's own accumulator instead of a separate read-back scan of the
+    // freshly-written files (one job + one shuffle fewer per upsert)
+    val (rows, added, stats) = writeInstrumented(
+      kept.unionByName(df.select(cur.columns.map(col): _*)), dir, runId)
     writeSnapshot(dir, runId, added, rows, full = true, stats = stats)
     rows
-  }
-
-  /** One scan of freshly-written files returning (totalRows, per-file ord
-    * stats) — used where the write job itself didn't gather them. Empty
-    * stats when the frame has no doc_ord column. */
-  private def scanFileStats(spark: SparkSession, dir: String,
-      names: Seq[String]): (Long, Map[String, (Long, Long)]) = {
-    if (names.isEmpty) return (0L, Map.empty)
-    val df = spark.read.parquet(names.map(n => s"$dir/$n"): _*)
-    if (!df.columns.contains("doc_ord"))
-      return (df.count(), Map.empty)
-    val perFile = df.groupBy(input_file_name().as("_f"))
-      .agg(count(lit(1)).as("_n"), min("doc_ord").as("_mn"), max("doc_ord").as("_mx"))
-      .collect()
-    val rows = perFile.map(_.getAs[Long]("_n")).sum
-    val stats = perFile.flatMap { r =>
-      val name = r.getAs[String]("_f").split('/').last
-      for (mn <- Option(r.get(r.fieldIndex("_mn")));
-           mx <- Option(r.get(r.fieldIndex("_mx"))))
-        yield name -> (mn.asInstanceOf[Long], mx.asInstanceOf[Long])
-    }.toMap
-    (rows, stats)
   }
 
   /** Merge-on-read equality delete — the takedown / right-to-be-forgotten
@@ -487,13 +465,20 @@ object Checkpointing {
     require(!Files.exists(Paths.get(delDir)),
       s"delete set $runId already exists at $delDir")
     val keys = ids.select("doc_id").distinct()
-    // refuse an empty tombstone set: it would remove nothing yet flip
-    // every later readAt into the merge-on-read join and make every
-    // incremental range crossing it refuse — a permanent no-op tax
-    val n = keys.count()
-    require(n > 0, s"deleteWhere matched no doc_ids — refusing to log " +
-      "an empty delete snapshot")
+    // ONE job: write the set, then read the key count from the written
+    // file's parquet footer (metadata-only) — previously a separate
+    // count() action ran the whole distinct first and the write ran it
+    // again. The empty-tombstone refusal is enforced after the write by
+    // removing the empty set — same contract (no empty delete snapshot is
+    // ever logged).
     keys.coalesce(1).write.parquet(delDir)
+    val n = parquetNames(delDir).toSeq
+      .map(f => footerStats(s"$delDir/$f", "doc_id")._1).sum
+    if (n == 0) {
+      deleteRecursively(new java.io.File(delDir))
+      require(n > 0, s"deleteWhere matched no doc_ids — refusing to log " +
+        "an empty delete snapshot")
+    }
     writeSnapshot(dir, runId, Nil, n, deletes = Seq(runId))
     n
   }
@@ -538,29 +523,42 @@ object Checkpointing {
       s"delete set $runId already exists at $delDir")
     val cur = readAt(spark, dir, snaps.last.seq)
     // one pass over the current state, source ids broadcast; the result is
-    // at most source-sized, persisted so the three consumers below don't
+    // at most source-sized, persisted so the consumers below don't
     // re-scan the table per leg
     val matchedIds = cur.select("doc_id")
       .join(broadcast(source.select("doc_id")), Seq("doc_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // ONE aggregation job computes all three verb counts (previously
+      // three separate count() actions over the same joined frame — two
+      // redundant passes; guide §1.2: fewer passes first)
+      val verbRow = source
+        .join(broadcast(matchedIds.withColumn("__m", lit(true))),
+          Seq("doc_id"), "left")
+        .select(coalesce(col("__m"), lit(false)).as("__m"),
+          deleteWhen.as("__del"))
+        .agg(
+          sum(when(col("__m") && !col("__del"), 1L).otherwise(0L)).as("u"),
+          sum(when(col("__m") && col("__del"), 1L).otherwise(0L)).as("d"),
+          sum(when(!col("__m") && !col("__del"), 1L).otherwise(0L)).as("i"))
+        .head()
+      def cnt(i: Int): Long =
+        if (verbRow.isNullAt(i)) 0L else verbRow.getLong(i) // empty source
+      val (nUpd, nDel, nIns) = (cnt(0), cnt(1), cnt(2))
+      require(nUpd + nDel + nIns > 0,
+        "merge matched nothing and inserts nothing — refusing an empty snapshot")
       val matched = source.join(broadcast(matchedIds), Seq("doc_id"), "left_semi")
       val updates = matched.filter(!deleteWhen)
       val inserts = source
         .join(broadcast(matchedIds), Seq("doc_id"), "left_anti")
         .filter(!deleteWhen)
-      val nUpd = updates.count()
-      val nDel = matched.filter(deleteWhen).count()
-      val nIns = inserts.count()
-      require(nUpd + nDel + nIns > 0,
-        "merge matched nothing and inserts nothing — refusing an empty snapshot")
       val outCols = cur.columns.map(col).toSeq
       val appends = updates.select(outCols: _*)
         .unionByName(inserts.select(outCols: _*))
-      val before = parquetNames(dir)
-      appends.write.mode(SaveMode.Append).parquet(dir)
-      val added = (parquetNames(dir) -- before).toSeq
-      val (nApp, stats) = scanFileStats(spark, dir, added)
+      // instrumented append: rows + per-file ord stats gathered inside the
+      // write job itself — the separate read-back stats scan (one extra
+      // job + shuffle per merge) is gone
+      val (nApp, added, stats) = writeInstrumented(appends, dir, runId)
       if (nUpd + nDel > 0) {
         matchedIds.coalesce(1).write.parquet(delDir)
         writeSnapshot(dir, runId, added, nApp, deletes = Seq(runId),
@@ -972,9 +970,12 @@ object Checkpointing {
         df.repartitionByRange(partitions, col("doc_ord"))
           .sortWithinPartitions("doc_ord")
       else df.coalesce(partitions)
-    clustered.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val (rows, tmpStats) = scanFileStats(spark, tmp,
-      parquetNames(tmp).toSeq)
+    // instrumented rewrite: rows + per-file ord stats from the write job's
+    // accumulator (mapPartitions preserves the sorted row order), instead
+    // of a second full read of the freshly-compacted files
+    deleteRecursively(new java.io.File(tmp)) // debris of a crashed attempt
+    val (rows, _, tmpStats) = writeInstrumented(clustered, tmp, runId,
+      writeManifest = false)
     // swap: old dir aside, compacted in, old removed
     val old = new java.io.File(dir)
     val aside = new java.io.File(s"${dir}_pre-$runId")
@@ -998,12 +999,13 @@ object Checkpointing {
 
   /** Append a batch and write its lineage manifest. Returns rows written.
     *
-    * The per-partition metrics are gathered by an accumulator INSIDE the
-    * write job, so the manifest describes exactly the partitions/rows that
-    * were committed — a separate metrics action would execute the plan
-    * twice, and AQE or non-deterministic partitioning could make the two
-    * runs disagree. Task retries can report a partition twice; the metrics
-    * are deduped by partition id (retries re-produce the same rows).
+    * The per-file metrics (row counts, statsCol min/max) are read from the
+    * freshly-written PARQUET FOOTERS — pure metadata, no second execution
+    * of the plan and no extra Spark job (a read-back stats scan was one
+    * extra job + shuffle per commit, and the earlier accumulator variant
+    * forced the whole write through a row-encoder boundary that defeats
+    * the columnar write path). The footers describe exactly the rows the
+    * write committed, by construction.
     *
     * Frames without a `doc_ord` column (e.g. span tables keyed only by
     * doc_id) commit fine — their manifests carry null ord ranges.
@@ -1043,7 +1045,7 @@ object Checkpointing {
     * + lineage manifest + legacy adoption. Returns (rows, addedFiles,
     * perFileStats) for the caller to log as a snapshot or a staged batch. */
   private def writeInstrumented(df: DataFrame, dir: String, runId: String,
-      statsCol: String = "doc_ord")
+      statsCol: String = "doc_ord", writeManifest: Boolean = true)
       : (Long, Seq[String], Map[String, (Long, Long)]) = {
     val spark = df.sparkSession
     val filesBefore = parquetNames(dir)
@@ -1052,64 +1054,65 @@ object Checkpointing {
         .parquet(filesBefore.toSeq.map(n => s"$dir/$n"): _*).count()
       writeSnapshot(dir, "legacy-adopt", filesBefore.toSeq, legacyRows)
     }
-    val acc = spark.sparkContext
-      .collectionAccumulator[(Int, Long, Long, Long)](s"graft-commit-$runId")
-    val ordIdx = df.schema.fieldNames.indexOf(statsCol) // -1 when absent
-    val instrumented = df.mapPartitions { it =>
-      new Iterator[org.apache.spark.sql.Row] {
-        private var n = 0L
-        private var minOrd = Long.MaxValue
-        private var maxOrd = Long.MinValue
-        private var reported = false
-        def hasNext: Boolean = {
-          val h = it.hasNext
-          if (!h && !reported) {
-            reported = true
-            acc.add((org.apache.spark.TaskContext.getPartitionId(), n, minOrd, maxOrd))
-          }
-          h
-        }
-        def next(): org.apache.spark.sql.Row = {
-          val r = it.next()
-          n += 1
-          if (ordIdx >= 0 && !r.isNullAt(ordIdx)) {
-            val o = r.getLong(ordIdx)
-            if (o < minOrd) minOrd = o
-            if (o > maxOrd) maxOrd = o
-          }
-          r
-        }
+    df.write.mode(SaveMode.Append).parquet(dir)
+    val added = (parquetNames(dir) -- filesBefore).toSeq.sorted
+    // per-file rows + statsCol ranges from the footers (metadata-only)
+    val perFile = added.map(n => n -> footerStats(s"$dir/$n", statsCol))
+    if (writeManifest) {
+      val manifestDir = Paths.get(dir + "_manifest")
+      Files.createDirectories(manifestDir)
+      val lines = perFile.map { case (name, (rows, range)) =>
+        val part = """part-(\d+)-""".r.findFirstMatchIn(name)
+          .map(_.group(1).toInt).getOrElse(-1)
+        val mnS = range.map(_._1.toString).getOrElse("null")
+        val mxS = range.map(_._2.toString).getOrElse("null")
+        s"""{"run":"$runId","partition":$part,"rows":$rows,""" +
+          s""""min_doc_ord":$mnS,"max_doc_ord":$mxS}"""
       }
-    }(org.apache.spark.sql.Encoders.row(df.schema))
-    instrumented.write.mode(SaveMode.Append).parquet(dir)
-    import scala.jdk.CollectionConverters._
-    val metrics = acc.value.asScala.toSeq
-      .groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1) // dedupe retried tasks
-    val manifestDir = Paths.get(dir + "_manifest")
-    Files.createDirectories(manifestDir)
-    val lines = metrics.map { case (part, rows, mn, mx) =>
-      val mnS = if (mn == Long.MaxValue) "null" else mn.toString
-      val mxS = if (mx == Long.MinValue) "null" else mx.toString
-      s"""{"run":"$runId","partition":$part,"rows":$rows,""" +
-        s""""min_doc_ord":$mnS,"max_doc_ord":$mxS}"""
+      Files.write(manifestDir.resolve(s"manifest-$runId.jsonl"),
+        lines.mkString("\n").getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     }
-    Files.write(manifestDir.resolve(s"manifest-$runId.jsonl"),
-      lines.mkString("\n").getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    val rows = metrics.map(_._2).sum
-    val added = (parquetNames(dir) -- filesBefore).toSeq
-    // per-FILE ord stats for readRange's manifest pruning: the write task's
-    // partition id is the part-NNNNN prefix of the file it wrote (one file
-    // per non-empty partition in a plain parquet append). Any ambiguity —
-    // unparseable name, two files for one id — drops the stat, never the
-    // file: pruning stays conservative.
-    val byPart = added.groupBy(n => """part-(\d+)-""".r.findFirstMatchIn(n)
-      .map(_.group(1).toInt))
-    val stats = metrics.collect {
-      case (part, _, mn, mx) if mn != Long.MaxValue =>
-        byPart.get(Some(part)).collect { case Seq(one) => one -> (mn, mx) }
-    }.flatten.toMap
+    val rows = perFile.map(_._2._1).sum
+    val stats = perFile.collect {
+      case (n, (_, Some((mn, mx)))) => n -> (mn, mx)
+    }.toMap
     (rows, added, stats)
+  }
+
+  /** Footer metadata of one freshly-written parquet file: (rowCount,
+    * Option(min, max) of `statsCol` across its row groups). Metadata-only —
+    * no Spark job, no data pages read. Stats are absent (conservative: the
+    * file is never pruned) when the column is missing, non-long, or has no
+    * non-null values. */
+  private def footerStats(path: String, statsCol: String)
+      : (Long, Option[(Long, Long)]) = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val ranges = blocks.flatMap { b =>
+        b.getColumns.asScala
+          .find(_.getPath.toDotString == statsCol)
+          .flatMap { c =>
+            val s = c.getStatistics
+            if (s == null || !s.hasNonNullValue) None
+            else (s.genericGetMin, s.genericGetMax) match {
+              case (mn: java.lang.Long, mx: java.lang.Long) =>
+                Some((mn.longValue, mx.longValue))
+              case _ => None
+            }
+          }
+      }
+      val range =
+        if (ranges.isEmpty) None
+        else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+      (rows, range)
+    } finally r.close()
   }
 
   // --------------------------------------------------- write-audit-publish
