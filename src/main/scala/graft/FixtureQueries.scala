@@ -428,7 +428,7 @@ object FixtureQueries {
     // time-travel -> unnest preserves every span sequence bit-exactly.
     "x71_snapshot_span_ci" -> ((s, _) => {
       val base = fixtureSpans(s)
-      val dir = java.nio.file.Files.createTempDirectory("graft-x71")
+      val dir = graft.io.Scratch.dir("graft-x71")
         .toString + "/table"
       Checkpointing.commit(nestSpans(base), dir, "extract-v1")
       // re-extraction touches only the docs the "parser change" altered
@@ -451,7 +451,7 @@ object FixtureQueries {
     // diff replay — plus in-query requires that main stayed at v1.
     "x77_branch_span_ci" -> ((s, _) => {
       val base = fixtureSpans(s)
-      val dir = java.nio.file.Files.createTempDirectory("graft-x77")
+      val dir = graft.io.Scratch.dir("graft-x77")
         .toString + "/table"
       Checkpointing.commit(nestSpans(base), dir, "extract-v1")
       Checkpointing.createBranch(dir, "ci", 1)
@@ -482,7 +482,7 @@ object FixtureQueries {
     // counts; the oracle is x01's golden with those three verbs applied
     "x79_merge" -> ((s, _) => {
       import s.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("graft-x79")
+      val dir = graft.io.Scratch.dir("graft-x79")
         .toString + "/stats"
       val r = ExtractionPipeline.run(s,
         s.createDataset(FixtureCorpus.fixtureDocs), persistIntermediate = false)
@@ -520,7 +520,7 @@ object FixtureQueries {
       import s.implicits._
       import graft.streaming.StreamMergeApply
       import StreamMergeApply.StatChange
-      val dir = java.nio.file.Files.createTempDirectory("graft-x80")
+      val dir = graft.io.Scratch.dir("graft-x80")
         .toString + "/stats"
       val r = ExtractionPipeline.run(s,
         s.createDataset(FixtureCorpus.fixtureDocs), persistIntermediate = false)
@@ -562,7 +562,7 @@ object FixtureQueries {
     // continues forward after the restore.
     "x72_snapshot_rollback" -> ((s, _) => {
       val base = fixtureSpans(s)
-      val dir = java.nio.file.Files.createTempDirectory("graft-x72")
+      val dir = graft.io.Scratch.dir("graft-x72")
         .toString + "/table"
       Checkpointing.commit(nestSpans(base), dir, "extract-v1")
       Checkpointing.upsert(nestSpans(perturbedSpans(base)), dir,
@@ -590,7 +590,7 @@ object FixtureQueries {
     "x73_cdc_read" -> ((s, _) => {
       import s.implicits._
       val docs = s.createDataset(FixtureCorpus.fixtureDocs)
-      val dir = java.nio.file.Files.createTempDirectory("graft-x73")
+      val dir = graft.io.Scratch.dir("graft-x73")
         .toString + "/stats"
       val r1 = ExtractionPipeline.run(s,
         docs.filter(d => SpanDoc.docOrd(d.doc_id) <= 9),
@@ -621,7 +621,7 @@ object FixtureQueries {
     "x75_cdc_mirror" -> ((s, _) => {
       import s.implicits._
       val docs = s.createDataset(FixtureCorpus.fixtureDocs)
-      val base = java.nio.file.Files.createTempDirectory("graft-x75").toString
+      val base = graft.io.Scratch.dir("graft-x75").toString
       val up = s"$base/up"; val mir = s"$base/mirror"
       val r1 = ExtractionPipeline.run(s,
         docs.filter(d => SpanDoc.docOrd(d.doc_id) <= 9),
@@ -666,7 +666,7 @@ object FixtureQueries {
       def frame(lo: Long, hi: Long, mult: Long) = s.range(lo, hi + 1)
         .select(col("id").as("doc_ord"), col("id").cast("string").as("doc_id"),
           (col("id") * mult).as("temp")).coalesce(1)
-      val dir = java.nio.file.Files.createTempDirectory("graft-x74")
+      val dir = graft.io.Scratch.dir("graft-x74")
         .toString + "/t"
       Checkpointing.commit(frame(1, 10, 3), dir, "run1")
       Checkpointing.commit(frame(11, 15, 3), dir, "run2")
@@ -684,7 +684,7 @@ object FixtureQueries {
     "x11_resume_counts" -> ((s, _) => {
       import s.implicits._
       val docs = s.createDataset(FixtureCorpus.fixtureDocs)
-      val dir = java.nio.file.Files.createTempDirectory("graft-x11").toString + "/stats"
+      val dir = graft.io.Scratch.dir("graft-x11").toString + "/stats"
       val firstBatch = docs.filter(d => SpanDoc.docOrd(d.doc_id) <= 9)
       val r1 = ExtractionPipeline.run(s, firstBatch, persistIntermediate = false)
       val committed = Checkpointing.commit(r1.stats.toDF(), dir, "run1")
@@ -708,7 +708,7 @@ object FixtureQueries {
     "x39_time_travel" -> ((s, _) => {
       import s.implicits._
       val docs = s.createDataset(FixtureCorpus.fixtureDocs)
-      val dir = java.nio.file.Files.createTempDirectory("graft-x39").toString + "/stats"
+      val dir = graft.io.Scratch.dir("graft-x39").toString + "/stats"
       val r1 = ExtractionPipeline.run(s,
         docs.filter(d => SpanDoc.docOrd(d.doc_id) <= 9), persistIntermediate = false)
       Checkpointing.commit(r1.stats.toDF(), dir, "run1")
@@ -726,7 +726,7 @@ object FixtureQueries {
     // travel to snapshot 1 = exactly the first micro-batch's 8 documents
     // (oracle: x01's golden filtered to that doc_ord range)
     "x41_stream_committed_sink" -> ((s, _) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-x41").toString + "/stats"
+      val dir = graft.io.Scratch.dir("graft-x41").toString + "/stats"
       graft.streaming.StreamExtract.replayCommittedStats(s, FixtureCorpus.fixtureDocs, dir)
       require(Checkpointing.snapshots(dir).map(_.seq) == Seq(1, 2),
         "expected one snapshot per micro-batch")
@@ -742,7 +742,7 @@ object FixtureQueries {
     "x42_incremental_read" -> ((s, _) => {
       import s.implicits._
       val docs = s.createDataset(FixtureCorpus.fixtureDocs)
-      val dir = java.nio.file.Files.createTempDirectory("graft-x42").toString + "/stats"
+      val dir = graft.io.Scratch.dir("graft-x42").toString + "/stats"
       val r1 = ExtractionPipeline.run(s,
         docs.filter(d => SpanDoc.docOrd(d.doc_id) <= 9), persistIntermediate = false)
       Checkpointing.commit(r1.stats.toDF(), dir, "run1")
@@ -761,7 +761,7 @@ object FixtureQueries {
     // table must show exactly the replaced rows and nothing else changed
     "x45_upsert" -> ((s, _) => {
       import s.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("graft-x45").toString + "/stats"
+      val dir = graft.io.Scratch.dir("graft-x45").toString + "/stats"
       val r = ExtractionPipeline.run(s, s.createDataset(FixtureCorpus.fixtureDocs),
         persistIntermediate = false)
       Checkpointing.commit(r.stats.toDF(), dir, "run1")
@@ -782,7 +782,7 @@ object FixtureQueries {
     // stays gone
     "x46_mor_delete" -> ((s, _) => {
       import s.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("graft-x46").toString + "/stats"
+      val dir = graft.io.Scratch.dir("graft-x46").toString + "/stats"
       val r = ExtractionPipeline.run(s, s.createDataset(FixtureCorpus.fixtureDocs),
         persistIntermediate = false)
       Checkpointing.commit(r.stats.toDF(), dir, "run1")
@@ -806,7 +806,7 @@ object FixtureQueries {
     // must equal the batch pipeline's x01 golden row-for-row
     "x48_backfill" -> ((s, _) => {
       import s.implicits._
-      val base = java.nio.file.Files.createTempDirectory("graft-x48").toString
+      val base = graft.io.Scratch.dir("graft-x48").toString
       val dir = s"$base/stats"
       s.createDataset(FixtureCorpus.fixtureDocs)
         .repartitionByRange(8, col("doc_id"))
@@ -831,7 +831,7 @@ object FixtureQueries {
     "x49_file_skipping" -> ((s, _) => {
       import s.implicits._
       val docs = s.createDataset(FixtureCorpus.fixtureDocs)
-      val dir = java.nio.file.Files.createTempDirectory("graft-x49").toString + "/stats"
+      val dir = graft.io.Scratch.dir("graft-x49").toString + "/stats"
       def runCommit(lo: Long, hi: Long, run: String): Unit = {
         val r = ExtractionPipeline.run(s,
           docs.filter(d => {
@@ -863,7 +863,7 @@ object FixtureQueries {
     "x50_write_audit_publish" -> ((s, _) => {
       import s.implicits._
       val docs = s.createDataset(FixtureCorpus.fixtureDocs)
-      val dir = java.nio.file.Files.createTempDirectory("graft-x50").toString + "/stats"
+      val dir = graft.io.Scratch.dir("graft-x50").toString + "/stats"
       val r1 = ExtractionPipeline.run(s,
         docs.filter(d => SpanDoc.docOrd(d.doc_id) <= 9), persistIntermediate = false)
       Checkpointing.commit(r1.stats.toDF(), dir, "run1")
@@ -899,7 +899,7 @@ object FixtureQueries {
     "x16_xlsx_roundtrip" -> ((s, _) => {
       import s.implicits._
       val pivot = result(s).pivot
-      val path = java.nio.file.Files.createTempDirectory("graft-x16")
+      val path = graft.io.Scratch.dir("graft-x16")
         .resolve("pivot.xlsx").toString
       graft.io.Xlsx.write(pivot, path)
       val (header, rows) = graft.io.Xlsx.read(path)
@@ -975,8 +975,8 @@ object FixtureQueries {
     // InputPartition per file, pruning honored; shares x23's
     // genuine-round-trip oracle (the INPUT span definitions)
     "x34_pdf_source" -> ((s, _) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory(s"graft-x34-${s.sparkContext.applicationId}")
+      val dir = graft.io.Scratch
+        .dir(s"graft-x34-${s.sparkContext.applicationId}")
       pdfDocs.foreach { d =>
         java.nio.file.Files.write(dir.resolve(d.doc_id), graft.io.Pdf.write(d))
       }
@@ -987,13 +987,13 @@ object FixtureQueries {
     // commit -> read back through the connector; same input-VALUES oracle
     "x35_pdf_sink" -> ((s, _) => {
       import org.apache.spark.sql.functions.col
-      val src = java.nio.file.Files
-        .createTempDirectory(s"graft-x35src-${s.sparkContext.applicationId}")
+      val src = graft.io.Scratch
+        .dir(s"graft-x35src-${s.sparkContext.applicationId}")
       pdfDocs.foreach { d =>
         java.nio.file.Files.write(src.resolve(d.doc_id), graft.io.Pdf.write(d))
       }
-      val out = java.nio.file.Files
-        .createTempDirectory(s"graft-x35out-${s.sparkContext.applicationId}")
+      val out = graft.io.Scratch
+        .dir(s"graft-x35out-${s.sparkContext.applicationId}")
       s.read.format("graft-pdf").load(src.toString)
         .orderBy(col("text")).repartition(4)
         .write.format("graft-pdf").mode("append").save(out.toString)

@@ -301,7 +301,7 @@ object SparkEntry {
       "x22_partitioned_scan" -> ((s, d) => {
         // per-session path: a fixed name could collide with a concurrent
         // bench/verify process writing the same table
-        val path = s"/tmp/graft-part-events-${s.sparkContext.applicationId}"
+        val path = graft.io.Scratch.dir("graft-part-events").toString
         graft.io.Partitioned.writePartitioned(t(s, d, "events"), path, "event_type")
         graft.io.Partitioned.readPartitioned(s, path)
           .filter(col("event_type") === "purchase")
@@ -367,8 +367,8 @@ object SparkEntry {
       //      old dir swapped out atomically (Checkpointing.compact)
       "x25_compaction" -> ((s, d) => {
         import s.implicits._
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-x25").toString + "/docs"
+        val dir = graft.io.Scratch
+          .dir("graft-x25").toString + "/docs"
         val docs = t(s, d, "documents").select("doc_id", "n_chars")
         (0 until 4).foreach { i =>
           docs.filter(pmod(col("doc_id"), lit(4)) === i)
@@ -396,8 +396,8 @@ object SparkEntry {
       //      column; mergeSchema reads old rows with NULLs — the
       //      add-a-column migration every long-lived table hits
       "x26_schema_evolution" -> ((s, d) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-x26").toString + "/events"
+        val dir = graft.io.Scratch
+          .dir("graft-x26").toString + "/events"
         val ev = t(s, d, "events")
         ev.filter(pmod(col("event_id"), lit(2)) === 0)
           .select("event_id", "user_id")
@@ -520,8 +520,8 @@ object SparkEntry {
       //      full q15 pair graph
       "x55_stream_live_clusters" -> ((s, d) => {
         import s.implicits._
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-x55-").toString
+        val dir = graft.io.Scratch
+          .dir("graft-x55-").toString
         graft.streaming.StreamNearDup.replayLiveClusters(s,
           t(s, d, "documents").select("doc_id", "text")
             .as[graft.streaming.StreamNearDup.Doc].collect().toSeq,
@@ -634,7 +634,7 @@ object SparkEntry {
       //      not just asserted in a test.
       "x20_bucketed_join" -> ((s, d) => {
         import s.implicits._
-        val dir = java.nio.file.Files.createTempDirectory("graft-x20").toString
+        val dir = graft.io.Scratch.dir("graft-x20").toString
         val docs = t(s, d, "documents")
         val left = docs.select(col("doc_id"), length(col("text")).as("text_len"))
         val right = docs.select(col("doc_id"),
@@ -779,8 +779,8 @@ object SparkEntry {
           ranks, totalK = 100, salt = ":rws1")
       }),
       "q53_dup_keepers" -> ((s, d) => {
-        val ckpt = java.nio.file.Files
-          .createTempDirectory(s"graft-q53-${s.sparkContext.applicationId}")
+        val ckpt = graft.io.Scratch
+          .dir(s"graft-q53-${s.sparkContext.applicationId}")
         graft.ops.Components.dupClusters(
           graft.ops.Dedup.ngramJaccardPairs(t(s, d, "documents"),
             minJaccardBp = 2000L),
@@ -1189,8 +1189,8 @@ object SparkEntry {
         val corpus = t(s, d, "documents")
         val docs = corpus.select(col("doc_id"), col("text"))
           .as[graft.streaming.StreamClassifier.Doc].collect().toSeq
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-x66").toString
+        val dir = graft.io.Scratch
+          .dir("graft-x66").toString
         graft.streaming.StreamClassifier.replayScore(s, corpus, docs, dir,
           nBatches = 3)
       }),
@@ -1224,8 +1224,8 @@ object SparkEntry {
         import s.implicits._
         val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
           .as[graft.streaming.StreamSentenceDedup.Doc].collect().toSeq
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-x62").toString
+        val dir = graft.io.Scratch
+          .dir("graft-x62").toString
         graft.streaming.StreamSentenceDedup.replaySentenceDedup(
           s, docs, dir, unitTokens = 12, nBatches = 3)
       }),
@@ -1243,8 +1243,8 @@ object SparkEntry {
             "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a | x)")
             .as("sig"))
           .as[graft.streaming.StreamSignatureNearDup.SigRow].collect().toSeq
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-x81").toString
+        val dir = graft.io.Scratch
+          .dir("graft-x81").toString
         graft.streaming.StreamSignatureNearDup.replaySignaturePairs(
           s, rows, dir, maxHamming = 15, nBatches = 3)
       }),
@@ -1335,7 +1335,7 @@ object SparkEntry {
       //      intact rows' aggregate (values pinned by the oracle over the
       //      clean table).
       "x33_corrupt_file_skip" -> ((s, d) => {
-        val dir = s"/tmp/graft-corrupt-${s.sparkContext.applicationId}"
+        val dir = graft.io.Scratch.dir("graft-corrupt").toString
         val docs = t(s, d, "documents").select("doc_id", "n_chars")
         docs.coalesce(2).write.mode("overwrite").parquet(dir)
         java.nio.file.Files.write(
@@ -1436,8 +1436,8 @@ object SparkEntry {
       //      is byte-identical throughout (SQL-derived oracle)
       "x67_snapshot_expiry" -> ((s, _) => {
         import s.implicits._
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-x67").toString + "/t"
+        val dir = graft.io.Scratch
+          .dir("graft-x67").toString + "/t"
         def frame(lo: Long, hi: Long,
             temp: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
           s.range(lo, hi + 1)
@@ -1483,8 +1483,8 @@ object SparkEntry {
       //      diverged fast-forward refuses
       "x76_branches" -> ((s, _) => {
         import s.implicits._
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-x76").toString + "/t"
+        val dir = graft.io.Scratch
+          .dir("graft-x76").toString + "/t"
         def frame(lo: Long, hi: Long, mult: Long) =
           s.range(lo, hi + 1)
             .select(col("id").as("doc_ord"), col("id").as("doc_id"))
@@ -1532,8 +1532,8 @@ object SparkEntry {
       }),
       "x68_snapshot_tags" -> ((s, _) => {
         import s.implicits._
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-x68").toString + "/t"
+        val dir = graft.io.Scratch
+          .dir("graft-x68").toString + "/t"
         def frame(lo: Long, hi: Long,
             temp: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
           s.range(lo, hi + 1)
@@ -1573,8 +1573,8 @@ object SparkEntry {
       }),
       "x59_spec_evolution" -> ((s, _) => {
         import s.implicits._
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-x59").toString + "/t"
+        val dir = graft.io.Scratch
+          .dir("graft-x59").toString + "/t"
         def frame(lo: Long, hi: Long,
             temp: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
           s.range(lo, hi + 1).select(col("id").as("doc_ord"))
@@ -1690,7 +1690,7 @@ object SparkEntry {
       //      scanning 2 partitions and scanning all of them when the
       //      selected keys are only known after filtering the dimension.
       "x30_dynamic_pruning" -> ((s, d) => {
-        val base = s"/tmp/graft-dpp-${s.sparkContext.applicationId}"
+        val base = graft.io.Scratch.dir("graft-dpp").toString
         graft.io.Partitioned.writePartitioned(t(s, d, "events"),
           s"$base/facts", "event_type")
         t(s, d, "events").select("event_type").distinct()
@@ -1765,7 +1765,7 @@ object SparkEntry {
       //      full extra scan), then aggregate; must equal the parquet
       //      truth.
       "x29_jsonl_roundtrip" -> ((s, d) => {
-        val path = s"/tmp/graft-jsonl-${s.sparkContext.applicationId}"
+        val path = graft.io.Scratch.dir("graft-jsonl").toString
         val docs = t(s, d, "documents")
         docs.write.mode("overwrite").json(path)
         s.read.schema(docs.schema).json(path)
@@ -1780,7 +1780,7 @@ object SparkEntry {
       //      parquet; sorting within files by doc_id gives ORC row-group
       //      min/max indexes their selectivity at scale.
       "x43_orc_roundtrip" -> ((s, d) => {
-        val path = s"/tmp/graft-orc-${s.sparkContext.applicationId}"
+        val path = graft.io.Scratch.dir("graft-orc").toString
         val docs = t(s, d, "documents")
         docs.sortWithinPartitions("doc_id").write.mode("overwrite").orc(path)
         s.read.orc(path)
@@ -1793,7 +1793,7 @@ object SparkEntry {
       //      (documents text contains no newlines in the test tables, but
       //      quoting is exercised via the header-on read contract)
       "x44_csv_roundtrip" -> ((s, d) => {
-        val path = s"/tmp/graft-csv-${s.sparkContext.applicationId}"
+        val path = graft.io.Scratch.dir("graft-csv").toString
         val docs = t(s, d, "documents")
         docs.write.mode("overwrite").option("header", "true").csv(path)
         s.read.schema(docs.schema).option("header", "true").csv(path)
@@ -1828,6 +1828,14 @@ object SparkEntry {
     // operators' per-round materializations kept paying full-parallelism
     // empty tasks no matter what the coalescing policy said
     s.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    // streaming replays otherwise create their temp checkpoints (offset/
+    // commit logs + state-store delta files, many small fsync-latency
+    // writes per micro-batch) under java.io.tmpdir — put them on the
+    // scratch root instead (guide §6; Scratch cleans up at JVM exit).
+    // Query names are UUID-suffixed, so one location serves every replay.
+    if (s.conf.getOption("spark.sql.streaming.checkpointLocation").isEmpty)
+      s.conf.set("spark.sql.streaming.checkpointLocation",
+        graft.io.Scratch.dir("stream-ckpt").toString)
     fn(s, d)
   }
 

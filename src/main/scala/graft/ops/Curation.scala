@@ -322,6 +322,15 @@ object Curation {
     * stratum. quota_s = max(minQuota, (rank_s · totalK) DIV Σrank) — all
     * integer, so quotas are deterministic and oracle-replayable.
     *
+    * `totalK` is a PER-STRATUM CAP (rank_s ≤ Σrank bounds every quota by
+    * totalK), not a global sample-size bound: with many low-rank strata
+    * the minQuota floor makes Σ quota_s exceed totalK, so the emitted
+    * sample can be larger than totalK — callers wanting a hard global
+    * budget must rescale ranks or post-trim. Overflow note: rank·totalK
+    * is evaluated in Long; callers with ranks near 2^63/totalK must
+    * pre-scale (the integer-PageRank ranks this composes with are
+    * ≤ n·scale, far inside the bound).
+    *
     * `ranks` is (stratum, rank); strata with no rank row are DROPPED
     * (unranked domains contribute nothing — the curation semantics of an
     * authority gate). Scale: the rank and quota frames are

@@ -399,19 +399,23 @@ object Dedup {
     val marked = markedDupWindows(docs, k)
     // merged coverage of overlapping fixed-width intervals == sum over the
     // per-doc position order of min(k, pos - previous pos); first window
-    // contributes k
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
+    // contributes k. Computed as a map-side fold over the per-doc sorted
+    // position array (one aggregation exchange, no Sort+Window operators —
+    // the former lag-window spelling paid a per-partition sort of the
+    // whole marked-window set; per-doc arrays are dup-density-bounded).
     marked
-      .withColumn("gap", col("pos") - lag("pos", 1).over(w))
-      .withColumn("cov",
-        when(col("gap").isNull || col("gap") >= k, lit(k.toLong))
-          .otherwise(col("gap").cast("long")))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_dup_windows"),
-        sum("cov").as("dup_tokens"),
+        sort_array(collect_list(col("pos"))).as("ps"),
         first("total_tokens").as("total_tokens"))
+      .select(col("doc_id"), col("n_dup_windows"),
+        expr(s"IF(size(ps) < 2, CAST($k AS BIGINT), CAST($k AS BIGINT) + " +
+          s"aggregate(transform(sequence(2, size(ps)), i -> " +
+          s"least(CAST($k AS BIGINT), " +
+          s"CAST(element_at(ps, i) - element_at(ps, i - 1) AS BIGINT))), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x))").as("dup_tokens"),
+        col("total_tokens"))
       .withColumn("dup_frac_bp",
         floor(col("dup_tokens") * 10000 / col("total_tokens")).cast("long"))
   }
@@ -617,14 +621,21 @@ object Dedup {
     * corpus side. */
   def scrubDupSubstrings(docs: DataFrame, k: Int = 8): DataFrame = {
     require(k > 0, s"window size must be positive, got $k")
-    val covered = markedDupWindows(docs, k)
+    // one exchange, window-count rows: aggregate the marked window STARTS
+    // per doc and expand them to covered token positions map-side with
+    // array ops (sequence/flatten/distinct). The former spelling exploded
+    // k positions per window and pushed the 8x row set through TWO
+    // exchanges (a (doc_id, p) distinct, then the per-doc collect) —
+    // guide §2.3/§2.4; per-doc position sets are dup-density-bounded, so
+    // the map-side arrays stay small at any corpus scale.
+    val drops = markedDupWindows(docs, k)
+      .groupBy("doc_id")
+      .agg(collect_list(col("pos")).as("ps"))
       .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
-      .distinct()
-    val drops = covered.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("p")).cast(
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.IntegerType))).as("drops"))
+        sort_array(array_distinct(flatten(transform(col("ps"),
+          p => sequence(p, p + (k - 1)))))).cast(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType)).as("drops"))
     rebuildFromDrops(docs, drops, unitTokens = 1)
       .select(col("doc_id"), col("clean_text"),
         col("n_kept_tokens").as("n_kept"),
@@ -749,12 +760,21 @@ object Dedup {
       s"nBands must divide 64, got $nBands")
     val width = 64 / nBands
     val mask = if (width == 64) lit(-1L) else lit((1L << width) - 1)
+    // the band count rides the `band` column as metadata (parquet
+    // preserves it), so a persisted index declares the radius tier it was
+    // built for and incrementalSignaturePairs can refuse a mismatched one
+    val bandMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(BandCountMetaKey, nBands.toLong).build()
     sigs.select(
       col("doc_id"), col("sig"),
       posexplode(array((0 until nBands).map(b =>
         shiftrightunsigned(col("sig"), b * width).bitwiseAND(mask)): _*))
         .as(Seq("band", "bits")))
+      .withColumn("band", col("band").as("band", bandMeta))
   }
+
+  /** Column-metadata key carrying the band count an index was built at. */
+  private[graft] final val BandCountMetaKey = "graft_n_bands"
 
   /** The persisted-index spelling of [[signatureBandRows]]: banded at the
     * maxHamming-DERIVED pigeonhole-complete width, so rows appended per
@@ -786,6 +806,22 @@ object Dedup {
       maxHamming: Int, prebuiltIndex: Option[DataFrame] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 63], got $maxHamming")
+    // an index banded for one radius tier probed at another joins
+    // mismatched (band, bits) encodings and silently returns garbage —
+    // fail fast on the declared band count (carried as column metadata,
+    // which parquet round-trips; an index without the declaration is
+    // accepted for compatibility, its caller owns the tier match)
+    prebuiltIndex.foreach { ix =>
+      ix.schema.find(_.name == "band")
+        .filter(_.metadata.contains(BandCountMetaKey))
+        .map(_.metadata.getLong(BandCountMetaKey))
+        .foreach { declared =>
+          require(declared == exactBands(maxHamming).toLong,
+            s"prebuiltIndex was banded at nBands=$declared but " +
+              s"maxHamming=$maxHamming needs nBands=${exactBands(maxHamming)} " +
+              "— rebuild the index for this radius tier")
+        }
+    }
     val index = prebuiltIndex
       .getOrElse(signatureBandIndex(corpusSigs, maxHamming))
       .unionByName(signatureBandIndex(deltaSigs, maxHamming))

@@ -392,7 +392,7 @@ object Multimodal {
     * length and formula except +3000 on every sample of frames where
     * frame % 23 == 0 (3 of 64 frames) — a loudness bump on a few frames
     * that flips 1–4 fingerprint bits (measured per fixture id), which an
-    * audio fingerprint must see through. media_id 400+id. */
+    * audio fingerprint must see through. media_id 600+id. */
   def perturbedFixtureAudio(spark: SparkSession, n: Int = 4): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n.toLong).map { i =>

@@ -226,7 +226,12 @@ object TextAnalysis {
     * engines. Cross-engine ln/summation drift is ~1e-12 quanta — six
     * orders inside the guard — so two independent libms agree on every
     * emitted value by construction, and the oracle CHECKS the float
-    * computation rather than trusting a flag blindly.
+    * computation rather than trusting a flag blindly. Residual risk,
+    * acknowledged: the guard band itself is evaluated on each engine's
+    * drifting float, so a doc whose fractional quantum lands WITHIN libm
+    * drift (~1e-12) of the 0.001/0.999 thresholds could make the engines
+    * disagree on quant_safe — data-dependent and ~9 orders of magnitude
+    * less likely than a bare float compare, but not zero.
     *
     * Scale shape is lmFluency's: same bigram/prefix aggregation, shuffles
     * carry (bigram key, longs) + one double; the LM join broadcasts for

@@ -68,16 +68,22 @@ object StreamMergeApply {
     }
     if (!batch.isEmpty) {
       val seq = "__graft_change_seq"
-      val ordered = seqCol match {
+      val arrival = "__graft_change_arrival"
+      // arrival id as the SECONDARY key under seqCol: two changes to the
+      // same doc_id carrying EQUAL seq values would otherwise pick a
+      // partition-order-dependent winner (a batch that failed before
+      // committing could land differently on retry) — last-arrival-wins
+      // is the deterministic tiebreak for any fixed batch partitioning
+      val ordered = (seqCol match {
         case Some(c) => batch.withColumn(seq, col(c))
         case None => batch.withColumn(seq, monotonically_increasing_id())
-      }
+      }).withColumn(arrival, monotonically_increasing_id())
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(col(seq).desc)
+        .partitionBy("doc_id").orderBy(col(seq).desc, col(arrival).desc)
       val compacted = ordered
         .withColumn("__graft_rn", row_number().over(w))
         .filter(col("__graft_rn") === 1)
-        .drop("__graft_rn", seq)
+        .drop("__graft_rn", seq, arrival)
         .drop(seqCol.toSeq: _*)
       Checkpointing.merge(compacted, dir, runId,
         deleteWhen = col(opCol) === "delete")
