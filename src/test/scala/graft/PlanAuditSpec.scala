@@ -9,9 +9,21 @@ import graft.pipeline.TestSpark
   * regression there should fail a test, not wait for a benchmark. Run
   * against the real sf0.001 parquet tables so scans/pushdown behave as in
   * production, not as LocalTableScans. */
-class PlanAuditSpec extends AnyFunSuite {
+class PlanAuditSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sfDir
+
+  // Pin the AT-SCALE plan shapes: the input-spread repartition
+  // (SparkEntry.spread) fires only for sub-split single-file inputs, so
+  // at production scale it is absent by its size condition — disable it
+  // here so every assertion below audits the plan a real corpus gets.
+  // SpreadSpec pins the spread itself (when it fires, on what, and that
+  // it is the only exchange it adds).
+  override def beforeAll(): Unit =
+    System.setProperty("graft.spread.max.bytes", "0")
+  override def afterAll(): Unit =
+    System.clearProperty("graft.spread.max.bytes")
 
   private def planOf(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)
