@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for the training-data pipeline: exact,
   * MinHash+LSH, SimHash, and n-gram Jaccard. Designed for the 100 TB shape:
@@ -197,6 +198,39 @@ object Dedup {
       .join(shingleSide(docs, "doc_a", "sh_a", shingleN), Seq("doc_a"))
     broadcast(withA)
       .join(shingleSide(docs, "doc_b", "sh_b", shingleN), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccardBp(col("sh_a"), col("sh_b")).as("jaccard_bp"))
+      .where(col("jaccard_bp") >= minJaccardBp)
+  }
+
+  /** [[verifyPairs]] with the docs side PREFILTERED to candidate-touched
+    * ids before any tokenize (guide §2.3 "project before the exchange"),
+    * for callers whose candidate frame is ALREADY MATERIALIZED and cheap
+    * to re-evaluate — the streaming replays, where candidates are a
+    * micro-batch-local frame: the plain spelling tokenizes the WHOLE
+    * corpus on both join sides per micro-batch (x55's two-batch replay
+    * paid four full-corpus tokenizations for a few hundred touched docs).
+    * The candidate frame is persisted for the life of the plan (it feeds
+    * two broadcasts and the touched-id set), and the touched docs'
+    * shingles are computed once and persisted. Row-identical to
+    * [[verifyPairs]]: an inner join on doc_a/doc_b never reads a doc no
+    * candidate touches. NOT the default for the batch/incremental finders:
+    * their candidate pipeline is the expensive end of the plan, and the
+    * extra evaluation + cache jobs measured as a net loss there (q58
+    * 51→62 jobs). */
+  def verifyPairsPrefiltered(candidates: DataFrame, docs: DataFrame,
+      minJaccardBp: Long, shingleN: Int = 3): DataFrame = {
+    val cand = candidates.persist(StorageLevel.MEMORY_AND_DISK)
+    val touched = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val docsTouched = docs.join(broadcast(touched), Seq("doc_id"), "left_semi")
+    val sh = shingleSide(docsTouched, "doc_id", "sh", shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val withA = broadcast(cand)
+      .join(sh.toDF("doc_a", "sh_a"), Seq("doc_a"))
+    broadcast(withA)
+      .join(sh.toDF("doc_b", "sh_b"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         jaccardBp(col("sh_a"), col("sh_b")).as("jaccard_bp"))
       .where(col("jaccard_bp") >= minJaccardBp)

@@ -102,8 +102,8 @@ object StreamNearDup {
           GroupStateTimeout.NoTimeout)(emitPairs(maxBucketDocs))
         .toDF()
     }
-    Dedup.verifyPairs(cands.distinct(), spark.createDataset(docs).toDF(),
-      minJaccardBp)
+    Dedup.verifyPairsPrefiltered(cands.distinct(),
+      spark.createDataset(docs).toDF(), minJaccardBp)
   }
 
   /** Live dedup-cluster manifest: the pair stream above folded into a
@@ -163,7 +163,7 @@ object StreamNearDup {
         .toDF()
         .writeStream
         .foreachBatch { (cands: DataFrame, batchId: Long) =>
-          val pairs = Dedup.verifyPairs(cands.distinct(), corpus, minJaccardBp)
+          val pairs = Dedup.verifyPairsPrefiltered(cands.distinct(), corpus, minJaccardBp)
           graft.ops.Components
             .incrementalComponents(current, pairs, "doc_a", "doc_b")
             .write.mode("overwrite").parquet(s"$manifestDir/v$batchId")
