@@ -37,6 +37,14 @@ object SparkEntry {
     }
   }
 
+  /** Unspread read for queries that consume only ids/stats columns
+    * (doc_id, source, n_chars) and no per-row text compute — there the
+    * spread exchange buys nothing and just adds stage latency (measured
+    * +0.3 s on the iterative q95/q96/q97, whose edge unions and count
+    * re-evaluate the scan several times). */
+  private def tIds(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
   /** Hash-spread key for the tables whose consumers are COMPUTE-heavy per
     * row — the only place the spread exchange pays for itself; that is
     * `documents` (regex tokenize / shingle / rolling-hash chains cost
@@ -415,7 +423,7 @@ object SparkEntry {
       //      leaks val docs into train. No rand(): reproducibility IS the
       //      operator.
       "q35_train_val_split" -> ((s, d) =>
-        t(s, d, "documents")
+        tIds(s, d, "documents")
           .withColumn("bucket",
             pmod(TextAnalysis.fingerprint64(
               concat(col("doc_id").cast("string"), lit(":v1"))), lit(100L)))
@@ -795,7 +803,7 @@ object SparkEntry {
       //      order-independent, so the oracle unrolls the SAME three
       //      iterations in SQL and must match bit-exactly
       "q95_domain_rank" -> ((s, d) => {
-        val docs = t(s, d, "documents").select(col("doc_id"))
+        val docs = tIds(s, d, "documents").select(col("doc_id"))
         val n = docs.count()
         val edges = docs.select(col("doc_id").as("src"),
             ((col("doc_id") * col("doc_id") + 1L) % n).as("dst"))
@@ -810,7 +818,7 @@ object SparkEntry {
       //      sampler). 269/500 sf0.01 nodes are >3 hops from every seed
       //      and rank exactly 0 — reachability is part of the contract
       "q96_seeded_rank" -> ((s, d) => {
-        val docs = t(s, d, "documents").select(col("doc_id"))
+        val docs = tIds(s, d, "documents").select(col("doc_id"))
         val n = docs.count()
         val edges = docs.select(col("doc_id").as("src"),
             ((col("doc_id") * col("doc_id") + 1L) % n).as("dst"))
@@ -826,7 +834,7 @@ object SparkEntry {
       //      spread 1..13 at sf0.01. Every stage integer/hash-exact, so
       //      the oracle replays rank, quota, and sample bit-for-bit
       "q97_rank_weighted_sample" -> ((s, d) => {
-        val docs = t(s, d, "documents")
+        val docs = tIds(s, d, "documents")
         val doms = docs.select(
           expr("CAST(substring(source, 4) AS BIGINT)").as("dom")).distinct()
         val edges = doms.select(col("dom").as("src"),
@@ -907,7 +915,7 @@ object SparkEntry {
       //      stratum (downsample hot sources), aggregated to per-source
       //      survivor counts
       "q41_stratified_sample" -> ((s, d) =>
-        graft.ops.Curation.stratifiedSample(t(s, d, "documents"),
+        graft.ops.Curation.stratifiedSample(tIds(s, d, "documents"),
             "source", "doc_id",
             rates = Map("src0" -> 20, "src1" -> 20, "src2" -> 50),
             defaultRate = 80, salt = ":strat1")
@@ -920,7 +928,7 @@ object SparkEntry {
       //      k*groups, not rows)
       "q42_domain_caps" -> ((s, d) =>
         graft.ops.TopK.topKByValueStr(
-          t(s, d, "documents").select(col("source"), col("n_chars"), col("doc_id")),
+          tIds(s, d, "documents").select(col("source"), col("n_chars"), col("doc_id")),
           "source", "n_chars", "doc_id", k = 10)),
       // ---- token-budgeted mixture: per-source greedy prefix in doc_id
       //      order until the source's TOKEN budget is spent (budgets are
@@ -1178,7 +1186,7 @@ object SparkEntry {
       //      SinglePartition window; files cover contiguous key ranges
       //      (range-prunable) and the assignment is append-stable
       "q91_file_sizing" -> ((s, d) =>
-        graft.ops.FileLayout.planFiles(t(s, d, "documents"),
+        graft.ops.FileLayout.planFiles(tIds(s, d, "documents"),
           "doc_id", "n_chars", targetBytes = 4096L)),
       // ---- WATERMARK-BOUNDED streaming exact dedup (native
       //      dropDuplicatesWithinWatermark): state evicted by event-time
@@ -1275,7 +1283,7 @@ object SparkEntry {
       //      engines; per-shard windows, no global sort
       "q67_corpus_shuffle" -> ((s, d) =>
         graft.ops.Curation.corpusShuffle(
-          t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+          tIds(s, d, "documents").select(col("doc_id"), col("n_chars")),
           "doc_id", nShards = 8, seed = 1L)),
       // ---- STREAMING sentence dedup: per-micro-batch incremental clean
       //      against a standing unit-hash index (versioned parquet, not
@@ -1342,7 +1350,7 @@ object SparkEntry {
       //      Quartiles only: 0.25/0.5/0.75 are exact binary fractions, so
       //      the interpolated value, x4, is integral and engine-exact.
       "q44_length_quantiles" -> ((s, d) =>
-        t(s, d, "documents")
+        tIds(s, d, "documents")
           .groupBy("source")
           .agg(
             (expr("percentile(n_chars, 0.25)") * 4).cast("long").as("p25_x4"),
